@@ -1,0 +1,120 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Evaluation harness as DataFrame aggregations — mirrors the reference
+ * evaluator (reference: ea/sim/dev/evaluation/evaluator.py:12-50).
+ */
+object Metrics {
+
+  /**
+   * Accuracy@k and MRR over ranked predictions vs truth.
+   * @param ranked (query_id, cluster_id, rank)
+   * @param truth  (query_id, true_cluster_id)
+   * Reference: metrics/base/per_instance/accuracy.py:11-27, mrr.py:11-26.
+   */
+  def accuracyAndMrr(ranked: DataFrame, truth: DataFrame, ks: Seq[Int]): DataFrame = {
+    // rename before joining: truth is often derived from ranked, which would
+    // otherwise trip Spark's ambiguous-self-join detection
+    val r = ranked.select(col("query_id").as("r_qid"),
+      col("cluster_id").as("r_cid"), col("rank"))
+    val tr = truth.select(col("query_id").as("t_qid"),
+      col("true_cluster_id").as("t_cid"))
+    val hits = tr.join(r,
+        col("t_qid") === col("r_qid") && col("t_cid") === col("r_cid"), "left")
+      .select(col("t_qid").as("query_id"), col("rank"))
+    val perQuery = hits.groupBy("query_id").agg(min("rank").as("true_rank"))
+    val aggs =
+      ks.map(k => avg(when(col("true_rank") <= k, 1.0).otherwise(0.0)).as(s"acc_at_$k")) :+
+      avg(when(col("true_rank").isNotNull, lit(1.0) / col("true_rank"))
+        .otherwise(0.0)).as("mrr")
+    perQuery.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Duplicate-pair recall & precision of predicted pairs vs oracle pairs —
+   * THE gate of BASELINE.json (`dup-pair recall >= 0.99`). Pairs are
+   * canonicalized (a < b) and compared with semi/anti joins, never collected.
+   */
+  def pairRecallPrecision(predicted: DataFrame, oracle: DataFrame): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+      least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val p = canon(predicted).cache()
+    val o = canon(oracle).cache()
+    val hit = o.join(p, Seq("a", "b"), "left_semi").count().toDouble
+    val oc = o.count().toDouble
+    val pc = p.count().toDouble
+    val spark = predicted.sparkSession
+    import spark.implicits._
+    Seq((
+      if (oc == 0) 1.0 else hit / oc,
+      if (pc == 0) 1.0 else hit / pc,
+      oc.toLong, pc.toLong, hit.toLong))
+      .toDF("recall", "precision", "oracle_pairs", "predicted_pairs", "matched_pairs")
+  }
+
+  /** Cluster-level pair recall: pairs implied by co-membership in predicted
+    * clusters vs pairs implied by truth clusters (assignment-level parity
+    * with the reference's cluster semantics). */
+  def clusterPairs(assignments: DataFrame, idCol: String, clusterCol: String): DataFrame = {
+    val x = assignments.select(col(idCol).as("id"), col(clusterCol).as("c"))
+    x.as("l").join(x.as("r"),
+        col("l.c") === col("r.c") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+  }
+
+  /**
+   * ROC-AUC via the rank-statistic (Mann-Whitney U) form, fully distributed:
+   * AUC = (sum of positive ranks - P(P+1)/2) / (P*N), with average ranks on
+   * ties. Reference: metrics/base/aggregate/roc_auc.py:12-17 (sklearn there).
+   */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): Double = {
+    val ranked = scored.select(
+        col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .withColumn("r", rank().over(Window.orderBy("s")))
+      // average rank within score ties
+      .withColumn("ar", avg("r").over(Window.partitionBy("s")))
+    val row = ranked.agg(
+      sum(when(col("y"), col("ar"))).as("sumPos"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("n")).head()
+    val sumPos = Option(row.get(0)).map(_.toString.toDouble).getOrElse(0.0)
+    val p = row.getLong(1).toDouble
+    val n = row.getLong(2).toDouble
+    if (p == 0 || n == 0) 0.5
+    else (sumPos - p * (p + 1) / 2.0) / (p * n)
+  }
+
+  /**
+   * F-beta threshold sweep over new-issue detection scores — closed-form
+   * cumulative confusion counts per candidate threshold via window sums
+   * (reference iterative sweep: metrics/wrappers/f_beta/helpers.py:86-117).
+   * @param scored (score DOUBLE, is_new BOOLEAN); predicts "new" when
+   *               score < threshold.
+   * @return per-threshold precision/recall/fbeta, best row first.
+   */
+  def fBetaSweep(scored: DataFrame, scoreCol: String, isNewCol: String,
+      beta: Double): DataFrame = {
+    val w = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = scored.agg(
+      sum(when(col(isNewCol), 1L).otherwise(0L)).as("pos")).head()
+    val pos = totals.getLong(0).toDouble
+    val b2 = beta * beta
+    scored
+      .withColumn("tp", sum(when(col(isNewCol), 1L).otherwise(0L)).over(w))
+      .withColumn("fp", sum(when(!col(isNewCol), 1L).otherwise(0L)).over(w))
+      .withColumn("precision", col("tp") / (col("tp") + col("fp")))
+      .withColumn("recall", col("tp") / lit(pos))
+      .withColumn("fbeta",
+        (lit(1 + b2) * col("precision") * col("recall")) /
+        (lit(b2) * col("precision") + col("recall")))
+      .select(col(scoreCol).as("threshold"), col("precision"), col("recall"), col("fbeta"))
+      .orderBy(col("fbeta").desc_nulls_last)
+  }
+}

@@ -1,0 +1,298 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/**
+ * Deterministic, dependency-free hash kernels shared by
+ *  - the codegen'd Catalyst expressions in [[GraftExpressions]],
+ *  - the brute-force oracle in the golden tests (same-bits guarantee — the
+ *    recall gate measures LSH loss only, SURVEY.md section 7 hard part d).
+ *
+ * All methods are static (object) so generated Java code can call them
+ * directly without breaking the surrounding whole-stage-codegen span.
+ */
+object HashKernels {
+
+  final val GOLDEN: Long = 0x9E3779B97F4A7C15L
+  /** Sentinel minhash value for an empty shingle set. */
+  final val EMPTY_MIN: Long = Long.MaxValue
+
+  /** splitmix64 finalizer — the standard 64-bit avalanche mix. */
+  @inline def mix64(zIn: Long): Long = {
+    var z = zIn
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a over UTF-8 bytes, avalanched — our token/string hash. */
+  def hashBytes(bytes: Array[Byte], seed: Long): Long = {
+    var h = 0xCBF29CE484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  def hashString(s: String, seed: Long): Long =
+    hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
+  // ---------------------------------------------------------------------
+  // Shingling (reference n-gram extraction, ea/sim/main/preprocess/seq_coder.py:69-81)
+  // ---------------------------------------------------------------------
+
+  /**
+   * Order-sensitive hashes of all k-grams of a token sequence.
+   * A sequence shorter than k yields one shingle over the whole sequence;
+   * an empty sequence yields an empty array.
+   */
+  def shingleHashesFromTokenHashes(tok: Array[Long], k: Int, seed: Long): Array[Long] = {
+    val n = tok.length
+    if (n == 0) return Array.emptyLongArray
+    val kk = math.min(k, n)
+    val out = new Array[Long](n - kk + 1)
+    var i = 0
+    while (i <= n - kk) {
+      var h = seed ^ GOLDEN
+      var j = 0
+      while (j < kk) {
+        h = mix64(h * 0x100000001B3L ^ tok(i + j))
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Entry point used by the ShingleHashes expression: array<string> tokens. */
+  def shingleHashes(tokens: ArrayData, k: Int, seed: Long): ArrayData = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val u = tokens.getUTF8String(i)
+      th(i) = if (u == null) mix64(seed) else hashBytes(u.getBytes, seed)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(shingleHashesFromTokenHashes(th, k, seed))
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash (replaces FaST/Lerch rankers per the north rule; candidate
+  // semantics analogous to reference FAISS top-k, ea/sim/main/methods/index/faiss.py:63-77)
+  // ---------------------------------------------------------------------
+
+  /**
+   * Carter–Wegman MinHash: per element x, u = mix(x ^ seedA), v = mix(x ^ seedB),
+   * h_i(x) = u + (i+1) * (v | 1). signature(i) = min_x h_i(x).
+   * Two mixes per element + one multiply-add per hash — O(|S| * n) cheap ops.
+   */
+  def minhash(shingles: ArrayData, numHashes: Int, seed: Long): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      minhashArray(shingles.toLongArray(), numHashes, seed))
+
+  def minhashArray(sh: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, EMPTY_MIN)
+    val seedB = mix64(seed ^ 0xDEADBEEF5EEDL)
+    var s = 0
+    while (s < sh.length) {
+      val u = mix64(sh(s) ^ seed)
+      val v = mix64(sh(s) ^ seedB) | 1L
+      var i = 0
+      var h = u
+      while (i < numHashes) {
+        h += v // h = u + (i+1)*v accumulated
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash (replaces the S3M neural scorer over phash-derived image tokens)
+  // ---------------------------------------------------------------------
+
+  /** Unweighted 64-bit SimHash over pre-hashed tokens (repeat a token to weight it). */
+  def simhash64(tokens: ArrayData, seed: Long): Long =
+    simhash64Array(tokens.toLongArray(), seed)
+
+  def simhash64Array(tok: Array[Long], seed: Long): Long = {
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < tok.length) {
+      val h = mix64(tok(i) ^ seed)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (acc(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /**
+   * Tokens derived from a 64-bit perceptual hash: overlapping (position, byte)
+   * grams, so that small pixel perturbations flip few tokens and SimHash
+   * Hamming distance tracks phash Hamming distance.
+   */
+  def phashTokens(phash: Long): Array[Long] = {
+    val out = new Array[Long](8)
+    var i = 0
+    while (i < 8) {
+      val twoBytes = (phash >>> (i * 8)) & 0xFFFFL // overlapping 16-bit windows (wraps via >>> naturally truncating top)
+      out(i) = mix64((i.toLong << 32) | twoBytes)
+      i += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // LSH banding
+  // ---------------------------------------------------------------------
+
+  /** One 64-bit key per band: mix of band index and the band's r minhashes.
+    * Signatures of empty shingle sets produce no usable bands downstream
+    * (they collide only with other empties — filtered by the caller). */
+  def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int, seed: Long): ArrayData = {
+    val s = sig.toLongArray()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix64(seed ^ (b.toLong * GOLDEN))
+      var r = 0
+      while (r < rowsPerBand) {
+        h = mix64(h * 0x100000001B3L ^ s(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // ---------------------------------------------------------------------
+  // Pairwise verification kernels
+  // ---------------------------------------------------------------------
+
+  /** Exact Jaccard over two shingle-hash multiset arrays (treated as sets). */
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = new java.util.HashSet[java.lang.Long](a.length * 2)
+    var i = 0
+    while (i < a.length) { sa.add(a(i)); i += 1 }
+    val sb = new java.util.HashSet[java.lang.Long](b.length * 2)
+    var inter = 0
+    i = 0
+    while (i < b.length) {
+      if (sb.add(b(i)) && sa.contains(b(i))) inter += 1
+      i += 1
+    }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  def jaccardData(a: ArrayData, b: ArrayData): Double =
+    jaccard(a.toLongArray(), b.toLongArray())
+
+  /**
+   * Longest common substring length between two strings, O(n*m) DP with two
+   * rows; inputs clamped to maxLen chars to bound per-row cost (captions are
+   * short; documents clamp). Reference analogue: the exact long-match pass
+   * the north rule adds on top of FaST alignment (ea/sim/main/methods/classic/fast.py:49-68).
+   */
+  def lcsLength(a: String, b: String, maxLen: Int): Int = {
+    if (a == null || b == null) return 0
+    val x = if (a.length > maxLen) a.substring(0, maxLen) else a
+    val y = if (b.length > maxLen) b.substring(0, maxLen) else b
+    if (x.isEmpty || y.isEmpty) return 0
+    var prev = new Array[Int](y.length + 1)
+    var cur = new Array[Int](y.length + 1)
+    var best = 0
+    var i = 1
+    while (i <= x.length) {
+      val ci = x.charAt(i - 1)
+      var j = 1
+      while (j <= y.length) {
+        if (ci == y.charAt(j - 1)) {
+          cur(j) = prev(j - 1) + 1
+          if (cur(j) > best) best = cur(j)
+        } else cur(j) = 0
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    best
+  }
+
+  // ---------------------------------------------------------------------
+  // Vector kernels (ANN / embedding near-dup)
+  // ---------------------------------------------------------------------
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i)
+      na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def cosineData(a: ArrayData, b: ArrayData): Double =
+    cosine(a.toFloatArray(), b.toFloatArray())
+
+  /** Sign-random-projection LSH bucket for a float vector: `bits` hyperplanes
+    * drawn deterministically from seed; bucket = packed sign bits. */
+  def srpBucket(v: Array[Float], bits: Int, seed: Long): Long = {
+    var out = 0L
+    var bIdx = 0
+    while (bIdx < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        // deterministic pseudo-gaussian-ish weight in [-1,1) from (bit, dim)
+        val h = mix64(seed ^ (bIdx.toLong * GOLDEN) ^ (i.toLong * 0x100000001B3L))
+        dot += v(i) * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (dot >= 0) out |= (1L << bIdx)
+      bIdx += 1
+    }
+    out
+  }
+
+  def srpBucketData(v: ArrayData, bits: Int, seed: Long): Long =
+    srpBucket(v.toFloatArray(), bits, seed)
+
+  /** Rolling polynomial fingerprint of a string (document fingerprinting). */
+  def rollingFingerprint(s: String, seed: Long): Long = {
+    if (s == null) return mix64(seed)
+    var h = seed ^ 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) {
+      h = h * 0x100000001B3L + s.charAt(i)
+      i += 1
+    }
+    mix64(h)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Column-level API of the engine: signature functions (custom codegen'd
+ * Catalyst expressions from [[graft.functions.GraftExpressions]]) plus text
+ * analysis / normalization helpers built from `org.apache.spark.sql.functions`.
+ */
+package object functions {
+
+  // --- signature expressions -------------------------------------------
+
+  def shingle_hashes(tokens: Column, k: Int, seed: Long = 42L): Column =
+    column(ShingleHashes(expression(tokens), k, seed))
+
+  def minhash_signature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    column(MinHashSignature(expression(shingles), numHashes, seed))
+
+  def simhash64(tokenHashes: Column, seed: Long = 42L): Column =
+    column(SimHash64(expression(tokenHashes), seed))
+
+  def lsh_band_keys(sig: Column, bands: Int, rowsPerBand: Int, seed: Long = 42L): Column =
+    column(LshBandKeys(expression(sig), bands, rowsPerBand, seed))
+
+  def jaccard_sim(a: Column, b: Column): Column =
+    column(JaccardSim(expression(a), expression(b)))
+
+  def lcs_length(a: Column, b: Column, maxLen: Int = 2000): Column =
+    column(LcsLength(expression(a), expression(b), maxLen))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+
+  def srp_bucket(vec: Column, bits: Int, seed: Long = 42L): Column =
+    column(SrpBucket(expression(vec), bits, seed))
+
+  def phash_tokens(phash: Column): Column =
+    column(PhashTokens(expression(phash)))
+
+  def rolling_fingerprint(s: Column, seed: Long = 42L): Column =
+    column(RollingFingerprint(expression(s), seed))
+
+  /** Hamming distance between two 64-bit hashes — pure built-ins (codegen'd). */
+  def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
+
+  // --- normalization / tokenization (reference parsers/base.py:21-32,
+  // preprocess/char_filter.py:4-14 — grafted to caption text) -------------
+
+  /** Lowercase, strip non [a-z0-9 ] chars, collapse whitespace, trim. */
+  def normalize_text(c: Column): Column =
+    F.trim(F.regexp_replace(
+      F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of normalized text; empty strings removed. */
+  def tokens(c: Column): Column =
+    F.filter(F.split(normalize_text(c), " "), t => F.length(t) > 0)
+
+  /** Content-identity hash (reference stack.py:54-57 comma-join-and-hash). */
+  def content_hash(c: Column): Column = F.xxhash64(normalize_text(c))
+
+  // --- text analysis (training-data pipeline ops) ------------------------
+
+  /** Whitespace token count on the raw string (SQL-parity friendly). */
+  def token_count(c: Column): Column =
+    F.size(F.filter(F.split(c, " "), t => F.length(t) > 0))
+
+  private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
+
+  /** Fraction of tokens that are English stopwords (language-ID heuristic). */
+  def stopword_ratio(c: Column): Column = {
+    val toks = tokens(c)
+    F.when(F.size(toks) === 0, F.lit(0.0)).otherwise(
+      F.size(F.filter(toks, t => t.isin(StopWords.map(F.lit): _*))).cast("double")
+        / F.size(toks))
+  }
+
+  /** n-gram-free language ID heuristic: 'en' when stopword density clears a
+    * threshold, 'other' otherwise. */
+  def lang_id(c: Column, threshold: Double = 0.08): Column =
+    F.when(stopword_ratio(c) >= threshold, F.lit("en")).otherwise(F.lit("other"))
+
+  /** Quality score in [0,1]: mean-word-length band + punctuation sparsity +
+    * stopword presence (length/punct/stopword ratios per the brief). */
+  def quality_score(c: Column): Column = {
+    val nChars = F.length(c).cast("double")
+    val nPunct = F.length(F.regexp_replace(c, "[^.!?,;:]", "")).cast("double")
+    val nToks = token_count(c).cast("double")
+    val meanWord = F.when(nToks === 0, F.lit(0.0)).otherwise(nChars / nToks)
+    val punctRatio = F.when(nChars === 0, F.lit(1.0)).otherwise(nPunct / nChars)
+    val wordScore = F.when(meanWord.between(3.0, 12.0), F.lit(0.4)).otherwise(F.lit(0.0))
+    val punctScore = F.when(punctRatio <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    val stopScore = F.when(stopword_ratio(c) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    F.round(wordScore + punctScore + stopScore, 2)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.config.DedupConfig
+import graft.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operator family over a text corpus (`documents`-shaped input:
+ * an id column + a text column) — the training-data-pipeline ops the engine
+ * provides beyond the reference's own surface, each reusing the same signature
+ * kernels as the image pipeline.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup by full-text hash: one shuffle (hash groupBy via window min),
+   * keeps the smallest id per identical text.
+   * Reference analogue: hash-unique member listing
+   * (reference: ea/sim/main/data/objects/issue.py:13-22).
+   */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = xxhash64(col(textCol))
+    docs.withColumn("__h", h)
+      .withColumn("__keep",
+        row_number().over(Window.partitionBy("__h").orderBy(col(idCol))) === 1)
+      .where(col("__keep"))
+      .drop("__h", "__keep")
+  }
+
+  /** Exact-dup groups: (id, dup_group_id = min id sharing identical text). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), xxhash64(col(textCol)).as("__h"))
+      .withColumn("dup_group_id",
+        min(col(idCol)).over(Window.partitionBy("__h")))
+      .drop("__h")
+
+  /** Per-row MinHash/LSH feature projection for text. */
+  def textFeatures(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      normalize_text(col(textCol)).as("norm_text"),
+      shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed).as("shingles"))
+      .withColumn("sig", minhash_signature(col("shingles"), cfg.numHashes, cfg.seed))
+      .withColumn("band_keys",
+        lsh_band_keys(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed))
+      .withColumn("simhash",
+        simhash64(col("shingles"), cfg.seed))
+
+  /** MinHash+LSH near-dup pairs verified by exact shingle Jaccard. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig): DataFrame = {
+    val feat = textFeatures(docs, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = CandidateGen.explodeBands(
+      feat.where(size(col("shingles")) > 0), "id", "band_keys")
+    val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize)
+    val fa = feat.select(col("id").as("a"), col("shingles").as("sh_a"))
+    val fb = feat.select(col("id").as("b"), col("shingles").as("sh_b"))
+    pairs.join(fa, "a").join(fb, "b")
+      .withColumn("jaccard", jaccard_sim(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= cfg.jaccardMin)
+      .select("a", "b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: Hamming-chunk buckets + bit_count verify. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig): DataFrame = {
+    val feat = textFeatures(docs, idCol, textCol, cfg)
+      .select("id", "simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = CandidateGen.simhashChunkBuckets(
+      feat, "id", "simhash", cfg.hammingMax + 1)
+    val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize)
+    val fa = feat.select(col("id").as("a"), col("simhash").as("sim_a"))
+    val fb = feat.select(col("id").as("b"), col("simhash").as("sim_b"))
+    pairs.join(fa, "a").join(fb, "b")
+      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")).cast("int"))
+      .where(col("hamming") <= cfg.hammingMax)
+      .select("a", "b", "hamming")
+  }
+
+  /**
+   * Brute-force n-gram Jaccard pairs — the exact oracle for the LSH variants
+   * (small inputs only: O(n^2) via self-join; the golden recall gate compares
+   * [[minhashLshPairs]] against this at identical config,
+   * mirroring the reference eval harness shape,
+   * reference: ea/sim/dev/evaluation/evaluator.py:12-18).
+   */
+  def bruteForceJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig): DataFrame = {
+    val feat = textFeatures(docs, idCol, textCol, cfg)
+      .select("id", "shingles")
+    val fa = feat.select(col("id").as("a"), col("shingles").as("sh_a"))
+    val fb = feat.select(col("id").as("b"), col("shingles").as("sh_b"))
+    fa.crossJoin(fb).where(col("a") < col("b"))
+      .withColumn("jaccard", jaccard_sim(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= cfg.jaccardMin)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup pairs via sign-random-projection buckets. */
+  def embeddingNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      cosineMin: Double, srpBits: Int = 12, tables: Int = 4,
+      seed: Long = 42L, maxBucketSize: Int = 4096): DataFrame = {
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = (0 until tables).map { t =>
+      base.select(col("id"),
+        xxhash64(lit(t), srp_bucket(col("vec"), srpBits, seed + t)).as("key"))
+    }.reduce(_ union _)
+    val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize)
+    val fa = base.select(col("id").as("a"), col("vec").as("va"))
+    val fb = base.select(col("id").as("b"), col("vec").as("vb"))
+    pairs.join(fa, "a").join(fb, "b")
+      .withColumn("cosine", cosine_sim(col("va"), col("vb")))
+      .where(col("cosine") >= cosineMin)
+      .select("a", "b", "cosine")
+  }
+}

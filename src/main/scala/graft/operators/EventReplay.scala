@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch replay of the attach-event log — the declarative equivalent of the
+ * reference's event-sourced StateModel
+ * (reference: ea/sim/main/data/buckets/event_state_model.py:37-121):
+ * mutable per-event state becomes window functions over the ordered log.
+ *
+ * Expected schema: (event_id LONG, image_id/any id, cluster_id LONG,
+ * ts TIMESTAMP, label BOOLEAN) — FIXTURES.md section 2.
+ */
+object EventReplay {
+
+  /** Time-slice selector: start <= ts < end
+    * (reference DataSegment, ea/sim/main/data/buckets/bucket_data.py:43-47). */
+  def timeSlice(events: DataFrame, tsCol: String, start: Column, end: Column): DataFrame =
+    events.where(col(tsCol) >= start && col(tsCol) < end)
+
+  /**
+   * Current assignment per entity = last attach event in ts order
+   * (reference attach/detach replay, event_state_model.py:45-62; batch form
+   * is the window-last pattern from SURVEY.md section 2.8).
+   */
+  def currentAssignments(events: DataFrame, idCol: String = "image_id",
+      clusterCol: String = "cluster_id", tsCol: String = "ts",
+      evIdCol: String = "event_id"): DataFrame =
+    events
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col(tsCol).desc, col(evIdCol).desc)))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+
+  /**
+   * Event admission predicate (reference event_state_model.py:81-104):
+   * assigned (cluster != -1), optionally labeled-only, and optionally
+   * first-of-content-hash only (the `with_dup_attach=false` anti-join path —
+   * event_state_model.py:94-101). `contentHashes` maps id -> content hash.
+   */
+  def admitted(events: DataFrame, contentHashes: DataFrame,
+      onlyLabeled: Boolean, dupAttach: Boolean,
+      idCol: String = "image_id", clusterCol: String = "cluster_id",
+      tsCol: String = "ts", evIdCol: String = "event_id"): DataFrame = {
+    val base0 = events.where(col(clusterCol) =!= -1L)
+    val base = if (onlyLabeled) base0.where(col("label")) else base0
+    if (dupAttach) base
+    else {
+      // keep only the chronologically-first event per content hash
+      val withHash = base.join(contentHashes, idCol)
+      withHash
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("content_hash")
+            .orderBy(col(tsCol), col(evIdCol))))
+        .where(col("__rn") === 1)
+        .drop("__rn", "content_hash")
+    }
+  }
+
+  /**
+   * As-of candidate counts under the retention window: for each admitted
+   * event, how many prior events fall within `forgetDays`
+   * (reference forget_days retention, ea/sim/main/data/buckets/issues_selector.py:17-48,
+   * and per-event pre-state snapshots, event_state_model.py:106-121).
+   * Expressed as a range-frame window — no self-join.
+   */
+  def priorEventsWithin(events: DataFrame, forgetDays: Int,
+      partitionCol: String, tsCol: String = "ts"): DataFrame =
+    events.withColumn("prior_in_window",
+      count(lit(1)).over(
+        Window.partitionBy(partitionCol)
+          .orderBy(col(tsCol).cast("timestamp").cast("long"))
+          .rangeBetween(-forgetDays.toLong * 86400L, -1)))
+}

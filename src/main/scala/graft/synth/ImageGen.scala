@@ -1,0 +1,137 @@
+package graft.synth
+
+import java.awt.image.BufferedImage
+import scala.util.Random
+
+import graft.model.{ExpectedCluster, ImageRow}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/**
+ * Deterministic distributed synthesis of the image+caption input table
+ * (FIXTURES.md sections 1 and 4) with known ground-truth clusters.
+ *
+ * Reference precedent for fixed seeding: random_seed=42 in dataset configs
+ * (reference: ea/sim/dev/scripts/data/dataset/nb/main.py:12) and global
+ * set_seed (ea/common/utils/utils.py:15-27).
+ *
+ * Each base image is an independent unit of work keyed only by
+ * (seed, baseIdx), so generation is a narrow `spark.range(bases).flatMap` —
+ * embarrassingly parallel, no driver materialization, scales linearly with
+ * cores (this is also the bench-harness input generator).
+ */
+object ImageGen {
+
+  /** ~240-word vocabulary: enough English function words that captions behave
+    * like text for the language-ID / stopword heuristics, plus content nouns. */
+  private val Vocab: IndexedSeq[String] = {
+    val function = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by")
+    val content = Seq("red", "green", "blue", "amber", "violet", "cyan",
+      "river", "mountain", "forest", "city", "bridge", "tower", "harbor",
+      "sunset", "sunrise", "meadow", "canyon", "glacier", "island", "valley",
+      "cat", "dog", "horse", "eagle", "salmon", "tiger", "whale", "falcon",
+      "ancient", "modern", "rustic", "gleaming", "shadowed", "vast", "quiet",
+      "stormy", "golden", "silver", "crimson", "emerald", "walking", "flying",
+      "standing", "resting", "running", "gazing", "drifting", "climbing",
+      "photo", "painting", "sketch", "portrait", "landscape", "closeup",
+      "aerial", "macro", "street", "night", "winter", "summer", "autumn",
+      "spring", "field", "shore", "cliff", "garden", "market", "temple",
+      "castle", "village", "desert", "lagoon", "orchard", "plateau", "reef")
+    (function ++ content ++ (0 until 150).map(i => s"entity$i")).toIndexedSeq
+  }
+
+  /** Procedural base image: per-cell colors on a g x g grid. */
+  def renderBase(seed: Long, baseIdx: Long): BufferedImage = {
+    val rng = new Random(graft.functions.HashKernels.mix64(seed * 0x9E3779B97F4A7C15L + baseIdx))
+    val g = 4 + rng.nextInt(5)             // 4..8 grid
+    val size = 64 + 16 * rng.nextInt(13)   // 64..256 px
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_3BYTE_BGR)
+    val colors = Array.fill(g * g)(rng.nextInt(0x1000000))
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        img.setRGB(x, y, colors((y * g / size) * g + (x * g / size)))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  def baseCaption(seed: Long, baseIdx: Long): Array[String] = {
+    val rng = new Random(graft.functions.HashKernels.mix64(seed * 0x51AF3C6B9E7D21L + baseIdx))
+    val len = 12 + rng.nextInt(9) // 12..20 tokens: a single-token edit keeps
+                                  // shingle Jaccard >= ~0.53 > jaccardMin=0.5
+    Array.fill(len)(Vocab(rng.nextInt(Vocab.length)))
+  }
+
+  /** Skewed cluster size: mostly 1-4 variants, occasional large clusters to
+    * exercise LSH-bucket salting (mirrors issue-size skew,
+    * reference: helpers/print_dataset_sizes.py:50-76). */
+  private def clusterSize(rng: Random, maxSize: Int): Int = {
+    val u = rng.nextDouble()
+    math.min(maxSize, 1 + (math.pow(u, -0.6) - 1.0).toInt)
+  }
+
+  /** All rows of one ground-truth cluster (baseIdx). Row 0 is the pristine
+    * PNG original; variants re-encode / resize / perturb the caption per
+    * FIXTURES.md section 4 so they stay within dup thresholds. */
+  def cluster(seed: Long, baseIdx: Long, maxClusterSize: Int): Seq[ImageRow] = {
+    val rng = new Random(graft.functions.HashKernels.mix64(seed * 0xC2B2AE3D27D4EB4FL + baseIdx))
+    val base = renderBase(seed, baseIdx)
+    val caption = baseCaption(seed, baseIdx)
+    val n = clusterSize(rng, maxClusterSize)
+
+    (0 until n).map { v =>
+      val id = f"img_${baseIdx}%08d_$v%03d"
+      val variantKind = if (v == 0) -1 else rng.nextInt(4)
+      val (img, fmt, bytes) = variantKind match {
+        case -1 => (base, "png", ImageCodec.encodePng(base))
+        case 0 => // lossy re-encode
+          val b = ImageCodec.encodeJpg(base)
+          (ImageCodec.decode(b), "jpg", b)
+        case 1 => // 2x down-resize (re-encoded lossless)
+          val r = ImageCodec.resize(base, base.getWidth / 2, base.getHeight / 2)
+          (r, "png", ImageCodec.encodePng(r))
+        case 2 => // identity re-encode
+          (base, "png", ImageCodec.encodePng(base))
+        case _ => // caption twin: unrelated pixels, duplicate by caption only —
+          // exercises the MinHash-LSH path in the recall gate
+          val alt = renderBase(seed ^ 0x5DEECE66DL, baseIdx * 1_000_003L + v)
+          (alt, "png", ImageCodec.encodePng(alt))
+      }
+      // caption: exact copy, or <=1 token edit (stays above Jaccard threshold);
+      // caption twins always keep the caption exact (their only dup evidence)
+      val cap =
+        if (v == 0 || variantKind == 3 || rng.nextDouble() < 0.5) caption
+        else {
+          val c = caption.clone()
+          c(rng.nextInt(c.length)) = Vocab(rng.nextInt(Vocab.length))
+          c
+        }
+      ImageRow(id, bytes, img.getWidth, img.getHeight, fmt,
+        cap.mkString(" "), ImageCodec.averageHash(img))
+    }
+  }
+
+  /** Distributed generation of the full table. */
+  def generate(spark: SparkSession, bases: Long, seed: Long = 42L,
+      maxClusterSize: Int = 64): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.range(0L, bases, 1L, math.max(1, (bases / 16).toInt).min(256))
+      .as[Long]
+      .flatMap(b => cluster(seed, b, maxClusterSize))
+  }
+
+  /** Ground-truth assignment table (FIXTURES.md section 3). */
+  def expectedClusters(spark: SparkSession, bases: Long, seed: Long = 42L,
+      maxClusterSize: Int = 64): Dataset[ExpectedCluster] = {
+    import spark.implicits._
+    spark.range(0L, bases).as[Long].flatMap { b =>
+      val rng = new Random(graft.functions.HashKernels.mix64(seed * 0xC2B2AE3D27D4EB4FL + b))
+      val n = clusterSize(rng, maxClusterSize)
+      (0 until n).map(v => ExpectedCluster(f"img_${b}%08d_$v%03d", b))
+    }
+  }
+}

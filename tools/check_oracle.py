@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness compare:
+runs each oracle SQL, loads the Spark parquet result, sorts columns by name
+and rows by all values, and diffs. Usage: check_oracle.py <sfDir> <verifyOut>"""
+import duckdb, json, sys, glob, os
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem',
+          'events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted([tuple(r[i] for i in order) for r in rows]), sorted(cols)
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    pq = f'{out}/{name}'
+    if not os.path.isdir(pq):
+        print(f'{name}: MISSING spark output'); fails += 1; continue
+    try:
+        o = con.execute(sql)
+        ocols = [d[0] for d in o.description]
+        orows, ocols_s = canon(o.fetchall(), ocols)
+        s = con.execute(f"SELECT * FROM '{pq}/*.parquet'")
+        scols = [d[0] for d in s.description]
+        srows, scols_s = canon(s.fetchall(), scols)
+    except Exception as e:
+        print(f'{name}: ERROR {e}'); fails += 1; continue
+    if ocols_s != scols_s:
+        print(f'{name}: SCHEMA MISMATCH oracle={ocols_s} spark={scols_s}'); fails += 1
+    elif len(orows) != len(srows):
+        print(f'{name}: ROWCOUNT oracle={len(orows)} spark={len(srows)}'); fails += 1
+    elif orows != srows:
+        bad = [(a, b) for a, b in zip(orows, srows) if a != b][:3]
+        print(f'{name}: VALUE MISMATCH first diffs: {bad}'); fails += 1
+    else:
+        print(f'{name}: OK ({len(srows)} rows)')
+print('FAILURES:', fails)
+sys.exit(1 if fails else 0)
