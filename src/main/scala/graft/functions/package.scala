@@ -54,9 +54,16 @@ package object functions {
     F.trim(F.regexp_replace(
       F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** Whitespace tokens of normalized text; empty strings removed. */
-  def tokens(c: Column): Column =
-    F.filter(F.split(normalize_text(c), " "), t => F.length(t) > 0)
+  /** Whitespace tokens of normalized text. normalize_text already collapses
+    * runs of spaces and trims, so a plain split has no empty tokens; the
+    * empty-string case is handled with CASE WHEN rather than a filter()
+    * lambda — higher-order functions are CodegenFallback and would knock the
+    * whole signature projection out of whole-stage codegen (hot path). */
+  def tokens(c: Column): Column = {
+    val n = normalize_text(c)
+    F.when(F.length(n) === 0, F.array().cast("array<string>"))
+      .otherwise(F.split(n, " "))
+  }
 
   /** Content-identity hash (reference stack.py:54-57 comma-join-and-hash). */
   def content_hash(c: Column): Column = F.xxhash64(normalize_text(c))

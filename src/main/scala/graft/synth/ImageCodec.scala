@@ -22,7 +22,7 @@ object ImageCodec {
 
   /** JPEG encode with a fixed quality so output bytes are deterministic for a
     * given JVM (FIXTURES.md section 4: fixed encoder params + seeds). */
-  def encodeJpg(img: BufferedImage, quality: Float = 0.92f): Array[Byte] = {
+  def encodeJpg(img: BufferedImage, quality: Float = 0.99f): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("jpg").next()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)

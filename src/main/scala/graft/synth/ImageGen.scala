@@ -40,18 +40,37 @@ object ImageGen {
     (function ++ content ++ (0 until 150).map(i => s"entity$i")).toIndexedSeq
   }
 
-  /** Procedural base image: per-cell colors on a g x g grid. */
+  /** Procedural base image: bilinear interpolation of random colors on a
+    * (g+1)x(g+1) node grid. Smooth fields keep lossy re-encodes above the
+    * 40 dB PSNR fidelity gate (hard edges would ring below it) while the
+    * node colors still separate bases in average-hash space. */
   def renderBase(seed: Long, baseIdx: Long): BufferedImage = {
     val rng = new Random(graft.functions.HashKernels.mix64(seed * 0x9E3779B97F4A7C15L + baseIdx))
-    val g = 4 + rng.nextInt(5)             // 4..8 grid
+    val g = 4 + rng.nextInt(5)             // 4..8 cells per axis
     val size = 64 + 16 * rng.nextInt(13)   // 64..256 px
     val img = new BufferedImage(size, size, BufferedImage.TYPE_3BYTE_BGR)
-    val colors = Array.fill(g * g)(rng.nextInt(0x1000000))
+    val nodes = Array.fill((g + 1) * (g + 1))(rng.nextInt(0x1000000))
+    @inline def node(ix: Int, iy: Int) = nodes(iy * (g + 1) + ix)
+    @inline def ch(c: Int, s: Int) = (c >> s) & 0xFF
     var y = 0
     while (y < size) {
+      val fy = y.toDouble * g / size
+      val iy = math.min(g - 1, fy.toInt); val ty = fy - iy
       var x = 0
       while (x < size) {
-        img.setRGB(x, y, colors((y * g / size) * g + (x * g / size)))
+        val fx = x.toDouble * g / size
+        val ix = math.min(g - 1, fx.toInt); val tx = fx - ix
+        val (c00, c10, c01, c11) = (node(ix, iy), node(ix + 1, iy),
+          node(ix, iy + 1), node(ix + 1, iy + 1))
+        var rgb = 0
+        var s = 0
+        while (s <= 16) {
+          val v = (ch(c00, s) * (1 - tx) * (1 - ty) + ch(c10, s) * tx * (1 - ty) +
+            ch(c01, s) * (1 - tx) * ty + ch(c11, s) * tx * ty).toInt
+          rgb |= (math.min(255, math.max(0, v)) << s)
+          s += 8
+        }
+        img.setRGB(x, y, rgb)
         x += 1
       }
       y += 1

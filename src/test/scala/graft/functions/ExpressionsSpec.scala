@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The Catalyst expressions must (a) produce the same bits as the kernels
+  * (codegen path == interpreted path == oracle path) and (b) stay inside
+  * whole-stage codegen. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq("the red fox jumps over the lazy dog",
+    "the red fox jumps over a lazy dog", "completely unrelated words here",
+    "", "one")
+
+  test("expression pipeline matches kernel computation bit-for-bit") {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select($"id",
+        shingle_hashes(tokens($"text"), 3, 42L).as("sh"))
+      .withColumn("sig", minhash_signature($"sh", 16, 42L))
+      .withColumn("sim", simhash64($"sh", 42L))
+      .withColumn("bk", lsh_band_keys($"sig", 8, 2, 42L))
+      .as[(Long, Array[Long], Array[Long], Long, Array[Long])]
+      .collect().sortBy(_._1)
+
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+      val sh = HashKernels.shingleHashesFromTokenHashes(
+        toks.map(HashKernels.hashString(_, 42L)), 3, 42L)
+      val (_, gsh, gsig, gsim, _) = got(i)
+      assert(gsh.sameElements(sh), s"shingles differ for '$t'")
+      assert(gsig.sameElements(HashKernels.minhashArray(sh, 16, 42L)))
+      assert(gsim == HashKernels.simhash64Array(sh, 42L))
+    }
+  }
+
+  test("binary expressions: jaccard / lcs / cosine / hamming on columns") {
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(2L, 3L, 4L), "abcdef", "zabcy",
+        Array(1f, 0f), Array(1f, 0f), 5L, 6L))
+      .toDF("s1", "s2", "t1", "t2", "v1", "v2", "h1", "h2")
+    val r = df.select(
+      jaccard_sim($"s1", $"s2").as("j"),
+      lcs_length($"t1", $"t2").as("l"),
+      cosine_sim($"v1", $"v2").as("c"),
+      hamming64($"h1", $"h2").as("h")).head()
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getInt(1) == 3)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getInt(3) == 2) // 101 ^ 110 = 011
+  }
+
+  test("expressions survive whole-stage codegen (plan contains codegen span)") {
+    // a range source (not a local relation, which constant-folds away)
+    val df = spark.range(100)
+      .withColumn("text", concat_ws(" ", lit("tok"), ($"id" % 7).cast("string"),
+        lit("word"), ($"id" % 3).cast("string")))
+    val plan = df.select(minhash_signature(
+        shingle_hashes(tokens($"text"), 3, 42L), 16, 42L).as("sig"))
+      .queryExecution.executedPlan
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    val projLine = plan.toString.linesIterator
+      .find(_.contains("minhash_signature")).getOrElse("")
+    assert(projLine.trim.startsWith("*("),
+      s"signature projection fell out of codegen:\n$plan")
+  }
+
+  test("null propagation: null input yields null output, no NPE") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("id", "text")
+    val out = df.select($"id",
+        shingle_hashes(split(coalesce($"text", lit(null).cast("string")), " "), 2, 42L).as("sh"))
+      .collect()
+    assert(out.find(_.getLong(0) == 1L).get.isNullAt(1))
+    assert(!out.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
+  test("text helpers: normalize / token_count / lang_id / quality") {
+    val r = Seq(("  The RED,   fox!! ", "the and of to in is it on a that"))
+      .toDF("a", "b")
+      .select(normalize_text($"a").as("n"), token_count($"b").as("tc"),
+        lang_id($"b").as("lid"), quality_score($"b").as("q"))
+      .head()
+    assert(r.getString(0) == "the red fox")
+    assert(r.getInt(1) == 10)
+    assert(r.getString(2) == "en")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+}

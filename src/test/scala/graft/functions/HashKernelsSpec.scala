@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class HashKernelsSpec extends AnyFunSuite {
+
+  private def tokenHashes(toks: Seq[String]): Array[Long] =
+    toks.map(t => HashKernels.hashString(t, 42L)).toArray
+
+  test("shingle hashes: count, determinism, order sensitivity") {
+    val a = HashKernels.shingleHashesFromTokenHashes(tokenHashes(Seq("a", "b", "c", "d")), 3, 42L)
+    assert(a.length == 2) // windows (a,b,c), (b,c,d)
+    val a2 = HashKernels.shingleHashesFromTokenHashes(tokenHashes(Seq("a", "b", "c", "d")), 3, 42L)
+    assert(a.sameElements(a2))
+    val rev = HashKernels.shingleHashesFromTokenHashes(tokenHashes(Seq("d", "c", "b", "a")), 3, 42L)
+    assert(!a.sameElements(rev)) // order-sensitive
+  }
+
+  test("shingle hashes: short sequence yields one whole-sequence shingle; empty yields none") {
+    assert(HashKernels.shingleHashesFromTokenHashes(tokenHashes(Seq("a", "b")), 3, 42L).length == 1)
+    assert(HashKernels.shingleHashesFromTokenHashes(Array.emptyLongArray, 3, 42L).isEmpty)
+  }
+
+  test("jaccard: hand cases") {
+    assert(HashKernels.jaccard(Array(1L, 2L, 3L), Array(2L, 3L, 4L)) == 0.5)
+    assert(HashKernels.jaccard(Array(1L, 2L), Array(1L, 2L)) == 1.0)
+    assert(HashKernels.jaccard(Array(1L), Array(2L)) == 0.0)
+    assert(HashKernels.jaccard(Array.emptyLongArray, Array.emptyLongArray) == 1.0)
+    assert(HashKernels.jaccard(Array(1L), Array.emptyLongArray) == 0.0)
+    // multiset input treated as set
+    assert(HashKernels.jaccard(Array(1L, 1L, 2L), Array(1L, 2L, 2L)) == 1.0)
+  }
+
+  test("minhash: identical sets give identical signatures; empty set gives sentinel") {
+    val s = Array(11L, 22L, 33L)
+    assert(HashKernels.minhashArray(s, 64, 42L)
+      .sameElements(HashKernels.minhashArray(s.reverse, 64, 42L))) // order-free
+    assert(HashKernels.minhashArray(Array.emptyLongArray, 8, 42L)
+      .forall(_ == HashKernels.EMPTY_MIN))
+  }
+
+  test("minhash agreement approximates Jaccard (property)") {
+    // sets with known overlap: |A|=|B|=200, |A∩B|=k → J = k/(400-k)
+    val rng = new scala.util.Random(7)
+    for (k <- Seq(0, 50, 100, 150, 200)) {
+      val common = Array.fill(k)(rng.nextLong())
+      val a = common ++ Array.fill(200 - k)(rng.nextLong())
+      val b = common ++ Array.fill(200 - k)(rng.nextLong())
+      val j = k.toDouble / (400 - k)
+      val sa = HashKernels.minhashArray(a, 256, 42L)
+      val sb = HashKernels.minhashArray(b, 256, 42L)
+      val agree = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+      assert(math.abs(agree - j) < 0.11, s"k=$k j=$j agree=$agree")
+    }
+  }
+
+  test("simhash: deterministic, equal inputs equal outputs, disjoint inputs far") {
+    val rng = new scala.util.Random(13)
+    val a = Array.fill(300)(rng.nextLong())
+    val b = Array.fill(300)(rng.nextLong())
+    val ha = HashKernels.simhash64Array(a, 42L)
+    assert(ha == HashKernels.simhash64Array(a.reverse, 42L))
+    val d = java.lang.Long.bitCount(ha ^ HashKernels.simhash64Array(b, 42L))
+    assert(d > 15, s"unrelated simhashes too close: $d")
+  }
+
+  test("simhash hamming grows with perturbation size (property)") {
+    val rng = new scala.util.Random(17)
+    val base = Array.fill(400)(rng.nextLong())
+    val h0 = HashKernels.simhash64Array(base, 42L)
+    val dists = Seq(1, 40, 200).map { m =>
+      val pert = base.clone()
+      (0 until m).foreach(i => pert(i) = rng.nextLong())
+      java.lang.Long.bitCount(h0 ^ HashKernels.simhash64Array(pert, 42L))
+    }
+    assert(dists(0) <= dists(1) && dists(1) <= dists(2), s"non-monotone: $dists")
+    assert(dists(0) <= 8)
+  }
+
+  test("lcs length: hand cases + clamp") {
+    assert(HashKernels.lcsLength("abcdef", "zabcy", 2000) == 3)   // "abc"
+    assert(HashKernels.lcsLength("same", "same", 2000) == 4)
+    assert(HashKernels.lcsLength("abc", "xyz", 2000) == 0)
+    assert(HashKernels.lcsLength("", "abc", 2000) == 0)
+    assert(HashKernels.lcsLength("aaaa" + "x" * 100, "aaaa", 6) == 4)
+  }
+
+  test("lcs matches naive oracle (property)") {
+    def naive(a: String, b: String): Int =
+      (for {
+        i <- 0 to a.length; j <- i to a.length
+        if b.contains(a.substring(i, j))
+      } yield j - i).max
+    val rng = new scala.util.Random(23)
+    def randStr() = Array.fill(12)("abc" (rng.nextInt(3))).mkString
+    for (_ <- 0 until 200) {
+      val (a, b) = (randStr(), randStr())
+      assert(HashKernels.lcsLength(a, b, 2000) == naive(a, b), s"a=$a b=$b")
+    }
+  }
+
+  test("cosine: hand cases") {
+    assert(math.abs(HashKernels.cosine(Array(1f, 0f), Array(1f, 0f)) - 1.0) < 1e-12)
+    assert(math.abs(HashKernels.cosine(Array(1f, 0f), Array(0f, 1f))) < 1e-12)
+    assert(math.abs(HashKernels.cosine(Array(1f, 1f), Array(-1f, -1f)) + 1.0) < 1e-12)
+    assert(HashKernels.cosine(Array(0f, 0f), Array(1f, 1f)) == 0.0)
+  }
+
+  test("srp bucket: identical vectors collide, deterministic") {
+    val v = Array.fill(64)(scala.util.Random.nextFloat() - 0.5f)
+    assert(HashKernels.srpBucket(v, 12, 42L) == HashKernels.srpBucket(v.clone(), 12, 42L))
+    // scaled vector lands in the same bucket (sign-invariant to positive scale)
+    assert(HashKernels.srpBucket(v.map(_ * 3.7f), 12, 42L) == HashKernels.srpBucket(v, 12, 42L))
+  }
+
+  test("band keys: r identical minhash rows in a band imply equal band key") {
+    val sigA = Array.tabulate(8)(i => i.toLong * 31)
+    val sigB = sigA.clone(); sigB(7) = 999L // differs only in last band (b=3, r=2)
+    val ka = HashKernels.bandKeys(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sigA), 4, 2, 42L).toLongArray()
+    val kb = HashKernels.bandKeys(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sigB), 4, 2, 42L).toLongArray()
+    assert(ka.take(3).sameElements(kb.take(3)))
+    assert(ka(3) != kb(3))
+  }
+}

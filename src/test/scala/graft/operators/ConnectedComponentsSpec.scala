@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find oracle. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def runCC(edges: Seq[(Long, Long)], partitions: Int = 4): Map[Long, Long] =
+    ConnectedComponents.run(
+      spark.createDataset(edges).repartition(partitions).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("simple chain collapses to min") {
+    val got = runCC(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 11L -> 10L, 1L -> 1L, 10L -> 10L)
+      || got.filterKeys(_ != 1L).filterKeys(_ != 10L).toMap ==
+         Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 11L -> 10L))
+    assert(got(4L) == 1L && got(11L) == 10L)
+  }
+
+  test("random graphs match union-find oracle") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 80
+      val edges = Seq.fill(70)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val oracle = ufComponents(edges)
+      val got = runCC(edges)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.foreach { v =>
+        assert(got.getOrElse(v, v) == oracle(v), s"trial=$trial node=$v")
+      }
+    }
+  }
+
+  test("result independent of input partitioning and row order") {
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val a = runCC(edges, partitions = 1)
+    val b = runCC(rng.shuffle(edges), partitions = 7)
+    assert(a == b)
+  }
+
+  test("long path (diameter > iterations of naive min-propagation)") {
+    val path = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = runCC(path)
+    assert((0L until 200L).forall(v => got.getOrElse(v, v) == 0L))
+  }
+}

