@@ -285,6 +285,64 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    "q26_lerch_pair_score" -> ((s, d) => {
+      // Lerch TF-IDF pair scoring (SURVEY 2.4 / 2.9) over the near-dup corpus
+      val corpus = docsWithNearDups(s, d)
+      val pairs = t(s, d, "documents")
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+      TextScores.lerchPairScores(corpus, pairs, "doc_id", "text")
+        .select(col("a"), col("b"), round(col("lerch_score"), 4).as("lerch_score"))
+        .orderBy("a")
+    }),
+
+    "q27_set_ops" -> ((s, d) => {
+      // token-set intersection/union sizes per near-dup pair (SURVEY 2.6)
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val a = docs.select(col("doc_id").as("a"),
+        array_distinct(split(col("text"), " ")).as("ta"))
+      val b = docs.select(col("doc_id").as("a"),
+        array_distinct(split(concat(col("text"), lit(" zz")), " ")).as("tb"))
+      a.join(b, "a")
+        .select(col("a"),
+          size(array_intersect(col("ta"), col("tb"))).as("n_common"),
+          size(array_union(col("ta"), col("tb"))).as("n_union"),
+          size(array_except(col("tb"), col("ta"))).as("n_only_b"))
+        .orderBy("a")
+    }),
+
+    "q28_tail_truncate" -> ((s, d) => {
+      // tail truncation to max_len + SOS/EOS (SURVEY 2.5,
+      // reference tokenizers/padding.py:22-39)
+      val toks = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ",
+            concat(array(lit("<s>")), slice(toks, -5, 5), array(lit("</s>"))))
+            .as("tail_seq"))
+        .orderBy("doc_id")
+    }),
+
+    "q29_bootstrap_ci" -> ((s, d) => {
+      // bootstrap CI of mean event value (SURVEY 2.4,
+      // reference ea/common/evaluation/intervals.py:18-32) — engine-specific
+      // resampling, rows-only check; determinism tested in MetricsSpec
+      Metrics.bootstrapCI(t(s, d, "events"), "value", "event_id")
+        .select(round(col("mean"), 4).as("mean"),
+          round(col("ci_lo"), 4).as("ci_lo"), round(col("ci_hi"), 4).as("ci_hi"))
+    }),
+
+    "q30_fast_align" -> ((s, d) => {
+      // FaST positional alignment diagnostic (SURVEY 2.9) — pair UDF,
+      // engine-specific scoring, rows-only check (unit-tested in TextScoresSpec)
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val a = docs.select(col("doc_id").as("a"), split(col("text"), " ").as("ta"))
+      val b = docs.select(col("doc_id").as("a"),
+        split(concat(col("text"), lit(" zz")), " ").as("tb"))
+      a.join(b, "a")
+        .select(col("a"), round(TextScores.fast_align(col("ta"), col("tb")), 4).as("score"))
+        .orderBy("a")
+    }),
+
     "q25_fingerprint" -> ((s, d) => {
       // rolling-hash document fingerprint (content-identity analogue,
       // stack.py:54-57) — engine-specific hash, rows-only check
@@ -455,6 +513,40 @@ object SparkEntry {
     "q21_eval_metrics" ->
       """SELECT round(1.0, 6) AS acc_at_1, round(1.0, 6) AS acc_at_3,
          round(1.0, 6) AS mrr""",
+
+    "q26_lerch_pair_score" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
+         toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM corpus),
+         n AS (SELECT count(*) AS total FROM corpus),
+         idf AS (SELECT token,
+             1.0 + ln((SELECT total FROM n) * 1.0 / (count(*) + 1)) AS idf
+           FROM toks GROUP BY token),
+         pairs AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM documents)
+         SELECT p.a, p.b, round(sum(i.idf * i.idf), 4) AS lerch_score
+         FROM pairs p
+         JOIN toks ta ON ta.doc_id = p.a
+         JOIN toks tb ON tb.doc_id = p.b AND tb.token = ta.token
+         JOIN idf i ON i.token = ta.token
+         GROUP BY p.a, p.b ORDER BY p.a""",
+
+    "q27_set_ops" ->
+      """WITH s AS (SELECT doc_id AS a,
+             list_distinct(string_split(text, ' ')) AS ta,
+             list_distinct(string_split(text || ' zz', ' ')) AS tb
+           FROM documents)
+         SELECT a, len(list_intersect(ta, tb)) AS n_common,
+           len(list_distinct(list_concat(ta, tb))) AS n_union,
+           len(list_filter(tb, x -> NOT list_contains(ta, x))) AS n_only_b
+         FROM s ORDER BY a""",
+
+    "q28_tail_truncate" ->
+      """SELECT doc_id, concat_ws(' ', '<s>',
+           array_to_string(l[greatest(len(l) - 4, 1):len(l)], ' '), '</s>') AS tail_seq
+         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+         ORDER BY doc_id""",
 
     "q22_event_admission" ->
       """SELECT event_id, user_id AS image_id,

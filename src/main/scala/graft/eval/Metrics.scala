@@ -91,6 +91,40 @@ object Metrics {
   }
 
   /**
+   * Distributed bootstrap confidence interval of a mean (reference: 100
+   * resamples, 2.5/97.5 percentiles — ea/common/evaluation/intervals.py:18-32).
+   * Each (resample, row) weight is Poisson(1) — the standard bootstrap
+   * approximation that avoids materializing resample indices — drawn from a
+   * seeded hash so the result is deterministic and partitioning-independent.
+   */
+  def bootstrapCI(scored: DataFrame, scoreCol: String, keyCol: String,
+      resamples: Int = 100,
+      lo: Double = 0.025, hi: Double = 0.975, seed: Long = 42L): DataFrame = {
+    val spark = scored.sparkSession
+    // weights keyed off a caller-supplied unique key so the draw is
+    // deterministic AND independent of physical partitioning
+    val withIdx = scored.select(col(scoreCol).cast("double").as("s"),
+        col(keyCol).as("k"))
+      .withColumn("u64", xxhash64(col("k")))
+    val r = spark.range(resamples).withColumnRenamed("id", "resample")
+    // Poisson(1) via inverse CDF on a per-(row, resample) uniform
+    val u = abs(xxhash64(col("u64"), col("resample"), lit(seed)))
+      .cast("double") / Long.MaxValue.toDouble
+    val w = when(u < math.exp(-1.0), 0)
+      .when(u < 2 * math.exp(-1.0), 1)
+      .when(u < 2.5 * math.exp(-1.0), 2)
+      .otherwise(3)
+    val means = withIdx.crossJoin(r)
+      .withColumn("w", w)
+      .groupBy("resample")
+      .agg((sum(col("s") * col("w")) / sum(col("w"))).as("mean"))
+    means.agg(
+      avg("mean").as("mean"),
+      expr(s"percentile(mean, $lo)").as("ci_lo"),
+      expr(s"percentile(mean, $hi)").as("ci_hi"))
+  }
+
+  /**
    * F-beta threshold sweep over new-issue detection scores — closed-form
    * cumulative confusion counts per candidate threshold via window sums
    * (reference iterative sweep: metrics/wrappers/f_beta/helpers.py:86-117).

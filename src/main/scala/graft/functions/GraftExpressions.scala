@@ -75,6 +75,23 @@ case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int, seed: Lo
     copy(child = newChild)
 }
 
+/** array<long> shingles -> array<long> LSH band keys, fused (no materialized
+  * signature column — see HashKernels.minhashBandKeys). */
+case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int,
+    rowsPerBand: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_band_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashBandKeys(input.asInstanceOf[ArrayData],
+      numHashes, bands, rowsPerBand, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.minhashBandKeys($c, $numHashes, $bands, $rowsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
 /** (array<long>, array<long>) -> double exact Jaccard (verify stage). */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {

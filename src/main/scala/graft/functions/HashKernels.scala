@@ -160,6 +160,28 @@ object HashKernels {
     out
   }
 
+  /** Fused MinHash+banding: band keys straight from shingles without
+    * materializing the numHashes-long signature (one output array instead of
+    * three intermediates — the signature projection is allocation-bound at
+    * high thread counts). Bit-identical to bandKeys(minhashArray(...)). */
+  def minhashBandKeys(shingles: ArrayData, numHashes: Int, bands: Int,
+      rowsPerBand: Int, seed: Long): ArrayData = {
+    val sig = minhashArray(shingles.toLongArray(), numHashes, seed)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix64(seed ^ (b.toLong * GOLDEN))
+      var r = 0
+      while (r < rowsPerBand) {
+        h = mix64(h * 0x100000001B3L ^ sig(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ---------------------------------------------------------------------
   // LSH banding
   // ---------------------------------------------------------------------

@@ -25,6 +25,10 @@ package object functions {
   def lsh_band_keys(sig: Column, bands: Int, rowsPerBand: Int, seed: Long = 42L): Column =
     column(LshBandKeys(expression(sig), bands, rowsPerBand, seed))
 
+  def minhash_band_keys(shingles: Column, numHashes: Int, bands: Int,
+      rowsPerBand: Int, seed: Long = 42L): Column =
+    column(MinHashBandKeys(expression(shingles), numHashes, bands, rowsPerBand, seed))
+
   def jaccard_sim(a: Column, b: Column): Column =
     column(JaccardSim(expression(a), expression(b)))
 

@@ -66,24 +66,40 @@ object ConnectedComponents {
    * caller's responsibility (singletons keep their own id).
    */
   def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    var e = edges
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    // the loop is many tiny stages: AQE's per-stage re-planning jobs cost
+    // more latency than they save here — disable for the loop's duration
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // lazy localCheckpoint: the checksum action both materializes the
+      // iteration (cutting lineage) and tests convergence — one job per
+      // round instead of two
+      var e = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .distinct()
+        .localCheckpoint(false)
 
-    var prev = checksum(e)
-    var converged = prev._1 == 0L
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val cur = checksum(e)
-      converged = cur == prev
-      prev = cur
-      iter += 1
+      var prev = checksum(e)
+      var converged = prev._1 == 0L
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        e = smallStar(largeStar(e)).localCheckpoint(false)
+        val cur = checksum(e)
+        converged = cur == prev
+        prev = cur
+        iter += 1
+      }
+      result(e)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     }
+  }
+
+  private def result(e: DataFrame): DataFrame = {
 
     // At the fixpoint the edge set is a star per component: (member -> root).
     // Guard against hitting maxIter pre-fixpoint with a min-per-src reduce.

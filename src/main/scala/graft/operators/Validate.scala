@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.synth.ImageCodec
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Per-row input validation — the BASELINE.json input_hint invariant made a
+ * first-class stage: every row's payload must decode, its pixels must
+ * reproduce the stored perceptual hash, and its declared dims must match.
+ * (The PSNR-vs-source check needs the source pixels and lives in the test
+ * harness, ImagePipelineSpec; at ingest the source is the payload itself.)
+ *
+ * Runs as a partition-wise map over the binary column — the compute-dense
+ * stage of a real ingest (decode dominates at 100 TB), so it is also part of
+ * the bench harness's scaled job.
+ */
+object Validate {
+
+  val schema: StructType = StructType(Seq(
+    StructField("image_id", StringType),
+    StructField("decode_ok", BooleanType),
+    StructField("phash_match", BooleanType),
+    StructField("dims_match", BooleanType),
+    StructField("valid", BooleanType)))
+
+  /** @param images (image_id, bytes, w, h, fmt, phash). Rows with an empty
+    *               payload (light synthetic inputs) are counted as skipped:
+    *               decode_ok=false, other checks vacuously true. */
+  def perRow(spark: SparkSession, images: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(schema)
+    images.select(col("image_id"), col("bytes"), col("w"), col("h"), col("phash"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getString(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (w, h, ph) = (r.getInt(2), r.getInt(3), r.getLong(4))
+          if (bytes == null || bytes.isEmpty) Row(id, false, true, true, false)
+          else {
+            val img = try Option(ImageCodec.decode(bytes)) catch { case _: Throwable => None }
+            img match {
+              case Some(i) =>
+                val phOk = ImageCodec.averageHash(i) == ph
+                val dimOk = i.getWidth == w && i.getHeight == h
+                Row(id, true, phOk, dimOk, phOk && dimOk)
+              case None => Row(id, false, false, false, false)
+            }
+          }
+        }
+      }(enc).toDF()
+  }
+
+  /** Aggregate validation report (one row). */
+  def report(validated: DataFrame): DataFrame =
+    validated.agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("decode_ok"), 1L).otherwise(0L)).as("decoded"),
+      sum(when(col("valid"), 1L).otherwise(0L)).as("valid"),
+      sum(when(!col("phash_match"), 1L).otherwise(0L)).as("phash_mismatches"),
+      sum(when(!col("dims_match"), 1L).otherwise(0L)).as("dims_mismatches"))
+}

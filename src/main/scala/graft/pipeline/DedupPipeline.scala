@@ -9,53 +9,62 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /**
- * End-to-end near-duplicate pipeline (north rule): signatures -> LSH candidate
- * generation -> exact verify -> connected components -> cluster assignments.
+ * End-to-end near-duplicate pipeline (north rule): signatures -> exact-group
+ * collapse -> LSH candidate generation on group representatives -> exact
+ * verify -> connected components -> cluster assignments.
  *
- * Reference semantics preserved (SURVEY.md section 7): content identity ->
+ * Reference semantics preserved (SURVEY.md section 7): content-hash identity ->
  * candidate generation -> pairwise similarity -> per-cluster aggregation,
  * with every neural scorer replaced by the classical signature trio
  * (MinHash/Jaccard over caption shingles, SimHash/Hamming over phash-derived
  * image tokens, optional LCS for exact long matches).
  *
- * Shuffle budget (all map-side work is one narrow codegen'd projection):
- *   1. band/chunk explode + bucket-count + self-join   (candidate generation)
- *   2. two feature joins on the pair table              (verify)
- *   3. O(log n) rounds of groupBy+join                  (connected components)
- *   4. final label join                                 (assignment)
+ * Scale design:
+ *  - "Dedup before compute" (the reference's unique=True hash dedup,
+ *    ea/sim/main/data/objects/issue.py:56-73): rows with an identical
+ *    normalized caption collapse to one representative for the MinHash-LSH
+ *    family, rows with an identical phash collapse for the SimHash family.
+ *    Exact groups contribute O(m) star edges instead of m^2/2 pairs repeated
+ *    across all 64 bands — this is what keeps hot boilerplate content from
+ *    exploding the band self-join.
+ *  - Everything after feature extraction runs on dense LONG node ids
+ *    (primitive UnsafeRows through every shuffle — string ids would be
+ *    GC-heavy at 10^12 rows and collide as 64-bit hashes).
+ *  - Soundness of the collapse: members share their representative's exact
+ *    shingle set (caption family) / exact simhash (image family), so a
+ *    member-level dup pair exists iff the corresponding representative pair
+ *    does; star edges then merge the groups in connected components.
  */
 object DedupPipeline {
 
   /** Per-row signature computation — narrow, whole-stage-codegen friendly.
     * Input requires columns (image_id, caption, phash). */
   def features(images: DataFrame, cfg: DedupConfig): DataFrame = {
-    val toks = tokens(col("caption"))
     images.select(
       col("image_id").as("id"),
       normalize_text(col("caption")).as("norm_text"),
-      shingle_hashes(toks, cfg.shingleK, cfg.seed).as("shingles"),
+      shingle_hashes(tokens(col("caption")), cfg.shingleK, cfg.seed).as("shingles"),
       col("phash"))
-      .withColumn("sig",
-        minhash_signature(col("shingles"), cfg.numHashes, cfg.seed))
-      .withColumn("band_keys",
-        lsh_band_keys(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed))
+      .withColumn("band_keys", minhash_band_keys(col("shingles"),
+        cfg.numHashes, cfg.bands, cfg.rowsPerBand, cfg.seed))
       .withColumn("simhash", simhash64(phash_tokens(col("phash")), cfg.seed))
       .withColumn("content_hash", xxhash64(col("norm_text")))
+      .withColumn("nid", monotonically_increasing_id())
   }
 
-  /** Candidate pairs from both LSH families (caption MinHash bands + simhash
-    * Hamming chunks). Empty-caption rows are excluded from the caption family
-    * (they only collide with other empties and carry no caption evidence). */
-  def candidates(feat: DataFrame, cfg: DedupConfig): DataFrame = {
-    val bandBuckets = CandidateGen.explodeBands(
-      feat.where(size(col("shingles")) > 0), "id", "band_keys")
-    val chunkBuckets = CandidateGen.simhashChunkBuckets(
-      feat, "id", "simhash", cfg.hammingMax + 1)
-    CandidateGen.pairsFromBuckets(
-      bandBuckets.union(chunkBuckets), cfg.maxBucketSize)
+  /** (rep star edges, representative bucket rows) for one exact-identity
+    * family. Star edges connect every non-representative member to the
+    * group's min-nid representative. */
+  private def collapse(feat: DataFrame, identityCol: String): (DataFrame, DataFrame) = {
+    val reps = feat.groupBy(identityCol).agg(min("nid").as("rep"))
+    val withRep = feat.join(reps, identityCol)
+    val stars = withRep.where(col("nid") =!= col("rep"))
+      .select(col("rep").as("src"), col("nid").as("dst"))
+    val repRows = withRep.where(col("nid") === col("rep"))
+    (stars, repRows)
   }
 
-  /** Full run. When `checkpoint` is given, candidate+verify stages are
+  /** Full run. When `checkpoint` is given, the verified-pairs stage is
     * persisted and resumable (reference snapshot/tail-replay semantics). */
   def run(spark: SparkSession, images: DataFrame, cfg: DedupConfig,
       checkpoint: Option[CheckpointStore] = None): DedupResult = {
@@ -65,44 +74,66 @@ object DedupPipeline {
     def staged(name: String)(df: => DataFrame): DataFrame =
       checkpoint.map(_.stage(name)(df)).getOrElse(df)
 
+    // --- exact-identity collapse per family --------------------------------
+    val (capStars, capReps) = collapse(feat, "content_hash")
+    val (phStars, phReps) = collapse(feat, "phash")
+
+    // --- candidate generation on representatives ----------------------------
+    val capBuckets = CandidateGen.explodeBands(
+      capReps.where(size(col("shingles")) > 0), "nid", "band_keys")
+    val chunkBuckets = CandidateGen.simhashChunkBuckets(
+      phReps, "nid", "simhash", cfg.hammingMax + 1)
+    val candidates = CandidateGen.pairsFromBuckets(
+      capBuckets.union(chunkBuckets), cfg.maxBucketSize)
+
+    // --- verify (full OR rule on every candidate) ---------------------------
+    val featByNid = feat.select(col("nid").as("id"),
+      col("shingles"), col("simhash"), col("norm_text"))
+    // persisted: consumed twice (CC edges + dupPairs evidence) and feeds an
+    // iterative loop that must not re-run the candidate join per iteration
     val verified = staged("verified_pairs") {
-      VerifyStage.verify(candidates(feat, cfg), feat, cfg)
-        .where(col("is_dup"))
-    }
+      VerifyStage.verify(candidates, featByNid, cfg).where(col("is_dup"))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Long node ids: collision-free dense-ish ids (NOT a 64-bit content hash,
-    // which would collide at 10^12 scale), deterministic only within the run —
-    // final labels are re-derived from image_ids below, so run-stable.
-    val nodes = feat.select(col("id")).distinct()
-      .withColumn("nid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val edges = verified
-      .join(nodes.withColumnRenamed("id", "a").withColumnRenamed("nid", "src"), "a")
-      .join(nodes.withColumnRenamed("id", "b").withColumnRenamed("nid", "dst"), "b")
-      .select("src", "dst")
-
+    // --- clustering ----------------------------------------------------------
+    val edges = verified.select(col("a").as("src"), col("b").as("dst"))
+      .union(capStars).union(phStars)
     val cc = ConnectedComponents.run(edges)
 
-    val assigned = nodes.join(cc, nodes("nid") === cc("id"), "left")
-      .select(nodes("id").as("image_id"),
-        coalesce(cc("component"), nodes("nid")).as("comp"))
+    val assigned = feat.select(col("id").as("image_id"), col("nid"))
+      .join(cc, feat("nid") === cc("id"), "left")
+      .select(col("image_id"), coalesce(col("component"), col("nid")).as("comp"))
 
     // Deterministic cluster label: hash of the lexicographically smallest
     // member id (content-derived, independent of nid assignment order).
     val labels = assigned.groupBy("comp")
       .agg(min("image_id").as("root_image"))
       .select(col("comp"), xxhash64(col("root_image")).as("cluster_id"))
-
     val assignments = assigned.join(labels, "comp")
       .select("image_id", "cluster_id")
 
-    DedupResult(feat, verified, assignments)
+    // --- duplicate-pair evidence (representative level + exact stars) -------
+    val nidToId = feat.select(col("nid"), col("id"))
+    def back(df: DataFrame, l: String, r: String): DataFrame =
+      df.join(nidToId.withColumnRenamed("nid", l).withColumnRenamed("id", "__a"), l)
+        .join(nidToId.withColumnRenamed("nid", r).withColumnRenamed("id", "__b"), r)
+        .select(least(col("__a"), col("__b")).as("a"),
+          greatest(col("__a"), col("__b")).as("b"),
+          col("jaccard"), col("hamming"))
+    val dupPairs = back(verified, "a", "b")
+      .union(back(capStars.withColumn("jaccard", lit(1.0))
+        .withColumn("hamming", lit(null).cast("int")), "src", "dst"))
+      .union(back(phStars.withColumn("jaccard", lit(null).cast("double"))
+        .withColumn("hamming", lit(0)), "src", "dst"))
+
+    DedupResult(feat, dupPairs, assignments)
   }
 }
 
 /** @param features    per-row signatures (persisted)
-  * @param dupPairs    verified duplicate pairs with scores
+  * @param dupPairs    verified duplicate pairs with evidence (rep pairs +
+  *                    exact-identity star edges; cluster co-membership is the
+  *                    full transitive pair set)
   * @param assignments final (image_id, cluster_id) */
 final case class DedupResult(
     features: DataFrame,

@@ -95,8 +95,15 @@ object ImageGen {
 
   /** All rows of one ground-truth cluster (baseIdx). Row 0 is the pristine
     * PNG original; variants re-encode / resize / perturb the caption per
-    * FIXTURES.md section 4 so they stay within dup thresholds. */
-  def cluster(seed: Long, baseIdx: Long, maxClusterSize: Int): Seq[ImageRow] = {
+    * FIXTURES.md section 4 so they stay within dup thresholds.
+    *
+    * `light = true` skips byte encoding (bytes empty, lossy variant keeps the
+    * base pixels): same ids, captions, dimensions, and phash geometry, at a
+    * fraction of the synthesis cost. Used by the bench harness, whose dedup
+    * job never reads the payload column anyway (columnar pruning) — codec
+    * throughput is benchmarked separately by the multimodal decode query. */
+  def cluster(seed: Long, baseIdx: Long, maxClusterSize: Int,
+      light: Boolean = false): Seq[ImageRow] = {
     val rng = new Random(graft.functions.HashKernels.mix64(seed * 0xC2B2AE3D27D4EB4FL + baseIdx))
     val base = renderBase(seed, baseIdx)
     val caption = baseCaption(seed, baseIdx)
@@ -105,20 +112,25 @@ object ImageGen {
     (0 until n).map { v =>
       val id = f"img_${baseIdx}%08d_$v%03d"
       val variantKind = if (v == 0) -1 else rng.nextInt(4)
+      def enc(i: BufferedImage): Array[Byte] =
+        if (light) Array.emptyByteArray else ImageCodec.encodePng(i)
       val (img, fmt, bytes) = variantKind match {
-        case -1 => (base, "png", ImageCodec.encodePng(base))
-        case 0 => // lossy re-encode
-          val b = ImageCodec.encodeJpg(base)
-          (ImageCodec.decode(b), "jpg", b)
+        case -1 => (base, "png", enc(base))
+        case 0 => // lossy re-encode (light mode keeps base pixels)
+          if (light) (base, "jpg", Array.emptyByteArray)
+          else {
+            val b = ImageCodec.encodeJpg(base)
+            (ImageCodec.decode(b), "jpg", b)
+          }
         case 1 => // 2x down-resize (re-encoded lossless)
           val r = ImageCodec.resize(base, base.getWidth / 2, base.getHeight / 2)
-          (r, "png", ImageCodec.encodePng(r))
+          (r, "png", enc(r))
         case 2 => // identity re-encode
-          (base, "png", ImageCodec.encodePng(base))
+          (base, "png", enc(base))
         case _ => // caption twin: unrelated pixels, duplicate by caption only —
           // exercises the MinHash-LSH path in the recall gate
           val alt = renderBase(seed ^ 0x5DEECE66DL, baseIdx * 1_000_003L + v)
-          (alt, "png", ImageCodec.encodePng(alt))
+          (alt, "png", enc(alt))
       }
       // caption: exact copy, or <=1 token edit (stays above Jaccard threshold);
       // caption twins always keep the caption exact (their only dup evidence)
@@ -136,11 +148,11 @@ object ImageGen {
 
   /** Distributed generation of the full table. */
   def generate(spark: SparkSession, bases: Long, seed: Long = 42L,
-      maxClusterSize: Int = 64): Dataset[ImageRow] = {
+      maxClusterSize: Int = 64, light: Boolean = false): Dataset[ImageRow] = {
     import spark.implicits._
     spark.range(0L, bases, 1L, math.max(1, (bases / 16).toInt).min(256))
       .as[Long]
-      .flatMap(b => cluster(seed, b, maxClusterSize))
+      .flatMap(b => cluster(seed, b, maxClusterSize, light))
   }
 
   /** Ground-truth assignment table (FIXTURES.md section 3). */

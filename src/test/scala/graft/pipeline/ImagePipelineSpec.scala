@@ -41,12 +41,20 @@ class ImagePipelineSpec extends SparkSpec {
     } yield (ia, ib)).toSet
   }
 
-  test("dup-pair recall >= 0.99 and precision == 1.0 vs exact oracle") {
-    val got = result.dupPairs.select("a", "b").as[(String, String)].collect().toSet
+  test("dup-pair recall >= 0.99 (cluster co-membership) and evidence precision == 1.0") {
+    // recall: every oracle dup pair must land in one cluster (the pipeline
+    // emits representative-level evidence pairs; members reach their reps via
+    // exact-identity star edges, so co-membership is the full pair set)
+    val clusterPairs = Metrics.clusterPairs(result.assignments, "image_id", "cluster_id")
+      .as[(String, String)].collect().toSet
     assert(oraclePairs.nonEmpty)
-    val recall = (oraclePairs intersect got).size.toDouble / oraclePairs.size
-    assert(recall >= 0.99, s"recall=$recall oracle=${oraclePairs.size} got=${got.size}")
-    assert((got diff oraclePairs).isEmpty, "verified pairs disagree with oracle kernels")
+    val recall = (oraclePairs intersect clusterPairs).size.toDouble / oraclePairs.size
+    assert(recall >= 0.99,
+      s"recall=$recall oracle=${oraclePairs.size} clusterPairs=${clusterPairs.size}")
+    // precision of the explicit evidence pairs: each must be a true oracle pair
+    val evidence = result.dupPairs.select("a", "b").as[(String, String)].collect().toSet
+    assert((evidence diff oraclePairs).isEmpty,
+      s"evidence pairs disagree with oracle kernels: ${(evidence diff oraclePairs).take(5)}")
   }
 
   test("cluster assignments partition all rows and match ground truth") {
