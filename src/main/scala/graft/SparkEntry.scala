@@ -343,6 +343,13 @@ object SparkEntry {
         .orderBy("a")
     }),
 
+    "q31_quality_score" -> ((s, d) => {
+      // length/punct/stopword quality heuristic (training-data pipeline op)
+      t(s, d, "documents")
+        .select(col("doc_id"), quality_score(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     "q25_fingerprint" -> ((s, d) => {
       // rolling-hash document fingerprint (content-identity analogue,
       // stack.py:54-57) — engine-specific hash, rows-only check
@@ -547,6 +554,27 @@ object SparkEntry {
            array_to_string(l[greatest(len(l) - 4, 1):len(l)], ' '), '</s>') AS tail_seq
          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
          ORDER BY doc_id""",
+
+    "q31_quality_score" ->
+      """WITH s AS (
+           SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_toks,
+             list_filter(string_split(lower(regexp_replace(
+               regexp_replace(text, '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+               x -> length(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id, round(
+           (CASE WHEN n_toks > 0 AND n_chars * 1.0 / n_toks BETWEEN 3.0 AND 12.0
+                 THEN 0.4 ELSE 0.0 END) +
+           (CASE WHEN n_chars > 0 AND n_punct * 1.0 / n_chars <= 0.1
+                 THEN 0.3 ELSE 0.0 END) +
+           (CASE WHEN len(toks) > 0 AND
+                 len(list_filter(toks, x -> x IN ('the','a','an','and','or','of',
+                   'to','in','is','it','that','for','on','with','as','was','at','by')))
+                 * 1.0 / len(toks) >= 0.05 THEN 0.3 ELSE 0.0 END)::DOUBLE, 2) AS quality
+         FROM s ORDER BY doc_id""",
 
     "q22_event_admission" ->
       """SELECT event_id, user_id AS image_id,

@@ -73,16 +73,24 @@ object Metrics {
    * ties. Reference: metrics/base/aggregate/roc_auc.py:12-17 (sklearn there).
    */
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): Double = {
-    val ranked = scored.select(
+    // Tie groups are aggregated FIRST (distributed groupBy), so the global
+    // rank window runs over distinct scores only — never over raw rows
+    // (a window with no partitionBy collapses its input to one partition).
+    val groups = scored.select(
         col(scoreCol).cast("double").as("s"),
         col(labelCol).cast("boolean").as("y"))
-      .withColumn("r", rank().over(Window.orderBy("s")))
-      // average rank within score ties
-      .withColumn("ar", avg("r").over(Window.partitionBy("s")))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("posCnt"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = groups
+      .withColumn("cumCnt", sum("cnt").over(w))
+      // average rank of a tie group = rank offset + (size + 1) / 2
+      .withColumn("ar", col("cumCnt") - col("cnt") + (col("cnt") + 1) / 2.0)
     val row = ranked.agg(
-      sum(when(col("y"), col("ar"))).as("sumPos"),
-      sum(when(col("y"), 1L).otherwise(0L)).as("p"),
-      sum(when(!col("y"), 1L).otherwise(0L)).as("n")).head()
+      sum(col("posCnt") * col("ar")).as("sumPos"),
+      sum("posCnt").as("p"),
+      sum(col("cnt") - col("posCnt")).as("n")).head()
     val sumPos = Option(row.get(0)).map(_.toString.toDouble).getOrElse(0.0)
     val p = row.getLong(1).toDouble
     val n = row.getLong(2).toDouble
@@ -134,15 +142,21 @@ object Metrics {
    */
   def fBetaSweep(scored: DataFrame, scoreCol: String, isNewCol: String,
       beta: Double): DataFrame = {
-    val w = Window.orderBy(col(scoreCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // candidate thresholds = distinct scores: aggregate tie groups first
+    // (distributed), then cumulate over the small distinct-threshold set —
+    // the unpartitioned window never sees raw rows
     val totals = scored.agg(
       sum(when(col(isNewCol), 1L).otherwise(0L)).as("pos")).head()
     val pos = totals.getLong(0).toDouble
     val b2 = beta * beta
+    val w = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored
-      .withColumn("tp", sum(when(col(isNewCol), 1L).otherwise(0L)).over(w))
-      .withColumn("fp", sum(when(!col(isNewCol), 1L).otherwise(0L)).over(w))
+      .groupBy(scoreCol)
+      .agg(sum(when(col(isNewCol), 1L).otherwise(0L)).as("tpg"),
+        sum(when(!col(isNewCol), 1L).otherwise(0L)).as("fpg"))
+      .withColumn("tp", sum("tpg").over(w))
+      .withColumn("fp", sum("fpg").over(w))
       .withColumn("precision", col("tp") / (col("tp") + col("fp")))
       .withColumn("recall", col("tp") / lit(pos))
       .withColumn("fbeta",

@@ -59,15 +59,13 @@ package object functions {
       F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
   /** Whitespace tokens of normalized text. normalize_text already collapses
-    * runs of spaces and trims, so a plain split has no empty tokens; the
-    * empty-string case is handled with CASE WHEN rather than a filter()
-    * lambda — higher-order functions are CodegenFallback and would knock the
-    * whole signature projection out of whole-stage codegen (hot path). */
-  def tokens(c: Column): Column = {
-    val n = normalize_text(c)
-    F.when(F.length(n) === 0, F.array().cast("array<string>"))
-      .otherwise(F.split(n, " "))
-  }
+    * runs of spaces and trims, so after the split only the all-empty-input
+    * case leaves an empty token; array_remove covers it with a single
+    * codegen'd call — no filter() lambda (higher-order functions are
+    * interpreted and would knock the whole signature projection out of
+    * whole-stage codegen) and a single normalize_text evaluation. */
+  def tokens(c: Column): Column =
+    F.array_remove(F.split(normalize_text(c), " "), "")
 
   /** Content-identity hash (reference stack.py:54-57 comma-join-and-hash). */
   def content_hash(c: Column): Column = F.xxhash64(normalize_text(c))
@@ -76,17 +74,20 @@ package object functions {
 
   /** Whitespace token count on the raw string (SQL-parity friendly). */
   def token_count(c: Column): Column =
-    F.size(F.filter(F.split(c, " "), t => F.length(t) > 0))
+    F.size(F.array_remove(F.split(c, " "), ""))
 
   private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
 
-  /** Fraction of tokens that are English stopwords (language-ID heuristic). */
+  /** Fraction of tokens that are English stopwords (language-ID heuristic).
+    * Counted with one codegen'd regexp_count over the normalized text —
+    * \b-bounded alternation on [a-z0-9 ] text matches exactly the tokens
+    * that equal a stopword (no interpreted filter() lambda in the hot path). */
   def stopword_ratio(c: Column): Column = {
-    val toks = tokens(c)
-    F.when(F.size(toks) === 0, F.lit(0.0)).otherwise(
-      F.size(F.filter(toks, t => t.isin(StopWords.map(F.lit): _*))).cast("double")
-        / F.size(toks))
+    val n = normalize_text(c)
+    val nToks = F.size(F.array_remove(F.split(n, " "), ""))
+    val nStop = F.regexp_count(n, F.lit(StopWords.mkString("\\b(", "|", ")\\b")))
+    F.when(nToks === 0, F.lit(0.0)).otherwise(nStop.cast("double") / nToks)
   }
 
   /** n-gram-free language ID heuristic: 'en' when stopword density clears a

@@ -10,10 +10,19 @@ import org.apache.spark.sql.functions._
  * (reference: helpers/so/steps/merge_issues_duplicates.py:10-50) and the
  * mutable `Issue` membership model (ea/sim/main/data/objects/issue.py:25-90).
  *
- * Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
- * Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds regardless
- * of component diameter, each round a pair of shuffles. Per-round
- * `localCheckpoint` cuts the lineage so plans stay flat (SURVEY.md section 4).
+ * Algorithm: hash-min label propagation — every node repeatedly takes the
+ * minimum label of its closed neighborhood over a STATIC bidirectional edge
+ * list. One join + one aggregate (2 shuffles) per round, converging in
+ * O(component diameter) rounds. Dedup graphs are near-cliques produced by an
+ * all-pairs verify inside LSH buckets plus depth-1 exact-identity stars, so
+ * the diameter is tiny (2-4) and hash-min beats alternating large/small-star
+ * (Kiveris et al., SoCC'14) on both round count and shuffles per round —
+ * star rounds rebuild/re-`distinct` the edge set (~6 shuffles) each time.
+ * For pathological diameters (long chains) the loop falls back to
+ * large-star/small-star after `hashMinRounds`, keeping the O(log n) worst
+ * case. Per-round `localCheckpoint` cuts lineage so plans stay flat
+ * (SURVEY.md section 4); the convergence probe doubles as the materializing
+ * action, so each round costs exactly one Spark job.
  *
  * Input: edges with two LongType columns `src`, `dst` (any direction, dups ok).
  * Output: (`id`, `component`) for every node that appears in an edge, where
@@ -64,43 +73,89 @@ object ConnectedComponents {
   /**
    * Returns (id LONG, component LONG). Nodes not present in any edge are the
    * caller's responsibility (singletons keep their own id).
+   *
+   * @param hashMinRounds rounds of hash-min before falling back to star
+   *                      rounds — min labels propagate one hop per round, so
+   *                      this covers component diameters < hashMinRounds;
+   *                      larger diameters finish under the star fallback.
    */
-  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 30, hashMinRounds: Int = 8): DataFrame = {
     val spark = edges.sparkSession
     // the loop is many tiny stages: AQE's per-stage re-planning jobs cost
     // more latency than they save here — disable for the loop's duration
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // lazy localCheckpoint: the checksum action both materializes the
-      // iteration (cutting lineage) and tests convergence — one job per
-      // round instead of two
-      var e = edges
+      val canon = edges
         .select(col("src").cast("long"), col("dst").cast("long"))
         .where(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst"))
         .distinct()
         .localCheckpoint(false)
+      if (canon.isEmpty) return canon.select(
+        col("src").as("id"), col("dst").as("component")).limit(0)
 
-      var prev = checksum(e)
-      var converged = prev._1 == 0L
+      // static closed-neighborhood adjacency: (u, v) both directions + self
+      val nodes = canon.select(col("src").as("u"))
+        .union(canon.select(col("dst").as("u"))).distinct()
+      val bidir = canon.select(col("src").as("u"), col("dst").as("v"))
+        .union(canon.select(col("dst").as("u"), col("src").as("v")))
+        .union(nodes.select(col("u"), col("u").as("v")))
+        .localCheckpoint(false)
+
+      // labels(id) = min label over closed neighborhood, iterated.
+      // Monotone non-increasing per node; sum strictly decreases until the
+      // fixpoint, so an unchanged sum IS convergence (no join-diff needed).
+      var labels = nodes.select(col("u").as("id"), col("u").as("component"))
+      var prevSum = BigDecimal(0)
+      var converged = false
       var iter = 0
-      while (!converged && iter < maxIter) {
+      while (!converged && iter < hashMinRounds) {
+        labels = bidir.join(labels, bidir("v") === labels("id"))
+          .groupBy(col("u").as("nid"))
+          .agg(min("component").as("component"))
+          .select(col("nid").as("id"), col("component"))
+          .localCheckpoint(false)
+        val s = labels.agg(sum(col("component")).cast("decimal(38,0)")).head()
+          .getDecimal(0)
+        val curSum = BigDecimal(s)
+        converged = iter > 0 && curSum == prevSum
+        prevSum = curSum
+        iter += 1
+      }
+      if (converged) return labels
+
+      // pathological diameter: finish with alternating star rounds on the
+      // contracted edge set (node -> current label)
+      var e = canon
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("component", "csrc")
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("csrc").as("src"), col("component").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(false)
+      var prev = checksum(e)
+      var done = prev._1 == 0L
+      while (!done && iter < maxIter) {
         e = smallStar(largeStar(e)).localCheckpoint(false)
         val cur = checksum(e)
-        converged = cur == prev
+        done = cur == prev
         prev = cur
         iter += 1
       }
-      result(e)
+      // star fixpoint over contracted labels, mapped back through labels
+      val contracted = result(e)
+      labels.join(contracted, labels("component") === contracted("id"), "left")
+        .select(labels("id"),
+          coalesce(contracted("component"), labels("component")).as("component"))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     }
   }
 
   private def result(e: DataFrame): DataFrame = {
-
     // At the fixpoint the edge set is a star per component: (member -> root).
     // Guard against hitting maxIter pre-fixpoint with a min-per-src reduce.
     val members = e.groupBy(col("src").as("id")).agg(min("dst").as("component"))

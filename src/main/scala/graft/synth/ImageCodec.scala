@@ -14,6 +14,11 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
  */
 object ImageCodec {
 
+  // ImageIO defaults to a FileCache*ImageStream per read/write — a temp file
+  // on every decode. At 32 concurrent decode tasks that serializes on /tmp
+  // inode churn; in-memory streams keep the stage CPU-bound (scaling probe).
+  ImageIO.setUseCache(false)
+
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
@@ -81,6 +86,22 @@ object ImageCodec {
    * unrelated images differ on ~32.
    */
   def averageHash(img: BufferedImage): Long = {
+    // fast path: read the 3BYTE_BGR raster array directly — getRGB goes
+    // through ColorModel conversion per pixel (~10x the decode cost on the
+    // validation hot path); both paths compute identical cell sums because
+    // luma coefficients are applied to the same 8-bit channel values
+    val direct: (Int, Int) => Double = img.getRaster.getDataBuffer match {
+      case b: java.awt.image.DataBufferByte
+          if img.getType == BufferedImage.TYPE_3BYTE_BGR &&
+            b.getData.length == img.getWidth * img.getHeight * 3 =>
+        val d = b.getData
+        val w = img.getWidth
+        (x, y) => {
+          val o = (y * w + x) * 3
+          0.299 * (d(o + 2) & 0xFF) + 0.587 * (d(o + 1) & 0xFF) + 0.114 * (d(o) & 0xFF)
+        }
+      case _ => (x, y) => luma(img.getRGB(x, y))
+    }
     val cells = new Array[Double](64)
     val w = img.getWidth
     val h = img.getHeight
@@ -94,7 +115,7 @@ object ImageCodec {
         var y = y0
         while (y < y1) {
           var x = x0
-          while (x < x1) { sum += luma(img.getRGB(x, y)); x += 1 }
+          while (x < x1) { sum += direct(x, y); x += 1 }
           y += 1
         }
         cells(gy * 8 + gx) = sum / ((x1 - x0) * (y1 - y0))

@@ -52,7 +52,7 @@ object DiagBench {
     }
 
     val images = spark.read.parquet(inputDir)
-    for (round <- 1 to 4) {
+    for (round <- 1 to 3) {
       t(s"full pipeline round $round") {
         val res = DedupPipeline.run(spark, images, DedupConfig.default)
         res.assignments.write.mode("overwrite").format("noop").save()
