@@ -38,13 +38,15 @@ import org.apache.spark.storage.StorageLevel
 object DedupPipeline {
 
   /** Per-row signature computation — narrow, whole-stage-codegen friendly.
-    * Input requires columns (image_id, caption, phash). */
-  def features(images: DataFrame, cfg: DedupConfig): DataFrame = {
+    * Input requires columns (image_id, caption, phash); `carry` columns are
+    * passed through untouched (e.g. the Ingest validation flags). */
+  def features(images: DataFrame, cfg: DedupConfig,
+      carry: Seq[String] = Nil): DataFrame = {
     images.select(
-      col("image_id").as("id"),
-      normalize_text(col("caption")).as("norm_text"),
-      shingle_hashes(tokens(col("caption")), cfg.shingleK, cfg.seed).as("shingles"),
-      col("phash"))
+      Seq(col("image_id").as("id"),
+        normalize_text(col("caption")).as("norm_text"),
+        shingle_hashes(tokens(col("caption")), cfg.shingleK, cfg.seed).as("shingles"),
+        col("phash")) ++ carry.map(col): _*)
       .withColumn("band_keys", minhash_band_keys(col("shingles"),
         cfg.numHashes, cfg.bands, cfg.rowsPerBand, cfg.seed))
       .withColumn("simhash", simhash64(phash_tokens(col("phash")), cfg.seed))
@@ -67,9 +69,19 @@ object DedupPipeline {
   /** Full run. When `checkpoint` is given, the verified-pairs stage is
     * persisted and resumable (reference snapshot/tail-replay semantics). */
   def run(spark: SparkSession, images: DataFrame, cfg: DedupConfig,
+      checkpoint: Option[CheckpointStore] = None): DedupResult =
+    runFromFeatures(spark, features(images, cfg), cfg, checkpoint)
+
+  /** Run from a pre-computed [[features]] frame (e.g. the fused
+    * [[graft.operators.Ingest]] pass that validates payloads and extracts
+    * features in one scan). Persists the frame if the caller has not. */
+  def runFromFeatures(spark: SparkSession, featuresDf: DataFrame, cfg: DedupConfig,
       checkpoint: Option[CheckpointStore] = None): DedupResult = {
 
-    val feat = features(images, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val feat =
+      if (featuresDf.storageLevel == StorageLevel.NONE)
+        featuresDf.persist(StorageLevel.MEMORY_AND_DISK)
+      else featuresDf
 
     def staged(name: String)(df: => DataFrame): DataFrame =
       checkpoint.map(_.stage(name)(df)).getOrElse(df)

@@ -33,15 +33,14 @@ object ProbeBench {
   }
 
   def runPipeline(spark: SparkSession, inputDir: String): (Double, Double) = {
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
-    val tv = timed(materialize(Validate.perRow(spark, spark.read.parquet(inputDir))))
-    // metadata-only scan: split by ~2GB file bytes (~MBs actually read)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "2g")
+    val feat = graft.operators.Ingest.run(spark,
+      spark.read.parquet(inputDir), DedupConfig.default, partitions = 16)
+    val tv = timed(materialize(Validate.report(feat)))
     val td = timed {
-      val res = DedupPipeline.run(spark, spark.read.parquet(inputDir), DedupConfig.default)
+      val res = DedupPipeline.runFromFeatures(spark, feat, DedupConfig.default)
       materialize(res.assignments)
-      res.features.unpersist()
     }
+    feat.unpersist()
     (tv, td)
   }
 

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.config.DedupConfig
+import graft.pipeline.DedupPipeline
+import graft.synth.ImageGen
+import org.apache.spark.sql.functions._
+
+/** The fused single-payload-pass ingest must agree with the separate
+  * Validate + features path: same validation verdicts, same final cluster
+  * assignments through runFromFeatures. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = DedupConfig.default
+  private lazy val images = ImageGen.generate(spark, bases = 60, seed = 42L).toDF().cache()
+
+  test("validation flags match Validate.perRow") {
+    val fused = Ingest.run(spark, images, cfg, partitions = 4)
+    val a = fused.select("id", "decode_ok", "phash_match", "dims_match", "valid")
+      .as[(String, Boolean, Boolean, Boolean, Boolean)].collect().toSet
+    val b = Validate.perRow(spark, images)
+      .as[(String, Boolean, Boolean, Boolean, Boolean)].collect().toSet
+    assert(a == b)
+    fused.unpersist()
+  }
+
+  test("runFromFeatures(Ingest.run) assignments == run(images) assignments") {
+    val fused = Ingest.run(spark, images, cfg, partitions = 4)
+    val viaIngest = DedupPipeline.runFromFeatures(spark, fused, cfg)
+      .assignments.as[(String, Long)].collect().toMap
+    val direct = DedupPipeline.run(spark, images, cfg)
+      .assignments.as[(String, Long)].collect().toMap
+    assert(viaIngest == direct)
+    fused.unpersist()
+  }
+
+  test("validation report counts every row") {
+    val fused = Ingest.run(spark, images, cfg, partitions = 4)
+    val rep = Validate.report(fused).head()
+    assert(rep.getAs[Long]("rows") == images.count())
+    assert(rep.getAs[Long]("valid") == images.count()) // pristine synthetic table
+    fused.unpersist()
+  }
+}
