@@ -142,8 +142,8 @@ object Bench {
     // run the LOW-parallelism leg last: JIT is warmest by then, which can
     // only deflate (never inflate) the reported efficiency.
     val t32 = leg(32, inputDir, rounds = 1) // whole-machine context leg
-    val t8 = leg(8, inputDir, rounds = 2)
-    val t2 = leg(2, inputDir, rounds = 2)
+    val t8 = leg(8, inputDir, rounds = 3)
+    val t2 = leg(2, inputDir, rounds = 3)
 
     val thr = Map(32 -> nImages / t32, 8 -> nImages / t8, 2 -> nImages / t2)
     val efficiency = (t2 / t8) / 4.0

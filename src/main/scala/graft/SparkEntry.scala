@@ -343,6 +343,31 @@ object SparkEntry {
         .orderBy("a")
     }),
 
+    "q34_regex_filter" -> ((s, d) => {
+      // regex admission filter (reference issue_events_filter.py:10-37
+      // ticket-pattern regex on comments, grafted to document text)
+      t(s, d, "documents")
+        .where(regexp_like(col("text"), lit("\\bspark\\b.*\\bjoin\\b")))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "q32_training_pairs" -> ((s, d) => {
+      // positive-pair mining per cluster with a deterministic sample cap
+      // (reference datasets/pair.py:22-57; user_id plays the issue id)
+      val asg = t(s, d, "events").select(col("event_id"), col("user_id"))
+      TrainingData.pairs(asg, "event_id", "user_id", maxPerCluster = 3)
+        .select(col("cluster_id"), col("a"), col("b"))
+        .orderBy("cluster_id", "a", "b")
+    }),
+
+    "q33_training_triplets" -> ((s, d) => {
+      // pair + deterministic cross-cluster negative (datasets/triplet.py:23-62)
+      val asg = t(s, d, "events").select(col("event_id"), col("user_id"))
+      TrainingData.triplets(asg, "event_id", "user_id", maxPerCluster = 2)
+        .select(col("cluster_id"), col("a"), col("b"), col("neg"))
+        .orderBy("cluster_id", "a", "b")
+    }),
+
     "q31_quality_score" -> ((s, d) => {
       // length/punct/stopword quality heuristic (training-data pipeline op)
       t(s, d, "documents")
@@ -554,6 +579,40 @@ object SparkEntry {
            array_to_string(l[greatest(len(l) - 4, 1):len(l)], ' '), '</s>') AS tail_seq
          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
          ORDER BY doc_id""",
+
+    "q34_regex_filter" ->
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(text, '\bspark\b.*\bjoin\b') ORDER BY doc_id""",
+
+    "q32_training_pairs" ->
+      """SELECT cluster_id, a, b FROM (
+           SELECT e1.user_id AS cluster_id, e1.event_id AS a, e2.event_id AS b,
+             row_number() OVER (PARTITION BY e1.user_id
+               ORDER BY (e1.event_id * 1000003 + e2.event_id) % 999983,
+                        e1.event_id, e2.event_id) AS rn
+           FROM events e1 JOIN events e2
+             ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id)
+         WHERE rn <= 3 ORDER BY cluster_id, a, b""",
+
+    "q33_training_triplets" ->
+      """WITH reps AS (
+           SELECT user_id AS c, min(event_id) AS rep FROM events GROUP BY 1),
+         nxt AS (
+           SELECT c, coalesce(lead(rep) OVER (ORDER BY rep),
+             first_value(rep) OVER (ORDER BY rep
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS neg
+           FROM reps),
+         pairs AS (
+           SELECT cluster_id, a, b FROM (
+             SELECT e1.user_id AS cluster_id, e1.event_id AS a, e2.event_id AS b,
+               row_number() OVER (PARTITION BY e1.user_id
+                 ORDER BY (e1.event_id * 1000003 + e2.event_id) % 999983,
+                          e1.event_id, e2.event_id) AS rn
+             FROM events e1 JOIN events e2
+               ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id)
+           WHERE rn <= 2)
+         SELECT cluster_id, a, b, neg FROM pairs JOIN nxt ON cluster_id = nxt.c
+         ORDER BY cluster_id, a, b""",
 
     "q31_quality_score" ->
       """WITH s AS (

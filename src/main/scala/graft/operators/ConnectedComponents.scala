@@ -93,34 +93,39 @@ object ConnectedComponents {
           greatest(col("src"), col("dst")).as("dst"))
         .distinct()
         .localCheckpoint(false)
-      if (canon.isEmpty) return canon.select(
-        col("src").as("id"), col("dst").as("component")).limit(0)
 
-      // static closed-neighborhood adjacency: (u, v) both directions + self
-      val nodes = canon.select(col("src").as("u"))
-        .union(canon.select(col("dst").as("u"))).distinct()
+      // static closed-neighborhood adjacency: both directions plus a self
+      // pair per endpoint — duplicates are harmless under the min-aggregate,
+      // which saves the distinct-nodes shuffle
       val bidir = canon.select(col("src").as("u"), col("dst").as("v"))
         .union(canon.select(col("dst").as("u"), col("src").as("v")))
-        .union(nodes.select(col("u"), col("u").as("v")))
+        .union(canon.select(col("src").as("u"), col("src").as("v")))
+        .union(canon.select(col("dst").as("u"), col("dst").as("v")))
         .localCheckpoint(false)
 
       // labels(id) = min label over closed neighborhood, iterated.
       // Monotone non-increasing per node; sum strictly decreases until the
       // fixpoint, so an unchanged sum IS convergence (no join-diff needed).
-      var labels = nodes.select(col("u").as("id"), col("u").as("component"))
-      var prevSum = BigDecimal(0)
+      // The first round is the initialization itself (labels = neighborhood
+      // min of node ids), and its sum/emptiness probe is the single job that
+      // materializes canon + bidir + labels.
+      var labels = bidir.groupBy(col("u").as("id")).agg(min("v").as("component"))
+        .localCheckpoint(false)
+      val init = labels.agg(count(lit(1)),
+        sum(col("component")).cast("decimal(38,0)")).head()
+      if (init.getLong(0) == 0L) return labels
+      var prevSum = BigDecimal(init.getDecimal(1))
       var converged = false
-      var iter = 0
+      var iter = 1
       while (!converged && iter < hashMinRounds) {
         labels = bidir.join(labels, bidir("v") === labels("id"))
           .groupBy(col("u").as("nid"))
           .agg(min("component").as("component"))
           .select(col("nid").as("id"), col("component"))
           .localCheckpoint(false)
-        val s = labels.agg(sum(col("component")).cast("decimal(38,0)")).head()
-          .getDecimal(0)
-        val curSum = BigDecimal(s)
-        converged = iter > 0 && curSum == prevSum
+        val curSum = BigDecimal(
+          labels.agg(sum(col("component")).cast("decimal(38,0)")).head().getDecimal(0))
+        converged = curSum == prevSum
         prevSum = curSum
         iter += 1
       }
