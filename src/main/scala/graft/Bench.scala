@@ -52,7 +52,7 @@ object Bench {
     s
   }
 
-  /** Probe sessions fix shuffle partitions to a DATA-sized constant (16 for
+  /** Probe sessions fix shuffle partitions to a DATA-sized constant (8 for
     * the ~100MB of shuffled feature data) rather than core count, so every
     * leg executes the same physical plan and task set — the sandbox analogue
     * of a cluster config that is sized to the table, not to the fleet (AQE
@@ -64,7 +64,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-probe")
-      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -92,7 +92,7 @@ object Bench {
     // payload files again (at 100 TB the payload scan dominates; reading it
     // once instead of twice halves the job's I/O + decode cost)
     val feat = graft.operators.Ingest.run(spark,
-      spark.read.parquet(inputDir), DedupConfig.default, partitions = 16)
+      spark.read.parquet(inputDir), DedupConfig.default, partitions = 8)
     materialize(graft.operators.Validate.report(feat)) // materializes the pass
     val res = DedupPipeline.runFromFeatures(spark, feat, DedupConfig.default)
     materialize(res.assignments)

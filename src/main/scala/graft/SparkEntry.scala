@@ -343,6 +343,31 @@ object SparkEntry {
         .orderBy("a")
     }),
 
+    "q35_fbeta_sweep" -> ((s, d) => {
+      // F-beta threshold sweep via cumulative window sums (reference
+      // metrics/wrappers/f_beta/helpers.py:86-117 iterative sweep)
+      val scored = t(s, d, "events")
+        .select(col("value").as("score"), (col("event_type") === "click").as("is_new"))
+      Metrics.fBetaSweep(scored, "score", "is_new", beta = 1.0)
+        .select(round(col("threshold"), 2).as("threshold"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("fbeta"), 6).as("fbeta"))
+        .orderBy(col("threshold"))
+    }),
+
+    "q36_roc_auc" -> ((s, d) => {
+      // ROC-AUC in Mann-Whitney rank form (reference
+      // metrics/wrappers/attach_roc_auc.py:11-16)
+      val scored = t(s, d, "events")
+        .select(col("value").as("score"), (col("event_type") === "click").as("is_new"))
+      val auc = Metrics.rocAuc(scored, "score", "is_new")
+      import s.implicits._
+      // HALF_UP to match DuckDB's round-half-away on positive doubles
+      Seq(BigDecimal(auc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toDF("auc")
+    }),
+
     "q34_regex_filter" -> ((s, d) => {
       // regex admission filter (reference issue_events_filter.py:10-37
       // ticket-pattern regex on comments, grafted to document text)
@@ -579,6 +604,40 @@ object SparkEntry {
            array_to_string(l[greatest(len(l) - 4, 1):len(l)], ' '), '</s>') AS tail_seq
          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
          ORDER BY doc_id""",
+
+    "q35_fbeta_sweep" ->
+      """WITH g AS (
+           SELECT value AS threshold,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS tpg,
+             sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS fpg
+           FROM events GROUP BY value),
+         c AS (
+           SELECT threshold,
+             sum(tpg) OVER (ORDER BY threshold
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(fpg) OVER (ORDER BY threshold
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+           FROM g),
+         t AS (SELECT count(*) AS pos FROM events WHERE event_type = 'click')
+         SELECT round(threshold, 2) AS threshold,
+           round(tp * 1.0 / (tp + fp), 6) AS precision,
+           round(tp * 1.0 / (SELECT pos FROM t), 6) AS recall,
+           round((2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (SELECT pos FROM t))) /
+             ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (SELECT pos FROM t))), 6) AS fbeta
+         FROM c ORDER BY threshold""",
+
+    "q36_roc_auc" ->
+      """WITH g AS (
+           SELECT value AS s, count(*) AS cnt,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS pos
+           FROM events GROUP BY value),
+         c AS (SELECT s, cnt, pos,
+             sum(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM g),
+         a AS (SELECT sum(pos * (cum - cnt + (cnt + 1) / 2.0)) AS sumpos,
+             sum(pos) AS p, sum(cnt - pos) AS n FROM c)
+         SELECT round((sumpos - p * (p + 1) / 2.0) / (p * n), 6) AS auc FROM a""",
 
     "q34_regex_filter" ->
       """SELECT doc_id FROM documents

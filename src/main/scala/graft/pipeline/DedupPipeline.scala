@@ -101,11 +101,12 @@ object DedupPipeline {
     // --- verify (full OR rule on every candidate) ---------------------------
     val featByNid = feat.select(col("nid").as("id"),
       col("shingles"), col("simhash"), col("norm_text"))
-    // persisted: consumed twice (CC edges + dupPairs evidence) and feeds an
-    // iterative loop that must not re-run the candidate join per iteration
+    // not persisted: the CC loop localCheckpoints its canonical edge set
+    // immediately, so the assignment path reads this exactly once; dupPairs
+    // consumers that need it materialized pass a CheckpointStore (staged)
     val verified = staged("verified_pairs") {
       VerifyStage.verify(candidates, featByNid, cfg).where(col("is_dup"))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
     // --- clustering ----------------------------------------------------------
     val edges = verified.select(col("a").as("src"), col("b").as("dst"))

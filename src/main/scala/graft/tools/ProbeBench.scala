@@ -17,7 +17,7 @@ object ProbeBench {
       // partitions sized to the shuffle data (~100MB here), NOT to core
       // count: config stays identical across cluster sizes, so both legs
       // run the same physical work (on a real cluster AQE re-sizes this)
-      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -34,7 +34,7 @@ object ProbeBench {
 
   def runPipeline(spark: SparkSession, inputDir: String): (Double, Double) = {
     val feat = graft.operators.Ingest.run(spark,
-      spark.read.parquet(inputDir), DedupConfig.default, partitions = 16)
+      spark.read.parquet(inputDir), DedupConfig.default, partitions = 8)
     val tv = timed(materialize(Validate.report(feat)))
     val td = timed {
       val res = DedupPipeline.runFromFeatures(spark, feat, DedupConfig.default)
