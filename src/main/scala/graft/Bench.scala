@@ -159,14 +159,20 @@ object Bench {
       s""""images_per_sec_per_core_8":${"%.1f".format(thr(8) / 8)},""" +
       s""""speedup_2_to_8":${"%.2f".format(t2 / t8)},"efficiency":${"%.3f".format(efficiency)}}"""
 
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+    val jsonLine = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+    println(jsonLine)
+    // driver contract: sbt prefixes every stdout line with [info], which made
+    // the round-1 JSON unparseable ("parsed": null) — also write the bare
+    // line to a file the driver (or a human) can json.load directly
+    Files.writeString(Paths.get("bench.json"), jsonLine + "\n")
 
     val md =
       s"""# BENCH — measured (this machine, single JVM local mode)
          |
-         |## Query suite (sf dir: $sfDir, local[$cpus], noop-sink materialization,
-         |## one untimed sf0.001 warm-up pass first)
+         |## Query suite (sf dir: $sfDir, local[$cpus])
+         |
+         |Noop-sink materialization; one untimed sf0.001 warm-up pass runs first.
          |
          || query | sec |
          ||---|---|

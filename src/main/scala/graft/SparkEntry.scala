@@ -496,8 +496,8 @@ object SparkEntry {
     "q14_lang_stopwords" ->
       """WITH s AS (
            SELECT doc_id,
-             list_filter(string_split(lower(regexp_replace(
-               regexp_replace(text, '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+             list_filter(string_split(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' '),
                x -> length(x) > 0) AS toks
            FROM documents)
          SELECT doc_id,
@@ -679,8 +679,8 @@ object SparkEntry {
              length(text) AS n_chars,
              length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
              len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_toks,
-             list_filter(string_split(lower(regexp_replace(
-               regexp_replace(text, '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+             list_filter(string_split(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' '),
                x -> length(x) > 0) AS toks
            FROM documents)
          SELECT doc_id, round(

@@ -1,7 +1,6 @@
 package graft.eval
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -73,18 +72,19 @@ object Metrics {
    * ties. Reference: metrics/base/aggregate/roc_auc.py:12-17 (sklearn there).
    */
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): Double = {
-    // Tie groups are aggregated FIRST (distributed groupBy), so the global
-    // rank window runs over distinct scores only — never over raw rows
-    // (a window with no partitionBy collapses its input to one partition).
+    // Tie groups are aggregated FIRST (distributed groupBy); the cumulative
+    // rank offsets then come from OrderedScan.cumSum — range-partitioned
+    // per-partition windows stitched with O(partitions) boundary offsets,
+    // never a single-partition global window (for continuous double scores
+    // distinct ~ N, so the old Window.orderBy funneled the whole dataset
+    // through one task).
     val groups = scored.select(
         col(scoreCol).cast("double").as("s"),
         col(labelCol).cast("boolean").as("y"))
       .groupBy("s")
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("y"), 1L).otherwise(0L)).as("posCnt"))
-    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = groups
-      .withColumn("cumCnt", sum("cnt").over(w))
+    val ranked = graft.operators.OrderedScan.cumSum(groups, "s", "cnt", "cumCnt")
       // average rank of a tie group = rank offset + (size + 1) / 2
       .withColumn("ar", col("cumCnt") - col("cnt") + (col("cnt") + 1) / 2.0)
     val row = ranked.agg(
@@ -143,20 +143,20 @@ object Metrics {
   def fBetaSweep(scored: DataFrame, scoreCol: String, isNewCol: String,
       beta: Double): DataFrame = {
     // candidate thresholds = distinct scores: aggregate tie groups first
-    // (distributed), then cumulate over the small distinct-threshold set —
-    // the unpartitioned window never sees raw rows
+    // (distributed), then cumulate with OrderedScan.cumSums — for continuous
+    // double scores distinct ~ N, so the cumulation itself must be
+    // distributed too (range-partitioned windows + boundary offsets), never
+    // a single-partition global window
     val totals = scored.agg(
       sum(when(col(isNewCol), 1L).otherwise(0L)).as("pos")).head()
     val pos = totals.getLong(0).toDouble
     val b2 = beta * beta
-    val w = Window.orderBy(col(scoreCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
+    val grouped = scored
       .groupBy(scoreCol)
       .agg(sum(when(col(isNewCol), 1L).otherwise(0L)).as("tpg"),
         sum(when(!col(isNewCol), 1L).otherwise(0L)).as("fpg"))
-      .withColumn("tp", sum("tpg").over(w))
-      .withColumn("fp", sum("fpg").over(w))
+    graft.operators.OrderedScan.cumSums(grouped, scoreCol,
+        Seq("tpg" -> "tp", "fpg" -> "fp"))
       .withColumn("precision", col("tp") / (col("tp") + col("fp")))
       .withColumn("recall", col("tp") / lit(pos))
       .withColumn("fbeta",

@@ -44,14 +44,19 @@ object Ann {
       srpBits: Int = 10, tables: Int = 8, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    def buckets(df: DataFrame, vc: String): DataFrame =
+    // bucket rows carry ONLY (id, key): the multi-table union and the
+    // distinct over colliding pairs shuffle ids, never the vectors
+    def buckets(df: DataFrame, idc: String, vc: String): DataFrame =
       (0 until tables).map { t =>
-        df.withColumn("key", xxhash64(lit(t), srp_bucket(col(vc), srpBits, seed + t)))
+        df.select(col(idc),
+          xxhash64(lit(t), srp_bucket(col(vc), srpBits, seed + t)).as("key"))
       }.reduce(_ union _)
-    val cand = buckets(c, "cv").join(buckets(q, "qv"), "key")
+    val candIds = buckets(c, "item_id", "cv").join(buckets(q, "query_id", "qv"), "key")
       .where(col("query_id") =!= col("item_id"))
-      .select("query_id", "qv", "item_id", "cv")
+      .select("query_id", "item_id")
       .distinct() // a pair may collide in several tables
+    // vectors join back exactly once per distinct candidate pair
+    val cand = candIds.join(q, "query_id").join(c, "item_id")
     cand
       .withColumn("cosine", cosine_sim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(

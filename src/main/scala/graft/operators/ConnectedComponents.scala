@@ -111,8 +111,11 @@ object ConnectedComponents {
       // materializes canon + bidir + labels.
       var labels = bidir.groupBy(col("u").as("id")).agg(min("v").as("component"))
         .localCheckpoint(false)
+      // cast BEFORE summing: a long sum over ~1e9+ labels (values up to
+      // partitionId<<33 under monotonically-increasing sources) overflows
+      // LongType mid-aggregate; decimal(38,0) accumulation cannot
       val init = labels.agg(count(lit(1)),
-        sum(col("component")).cast("decimal(38,0)")).head()
+        sum(col("component").cast("decimal(38,0)"))).head()
       if (init.getLong(0) == 0L) return labels
       var prevSum = BigDecimal(init.getDecimal(1))
       var converged = false
@@ -124,7 +127,7 @@ object ConnectedComponents {
           .select(col("nid").as("id"), col("component"))
           .localCheckpoint(false)
         val curSum = BigDecimal(
-          labels.agg(sum(col("component")).cast("decimal(38,0)")).head().getDecimal(0))
+          labels.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
         converged = curSum == prevSum
         prevSum = curSum
         iter += 1

@@ -39,7 +39,10 @@ object TextScores {
     val tb = toks.select(col("id").as("b"), col("token"))
     pairs
       .join(ta, "a").join(tb, Seq("b", "token")) // common tokens only
-      .join(broadcast(idf.select("token", "idf")), "token")
+      // no broadcast hint: the distinct-token table is unbounded (billions
+      // of rows on a web corpus — a forced broadcast would OOM the driver);
+      // AQE picks broadcast at runtime when the idf side is actually small
+      .join(idf.select("token", "idf"), "token")
       .groupBy("a", "b")
       .agg(sum(col("idf") * col("idf")).as("lerch_score"))
   }

@@ -53,11 +53,11 @@ object TrainingData {
       maxPerCluster: Int): DataFrame = {
     val x = assignments.select(col(idCol).as("id"), col(clusterCol).as("c"))
     val reps = x.groupBy("c").agg(min("id").as("rep"))
-    val w = Window.orderBy("rep") // over #clusters rows only (small)
-    val nextRep = reps
-      .withColumn("neg", coalesce(lead("rep", 1).over(w), first("rep").over(
-        Window.orderBy("rep").rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing))))
+    // cyclic successor of each cluster's rep in global rep order — at web
+    // scale cluster count ~ row count, so this runs through
+    // OrderedScan.cyclicLead (range-partitioned lead + boundary stitch),
+    // never an unpartitioned global window
+    val nextRep = OrderedScan.cyclicLead(reps, "rep", "neg")
       .select(col("c").as("cluster_id"), col("neg"))
     pairs(assignments, idCol, clusterCol, maxPerCluster)
       .join(nextRep, "cluster_id")

@@ -51,7 +51,15 @@ object DedupPipeline {
         cfg.numHashes, cfg.bands, cfg.rowsPerBand, cfg.seed))
       .withColumn("simhash", simhash64(phash_tokens(col("phash")), cfg.seed))
       .withColumn("content_hash", xxhash64(col("norm_text")))
-      .withColumn("nid", monotonically_increasing_id())
+      // dense join identity: CONTENT-derived (image_id is unique by input
+      // contract), so a recomputed partition — executor loss, cache eviction,
+      // resumed run — always regenerates the same nid. A generator like
+      // monotonically_increasing_id is nondeterministic under recomputation
+      // and would silently mis-associate the downstream joins at cluster
+      // scale. Collision odds over 64 bits are ~n^2/2^65 (~3% at 10^12 rows,
+      // negligible below); a collision can only merge two rows' signatures,
+      // never corrupt unrelated joins.
+      .withColumn("nid", xxhash64(col("id")))
   }
 
   /** (rep star edges, representative bucket rows) for one exact-identity
@@ -146,7 +154,12 @@ object DedupPipeline {
 /** @param features    per-row signatures (persisted)
   * @param dupPairs    verified duplicate pairs with evidence (rep pairs +
   *                    exact-identity star edges; cluster co-membership is the
-  *                    full transitive pair set)
+  *                    full transitive pair set). NOT persisted: a caller that
+  *                    materializes both `assignments` and `dupPairs` without a
+  *                    CheckpointStore recomputes the candidate+verify join for
+  *                    the second action (deterministic — features are cached —
+  *                    so this costs time, not correctness); pass a
+  *                    CheckpointStore to stage `verified_pairs` once
   * @param assignments final (image_id, cluster_id) */
 final case class DedupResult(
     features: DataFrame,

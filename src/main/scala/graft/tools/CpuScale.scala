@@ -5,8 +5,9 @@ import java.util.concurrent.Executors
 /** Pure-CPU thread-scaling calibration for the scaling probe: measures the
   * machine's (hypervisor's) effective core budget independent of Spark.
   * Result on the bench guest (32 "cores", Firecracker): linear to 16
-  * threads (3.93x from 4->16), only ~1.5x from 16->32 — which is why the
-  * north-rule probe compares local[4] vs local[16] (see Bench.scala).
+  * threads (3.93x from 4->16), only ~1.5x from 16->32 — which (with the
+  * memory-bandwidth inflation measured by ProbeDiag) is why the north-rule
+  * probe compares local[2] vs local[8] (see Bench.scala).
   * `runMain graft.tools.CpuScale` */
 object CpuScale {
   private def spin(iters: Long): Long = {

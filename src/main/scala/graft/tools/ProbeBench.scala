@@ -6,7 +6,7 @@ import graft.pipeline.DedupPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** North-rule scaling probe in isolation (Bench phase 2):
-  * `runMain graft.tools.ProbeBench <inputDir> [cpusCsv=8,32] [rounds=2]`. */
+  * `runMain graft.tools.ProbeBench <inputDir> [cpusCsv=32,8] [rounds=2]`. */
 object ProbeBench {
   private def session(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()

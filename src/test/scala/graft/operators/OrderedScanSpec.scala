@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class OrderedScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cumSums matches the single-partition window oracle") {
+    val df = (1 to 500).map(i => (i * 0.5 % 37, (i % 7).toLong, (i % 3).toLong))
+      .toDF("s", "v1", "v2")
+      .groupBy("s").agg(sum("v1").as("v1"), sum("v2").as("v2"))
+      .repartition(4) // arbitrary physical layout
+    val got = OrderedScan.cumSums(df, "s", Seq("v1" -> "c1", "v2" -> "c2"))
+      .select("s", "c1", "c2")
+      .collect().map(r => r.getDouble(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("c1", sum("v1").over(w)).withColumn("c2", sum("v2").over(w))
+      .select("s", "c1", "c2")
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1).toDouble, r.getLong(2).toDouble))).toMap
+
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (a, b)) =>
+      val (ga, gb) = got(k)
+      assert(math.abs(ga - a) < 1e-9 && math.abs(gb - b) < 1e-9, s"at s=$k")
+    }
+  }
+
+  test("cumSums handles fewer rows than partitions and empty input") {
+    val tiny = Seq((1.0, 5L)).toDF("s", "v")
+    val one = OrderedScan.cumSum(tiny, "s", "v", "c").select("c").as[Double].collect()
+    assert(one.toSeq == Seq(5.0))
+    val empty = OrderedScan.cumSum(tiny.limit(0), "s", "v", "c")
+    assert(empty.count() == 0)
+  }
+
+  test("cyclicLead matches the global lead-with-wrap oracle") {
+    val reps = Seq(10L, 3L, 77L, 42L, 5L, 100L, 61L).toDF("rep").repartition(3)
+    val got = OrderedScan.cyclicLead(reps, "rep", "neg")
+      .select("rep", "neg").as[(Long, Long)].collect().toMap
+    val sorted = Seq(3L, 5L, 10L, 42L, 61L, 77L, 100L)
+    val want = sorted.zip(sorted.tail :+ sorted.head).toMap
+    assert(got == want)
+  }
+
+  test("cyclicLead single row wraps to itself") {
+    val got = OrderedScan.cyclicLead(Seq(9L).toDF("rep"), "rep", "neg")
+      .select("rep", "neg").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((9L, 9L)))
+  }
+}
