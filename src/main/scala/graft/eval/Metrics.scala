@@ -159,9 +159,12 @@ object Metrics {
         Seq("tpg" -> "tp", "fpg" -> "fp"))
       .withColumn("precision", col("tp") / (col("tp") + col("fp")))
       .withColumn("recall", col("tp") / lit(pos))
+      // tp = 0 makes precision + recall = 0: define F-beta as 0 there
+      // (ANSI mode would otherwise throw on the 0/0)
       .withColumn("fbeta",
-        (lit(1 + b2) * col("precision") * col("recall")) /
-        (lit(b2) * col("precision") + col("recall")))
+        when(col("tp") === 0, lit(0.0)).otherwise(
+          (lit(1 + b2) * col("precision") * col("recall")) /
+          (lit(b2) * col("precision") + col("recall"))))
       .select(col(scoreCol).as("threshold"), col("precision"), col("recall"), col("fbeta"))
       .orderBy(col("fbeta").desc_nulls_last)
   }

@@ -1,0 +1,129 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Table-format abstraction (SURVEY.md section 7 step 1): the engine's
+ * contract is an Iceberg table of image+caption pairs (BASELINE.json
+ * input_hint), but the sandbox classpath carries no Iceberg jars — so every
+ * reader/writer goes through this trait, with a parquet-directory
+ * implementation providing the same read/write/upsert semantics the Iceberg
+ * implementation gets from `MERGE INTO` and snapshots.
+ *
+ * Reference analogue of `upsert`: the incremental index insert that adds only
+ * ids not already indexed (reference: ea/sim/main/methods/index/faiss.py:40-51).
+ */
+trait TableIO {
+
+  /** Read a table by name. */
+  def read(name: String): DataFrame
+
+  /** Replace a table's contents. */
+  def write(df: DataFrame, name: String): Unit
+
+  /** Append rows. */
+  def append(df: DataFrame, name: String): Unit
+
+  /**
+   * MERGE-style upsert: rows whose `keyCols` match an existing row replace
+   * it; all others insert. Idempotent: upserting the same frame twice leaves
+   * the table unchanged.
+   */
+  def upsert(df: DataFrame, name: String, keyCols: Seq[String]): Unit
+
+  def exists(name: String): Boolean
+}
+
+object TableIO {
+  /**
+   * Pick the backend for a location: a catalog namespace (`cat.db`) on a
+   * session whose extensions include Iceberg's gets the SQL `MERGE INTO`
+   * implementation; anything path-like falls back to parquet directories.
+   */
+  def resolve(spark: SparkSession, location: String): TableIO = {
+    val ext = spark.conf.get("spark.sql.extensions", "")
+    if (!location.contains("/") && ext.contains("IcebergSparkSessionExtensions"))
+      new IcebergTableIO(spark, location)
+    else new ParquetTableIO(spark, location)
+  }
+}
+
+/**
+ * Parquet-directory backend: table `name` lives at `$root/$name.parquet`
+ * (the TESTDATA.md layout). A name containing `/` is treated as a direct
+ * path. Upsert is implemented as anti-join + union with a write-then-swap so
+ * a crash mid-upsert never leaves a half-written table (the parquet analogue
+ * of Iceberg's atomic snapshot commit).
+ */
+final class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
+
+  private def path(name: String): String =
+    if (name.contains("/")) name else s"$root/$name.parquet"
+
+  private def fs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def read(name: String): DataFrame = spark.read.parquet(path(name))
+
+  override def write(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(name))
+
+  override def append(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(name))
+
+  override def upsert(df: DataFrame, name: String, keyCols: Seq[String]): Unit = {
+    if (!exists(name)) { write(df, name); return }
+    val existing = read(name)
+    // kept = existing rows not matched by an incoming key (MERGE's
+    // WHEN MATCHED THEN UPDATE collapses to replace-by-key)
+    val kept = existing.join(df.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
+    val merged = kept.unionByName(df.select(existing.columns.map(col): _*))
+    // write-then-swap: never overwrite in place while readers may exist
+    val tmp = new org.apache.hadoop.fs.Path(path(name) + "__tmp")
+    val dst = new org.apache.hadoop.fs.Path(path(name))
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val f = fs(dst)
+    f.delete(dst, true)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"upsert swap failed for ${path(name)}")
+  }
+
+  override def exists(name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    fs(p).exists(p)
+  }
+}
+
+/**
+ * Iceberg backend (requires Iceberg runtime jars + catalog config on the
+ * session; not loadable in this sandbox — covered by the parquet fallback's
+ * shared contract tests). Upsert maps 1:1 onto `MERGE INTO`.
+ */
+final class IcebergTableIO(spark: SparkSession, namespace: String) extends TableIO {
+
+  private def fqn(name: String) = s"$namespace.$name"
+
+  override def read(name: String): DataFrame = spark.table(fqn(name))
+
+  override def write(df: DataFrame, name: String): Unit =
+    df.writeTo(fqn(name)).createOrReplace()
+
+  override def append(df: DataFrame, name: String): Unit =
+    df.writeTo(fqn(name)).append()
+
+  override def upsert(df: DataFrame, name: String, keyCols: Seq[String]): Unit = {
+    if (!exists(name)) { write(df, name); return }
+    val view = s"__upsert_src_${name.replaceAll("\\W", "_")}"
+    df.createOrReplaceTempView(view)
+    val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+    spark.sql(
+      s"""MERGE INTO ${fqn(name)} t USING $view s ON $on
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.catalog.dropTempView(view)
+  }
+
+  override def exists(name: String): Boolean = spark.catalog.tableExists(fqn(name))
+}

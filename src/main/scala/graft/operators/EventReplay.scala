@@ -60,6 +60,20 @@ object EventReplay {
   }
 
   /**
+   * Cross-issue unique member listing, prefix semantics: per (issue, content
+   * hash), only the chronologically-first member is listed — later events
+   * with an already-seen hash inside the same issue are suppressed
+   * (reference: ea/sim/main/data/buckets/stack_state_model.py:25-47, the
+   * `unique=True` hash dedup of issue members).
+   */
+  def uniqueMembers(events: DataFrame, issueCol: String, hashCol: String,
+      orderCol: String): DataFrame =
+    events.withColumn("__mn",
+        min(col(orderCol)).over(Window.partitionBy(issueCol, hashCol)))
+      .where(col(orderCol) === col("__mn"))
+      .drop("__mn")
+
+  /**
    * As-of candidate counts under the retention window: for each admitted
    * event, how many prior events fall within `forgetDays`
    * (reference forget_days retention, ea/sim/main/data/buckets/issues_selector.py:17-48,

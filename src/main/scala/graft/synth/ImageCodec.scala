@@ -42,8 +42,39 @@ object ImageCodec {
     bos.toByteArray
   }
 
-  def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(bytes))
+  // ImageIO.read performs synchronized IIORegistry/ServiceRegistry lookups
+  // on EVERY call; at ~600k decodes that serializes tens of seconds of lock
+  // time across all executor threads (measured: a ~30s ingest component
+  // constant across 2 and 8 cores — the signature of a serialized section).
+  // Readers are not thread-safe, so cache one per (thread, format) and
+  // dispatch on the payload's magic bytes; unknown formats fall back to the
+  // registry path.
+  private val pngReader: ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial(() => ImageIO.getImageReadersByFormatName("png").next())
+  private val jpgReader: ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial(() => ImageIO.getImageReadersByFormatName("jpg").next())
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  private def isJpg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
+
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val reader =
+      if (isPng(bytes)) pngReader.get()
+      else if (isJpg(bytes)) jpgReader.get()
+      else return ImageIO.read(new ByteArrayInputStream(bytes))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally {
+      reader.setInput(null)
+      iis.close()
+    }
+  }
 
   def toRgb(img: BufferedImage): BufferedImage = {
     if (img.getType == BufferedImage.TYPE_3BYTE_BGR) return img

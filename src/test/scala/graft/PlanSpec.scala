@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan assertions: the queries must not only be correct, they must
+ * produce the plan you'd want at 100x the data — broadcasts for small dims,
+ * filter pushdown into the parquet scan, equi-joins (never nested-loop) for
+ * the as-of harness, and no single-partition global windows anywhere.
+ */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q04: small dimension tables broadcast") {
+    val p = planOf(SparkEntry.queries("q04_brand_volume")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q02: time-slice predicate pushed into the parquet scan") {
+    val p = SparkEntry.queries("q02_time_slice")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts)"), p.take(2000))
+  }
+
+  test("q34: regex prefilter still prunes columns at the scan") {
+    val df = SparkEntry.queries("q34_regex_filter")(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+    // only doc_id + text must be read, not the full documents schema
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      scan.take(2000))
+  }
+
+  test("q37: the as-of harness plans equi-joins, never a nested loop") {
+    val p = planOf(SparkEntry.queries("q37_event_ranking")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in as-of plan")
+    assert(!p.contains("CartesianProduct"), "cartesian product in as-of plan")
+  }
+
+  test("metrics sweeps contain no unpartitioned window") {
+    import spark.implicits._
+    val scored = (1 to 200).map(i => (i * 0.37 % 11, i % 3 == 0))
+      .toDF("score", "is_new")
+    val df = graft.eval.Metrics.fBetaSweep(scored, "score", "is_new", 1.0)
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
+  }
+
+  test("training triplets contain no unpartitioned window") {
+    import spark.implicits._
+    val asg = (1 to 100).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "c")
+    val df = graft.operators.TrainingData.triplets(asg, "id", "c", 2)
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
+  }
+}

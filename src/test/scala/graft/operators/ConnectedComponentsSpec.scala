@@ -19,9 +19,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def runCC(edges: Seq[(Long, Long)], partitions: Int = 4): Map[Long, Long] =
+  private def runCC(edges: Seq[(Long, Long)], partitions: Int = 4,
+      localThreshold: Long = 2000000L): Map[Long, Long] =
     ConnectedComponents.run(
-      spark.createDataset(edges).repartition(partitions).toDF("src", "dst"))
+      spark.createDataset(edges).repartition(partitions).toDF("src", "dst"),
+      localThreshold = localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("simple chain collapses to min") {
@@ -32,19 +34,28 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got(4L) == 1L && got(11L) == 10L)
   }
 
-  test("random graphs match union-find oracle") {
+  test("random graphs match union-find oracle (local AND distributed paths)") {
     val rng = new scala.util.Random(42)
-    for (trial <- 0 until 5) {
+    for (trial <- 0 until 5; threshold <- Seq(2000000L, 0L)) {
       val n = 80
       val edges = Seq.fill(70)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       val oracle = ufComponents(edges)
-      val got = runCC(edges)
+      val got = runCC(edges, localThreshold = threshold)
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       nodes.foreach { v =>
-        assert(got.getOrElse(v, v) == oracle(v), s"trial=$trial node=$v")
+        assert(got.getOrElse(v, v) == oracle(v),
+          s"trial=$trial threshold=$threshold node=$v")
       }
     }
+  }
+
+  test("local and distributed paths produce identical labelings") {
+    val rng = new scala.util.Random(11)
+    val edges = Seq.fill(150)((rng.nextInt(100).toLong, rng.nextInt(100).toLong))
+      .filter { case (a, b) => a != b }
+    assert(runCC(edges, localThreshold = 2000000L) ==
+      runCC(edges, localThreshold = 0L))
   }
 
   test("result independent of input partitioning and row order") {
@@ -60,5 +71,8 @@ class ConnectedComponentsSpec extends SparkSpec {
     val path = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
     val got = runCC(path)
     assert((0L until 200L).forall(v => got.getOrElse(v, v) == 0L))
+    // same topology through the distributed star-fallback loop
+    val gotDist = runCC(path, localThreshold = 0L)
+    assert((0L until 200L).forall(v => gotDist.getOrElse(v, v) == 0L))
   }
 }
