@@ -148,7 +148,10 @@ object Bench {
     // run the LOW-parallelism leg last: JIT is warmest by then, which can
     // only deflate (never inflate) the reported efficiency.
     val t32 = leg(32, inputDir, rounds = 1) // whole-machine context leg
-    val t8 = leg(8, inputDir, rounds = 3)
+    // the 8-core leg shows ~3x the round-to-round variance of the 2-core leg
+    // on this guest (hypervisor scheduling): one extra sample there makes the
+    // min estimator comparably stable across legs at ~2min extra cost
+    val t8 = leg(8, inputDir, rounds = 4)
     val t2 = leg(2, inputDir, rounds = 3)
 
     val thr = Map(32 -> nImages / t32, 8 -> nImages / t8, 2 -> nImages / t2)
