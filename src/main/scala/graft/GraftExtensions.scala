@@ -1,0 +1,140 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.Decimal
+
+/**
+ * SparkSessionExtensions entry point: registers every graft signature kernel
+ * as a native SQL function, so the whole engine surface is reachable from
+ * plain `spark.sql(...)` (and spark-submit `--conf
+ * spark.sql.extensions=graft.GraftExtensions`) — the idiomatic Spark way to
+ * ship third-party Catalyst expressions to a cluster.
+ *
+ * The builders produce the same codegen'd expressions the Column API uses
+ * ([[graft.functions.GraftExpressions]]); static parameters (k, bands, seed…)
+ * arrive as foldable SQL literals and are evaluated at resolution time.
+ *
+ * Reference analogue: the coder/method registry the reference wires by hand in
+ * ea/sim/dev/scripts/training/training/common.py:47-74 — here it is one
+ * extensions hook instead of an object graph.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Register the same functions into an already-running session (notebooks,
+    * tests — anywhere the session predates the library on the classpath). */
+  def register(spark: SparkSession): Unit = registrations.foreach {
+    case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+
+  private def intOf(e: Expression, fn: String, what: String): Int = {
+    require(e.foldable, s"$fn: $what must be a literal")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+  }
+
+  private def longOf(e: Expression, fn: String, what: String): Long =
+    intOf(e, fn, what).toLong
+
+  private def arity(fn: String, args: Seq[Expression], min: Int, max: Int): Unit =
+    require(args.size >= min && args.size <= max,
+      s"$fn expects $min..$max arguments, got ${args.size}")
+
+  private def seedArg(fn: String, args: Seq[Expression], at: Int): Long =
+    if (args.size > at) longOf(args(at), fn, "seed") else 42L
+
+  private def desc(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    reg("graft_shingles", "graft_shingles(tokens, k[, seed]) - k-shingle hashes") { args =>
+      arity("graft_shingles", args, 2, 3)
+      ShingleHashes(args.head, intOf(args(1), "graft_shingles", "k"),
+        seedArg("graft_shingles", args, 2))
+    },
+    reg("graft_minhash", "graft_minhash(shingles, numHashes[, seed]) - MinHash signature") { args =>
+      arity("graft_minhash", args, 2, 3)
+      MinHashSignature(args.head, intOf(args(1), "graft_minhash", "numHashes"),
+        seedArg("graft_minhash", args, 2))
+    },
+    reg("graft_simhash64", "graft_simhash64(tokenHashes[, seed]) - 64-bit SimHash") { args =>
+      arity("graft_simhash64", args, 1, 2)
+      SimHash64(args.head, seedArg("graft_simhash64", args, 1))
+    },
+    reg("graft_band_keys", "graft_band_keys(sig, bands, rowsPerBand[, seed]) - LSH band keys") { args =>
+      arity("graft_band_keys", args, 3, 4)
+      LshBandKeys(args.head, intOf(args(1), "graft_band_keys", "bands"),
+        intOf(args(2), "graft_band_keys", "rowsPerBand"),
+        seedArg("graft_band_keys", args, 3))
+    },
+    reg("graft_minhash_band_keys",
+        "graft_minhash_band_keys(shingles, numHashes, bands, rowsPerBand[, seed]) - fused MinHash+LSH") { args =>
+      arity("graft_minhash_band_keys", args, 4, 5)
+      MinHashBandKeys(args.head, intOf(args(1), "graft_minhash_band_keys", "numHashes"),
+        intOf(args(2), "graft_minhash_band_keys", "bands"),
+        intOf(args(3), "graft_minhash_band_keys", "rowsPerBand"),
+        seedArg("graft_minhash_band_keys", args, 4))
+    },
+    reg("graft_jaccard", "graft_jaccard(a, b) - exact Jaccard of two hash arrays") { args =>
+      arity("graft_jaccard", args, 2, 2)
+      JaccardSim(args.head, args(1))
+    },
+    reg("graft_lcs_length", "graft_lcs_length(a, b[, maxLen]) - longest-common-substring length") { args =>
+      arity("graft_lcs_length", args, 2, 3)
+      LcsLength(args.head, args(1),
+        if (args.size > 2) intOf(args(2), "graft_lcs_length", "maxLen") else 2000)
+    },
+    reg("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float vectors") { args =>
+      arity("graft_cosine", args, 2, 2)
+      CosineSim(args.head, args(1))
+    },
+    reg("graft_srp_bucket", "graft_srp_bucket(vec, bits[, seed]) - sign-random-projection bucket") { args =>
+      arity("graft_srp_bucket", args, 2, 3)
+      SrpBucket(args.head, intOf(args(1), "graft_srp_bucket", "bits"),
+        seedArg("graft_srp_bucket", args, 2))
+    },
+    reg("graft_phash_tokens", "graft_phash_tokens(phash) - positional byte-gram tokens") { args =>
+      arity("graft_phash_tokens", args, 1, 1)
+      PhashTokens(args.head)
+    },
+    reg("graft_fingerprint", "graft_fingerprint(s[, seed]) - rolling polynomial fingerprint") { args =>
+      arity("graft_fingerprint", args, 1, 2)
+      RollingFingerprint(args.head, seedArg("graft_fingerprint", args, 1))
+    },
+    reg("graft_fast_align",
+        "graft_fast_align(tokensA, tokensB[, gamma[, alpha]]) - FaST positional alignment score") { args =>
+      arity("graft_fast_align", args, 2, 4)
+      def dblOf(e: Expression, what: String): Double = {
+        require(e.foldable, s"graft_fast_align: $what must be a literal")
+        e.eval() match {
+          case d: Double     => d
+          case f: Float      => f.toDouble
+          case dec: Decimal  => dec.toDouble
+          case i: Int        => i.toDouble
+          case l: Long       => l.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_fast_align: $what must be a numeric literal, got $other")
+        }
+      }
+      FastAlign(args.head, args(1),
+        if (args.size > 2) dblOf(args(2), "gamma") else 1.0,
+        if (args.size > 3) dblOf(args(3), "alpha") else 0.0)
+    })
+
+  private def reg(name: String, usage: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (FunctionIdentifier(name), desc(name, usage), builder)
+}

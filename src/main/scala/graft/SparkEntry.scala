@@ -583,6 +583,31 @@ object SparkEntry {
         .select(round(col("recall"), 6).as("recall"),
           round(col("precision"), 6).as("precision"),
           col("oracle_pairs"), col("predicted_pairs"), col("matched_pairs"))
+    }),
+
+    "q46_ngram_jaccard_exact" -> ((s, d) => {
+      // EXACT prefix-filtered n-gram Jaccard join (AllPairs family): same
+      // corpus + threshold as q15, but zero recall loss by construction — the
+      // result must equal the brute-force oracle pair-for-pair
+      Dedup.ngramJaccardPairs(docsWithNearDups(s, d), "doc_id", "text",
+          DedupConfig.default)
+        .select("a", "b").orderBy("a", "b")
+    }),
+
+    "q47_ivf_ann_rank1" -> ((s, d) => {
+      // IVF top-k (Ann.ivfTopK) on corpus + exact copies: a copy is assigned
+      // to its original's cell (identical vector, deterministic tie-break)
+      // and always probes that cell first, so rank 1 is the cosine-1.0
+      // original — enumerable oracle exercising the full quantize/probe path
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val corpus = emb.unionByName(
+        emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val queriesDf = corpus.where(col("vec_id") >= 100000)
+      Ann.ivfTopK(corpus, queriesDf, "vec_id", "embedding", k = 3,
+          nlist = 16, nProbe = 4)
+        .where(col("rank") === 1)
+        .select("query_id", "item_id", "rank")
+        .orderBy("query_id")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -1007,5 +1032,29 @@ object SparkEntry {
          SELECT round(hit * 1.0 / oc, 6) AS recall,
            round(hit * 1.0 / pc, 6) AS precision,
            oc AS oracle_pairs, pc AS predicted_pairs, hit AS matched_pairs
-         FROM counts""")
+         FROM counts""",
+
+    "q46_ngram_jaccard_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
+         toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM corpus),
+         tris AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tset FROM toks),
+         posting AS (SELECT doc_id, unnest(tset) AS tri FROM tris),
+         inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS ic
+           FROM posting p1 JOIN posting p2
+             ON p1.tri = p2.tri AND p1.doc_id < p2.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(tset) AS n FROM tris)
+         SELECT a, b FROM inter
+         JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5 ORDER BY a, b""",
+
+    "q47_ivf_ann_rank1" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS item_id, 1 AS rank
+         FROM embeddings ORDER BY query_id""")
 }

@@ -168,6 +168,23 @@ case class PhashTokens(child: Expression)
     copy(child = newChild)
 }
 
+/** (array<string>, array<string>) -> double FaST positional alignment score
+  * (was the surface's one Scala UDF; now codegen'd like every other kernel). */
+case class FastAlign(left: Expression, right: Expression,
+    gamma: Double, alpha: Double) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fast_align"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.fastAlignData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      gamma, alpha)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.fastAlignData($a, $b, ${gamma}D, ${alpha}D)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FastAlign =
+    copy(left = l, right = r)
+}
+
 /** string -> long rolling polynomial fingerprint. */
 case class RollingFingerprint(child: Expression, seed: Long)
     extends UnaryExpression {

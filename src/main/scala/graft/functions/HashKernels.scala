@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Deterministic, dependency-free hash kernels shared by
@@ -305,6 +306,47 @@ object HashKernels {
 
   def srpBucketData(v: ArrayData, bits: Int, seed: Long): Long =
     srpBucket(v.toFloatArray(), bits, seed)
+
+  /**
+   * FaST-style positional alignment score over two token arrays
+   * (reference: ea/sim/main/methods/classic/fast.py:49-133): positional
+   * weights w(pos) = (pos+1)^-alpha; a token common to both docs contributes
+   * (w(posA) + w(posB)) * exp(-gamma * |posA - posB|) at its FIRST occurrence
+   * in each doc; normalized by the total weight mass of both docs. The
+   * reference's df damping term is applied upstream as a join (it needs the
+   * corpus df table), keeping this kernel a pure per-pair function.
+   */
+  def fastAlignData(a: ArrayData, b: ArrayData, gamma: Double, alpha: Double): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    // first-occurrence position per token (walk backwards so index 0 wins)
+    val pa = new java.util.HashMap[UTF8String, Integer](na * 2)
+    var i = na - 1
+    while (i >= 0) { pa.put(a.getUTF8String(i), i); i -= 1 }
+    val pb = new java.util.HashMap[UTF8String, Integer](nb * 2)
+    i = nb - 1
+    while (i >= 0) { pb.put(b.getUTF8String(i), i); i -= 1 }
+    @inline def w(pos: Int): Double =
+      if (alpha == 0.0) 1.0 else math.pow(pos + 1.0, -alpha)
+    var score = 0.0
+    val it = pa.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val j = pb.get(e.getKey)
+      if (j != null) {
+        val ia = e.getValue.intValue()
+        score += (w(ia) + w(j.intValue())) *
+          math.exp(-gamma * math.abs(ia - j.intValue()))
+      }
+    }
+    var norm = 0.0
+    i = 0
+    while (i < na) { norm += w(i); i += 1 }
+    i = 0
+    while (i < nb) { norm += w(i); i += 1 }
+    if (norm == 0.0) 0.0 else score / norm
+  }
 
   /** Rolling polynomial fingerprint of a string (document fingerprinting). */
   def rollingFingerprint(s: String, seed: Long): Long = {

@@ -39,6 +39,107 @@ object Ann {
    * scales with bucket occupancy, not corpus size. Recall is tunable via
    * (srpBits down, tables up).
    */
+  /**
+   * IVF (inverted-file) top-k — the FAISS `IndexIVFFlat` shape
+   * (reference: ea/sim/main/methods/index/faiss.py:10-83) as a declarative
+   * plan: the corpus is coarsely quantized into `nlist` cells around sampled
+   * centroids; each query scores only its `nProbe` most-similar cells, so
+   * scored-candidate volume is ~ corpus * nProbe / nlist per query instead of
+   * the full corpus.
+   *
+   * Centroids are a deterministic hash-order sample of the corpus
+   * (`TakeOrderedAndProject` — per-partition top-nlist then driver merge, no
+   * full sort shuffle; content-derived order, so re-runs pick identical
+   * centroids). A Lloyd refinement is a drop-in: the assignment plan below is
+   * exactly the k-means E-step. Cell assignment is a broadcast cross join
+   * (nlist is small by construction) collapsed by `max_by` — one shuffle on
+   * item_id; the probe join is an equi-join on the cell key.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 64, nProbe: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
+    ivfSearch(c, queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      sampleCentroids(c, nlist), k, nProbe)
+  }
+
+  /** [[ivfTopK]] against caller-supplied centroids (e.g. [[kmeansCentroids]]
+    * output, or a persisted centroid table maintained across corpus
+    * snapshots — the index artifact the reference stores via FAISS,
+    * ea/sim/main/methods/index/faiss.py:40-51). */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
+    ivfSearch(corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      centroids.select("cent_id", "centv"), k, nProbe)
+
+  /**
+   * Distributed Lloyd refinement of the IVF coarse quantizer: E-step is the
+   * same broadcast assignment plan the search uses; M-step recomputes each
+   * cell's mean via posexplode + groupBy(cell, dim). Two shuffles per
+   * iteration; centroids (k * dim floats — tiny by construction) round-trip
+   * through the driver each iteration, which truncates lineage and is exactly
+   * how you'd persist the quantizer artifact between corpus snapshots.
+   * Deterministic: hash-ordered init + deterministic tie-breaks.
+   */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
+    var cents = sampleCentroids(c, nlist)
+    for (_ <- 0 until iters) {
+      val means = assignCells(c, broadcast(cents))
+        .select(col("cell"), posexplode(col("cv")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .groupBy("cell")
+        .agg(collect_list(struct(col("pos"), col("m"))).as("dims"))
+        .select(col("cell").as("cent_id"),
+          transform(array_sort(col("dims")), s => s("m").cast("float")).as("centv"))
+      // driver round-trip: k rows, truncates the per-iteration lineage
+      val rows = means.collect()
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), means.schema)
+    }
+    cents
+  }
+
+  /** Deterministic hash-order sample of nlist corpus vectors as initial
+    * centroids: TakeOrderedAndProject (per-partition top-nlist + driver
+    * merge), no full sort shuffle; content-derived order, so re-runs pick
+    * identical centroids. */
+  private def sampleCentroids(c: DataFrame, nlist: Int): DataFrame =
+    c.orderBy(xxhash64(col("item_id")), col("item_id")).limit(nlist)
+      .select(col("item_id").as("cent_id"), col("cv").as("centv"))
+
+  /** E-step: nearest-centroid cell per item (broadcast cross join collapsed
+    * by max_by with a deterministic tie-break) — one shuffle on item_id. */
+  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame =
+    c.crossJoin(cents)
+      .withColumn("sim", cosine_sim(col("cv"), col("centv")))
+      .groupBy("item_id")
+      .agg(max_by(col("cent_id"), struct(col("sim"), col("cent_id"))).as("cell"),
+        first(col("cv")).as("cv"))
+
+  private def ivfSearch(c: DataFrame, q: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(centroids)
+    val assigned = assignCells(c, cents)
+    val probes = q.crossJoin(cents)
+      .withColumn("sim", cosine_sim(col("qv"), col("centv")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cent_id"))))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    probes.join(assigned, "cell")
+      .where(col("query_id") =!= col("item_id"))
+      .withColumn("cosine", cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "item_id", "cosine", "rank")
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       srpBits: Int = 10, tables: Int = 8, seed: Long = 42L): DataFrame = {

@@ -83,6 +83,58 @@ object Dedup {
   }
 
   /**
+   * EXACT n-gram Jaccard similarity self-join at scale — prefix filtering
+   * (the AllPairs/PPJoin family, Bayardo/Ma/Srikant WWW'07): with each doc's
+   * distinct shingles ordered by a global total order, any pair with
+   * Jaccard >= t must share at least one shingle inside each side's first
+   * `n - ceil(t*n) + 1` elements. Exploding only that prefix bounds candidate
+   * generation far below a full posting-list join while keeping the result
+   * exact — unlike [[minhashLshPairs]] there is no probabilistic recall loss.
+   *
+   * The global order is ascending document frequency (rarest shingles first),
+   * the classic AllPairs choice: prefixes then hold the least-collliding keys,
+   * so candidate volume tracks true-pair volume. Costs one extra df
+   * aggregation; all joins are equi-joins on long keys (AQE handles residual
+   * skew on boilerplate shingles). The per-doc ordering window partitions by
+   * doc id — no global window.
+   *
+   * Reference analogue: same verify semantics as the hash-unique + n-gram
+   * similarity listing (ea/sim/main/data/duplicates.py:21-41) but as one
+   * declarative plan.
+   */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig): DataFrame = {
+    val t = cfg.jaccardMin
+    val feat = docs.select(col(idCol).as("id"),
+        array_distinct(
+          shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = feat.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+    val dfreq = posting.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = posting.join(dfreq, "g")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("g"))))
+      .where(col("rn") <= col("n") - ceil(col("n") * t).cast("int") + 1)
+      .select("id", "n", "g")
+    // candidate pairs share a prefix shingle; length filter prunes pairs whose
+    // size ratio alone already caps Jaccard below t
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.g") === col("pb.g") && col("pa.id") < col("pb.id") &&
+        col("pb.n") >= ceil(col("pa.n") * t) &&
+        col("pa.n") >= ceil(col("pb.n") * t))
+      .select(col("pa.id").as("a"), col("pb.id").as("b"))
+      .distinct()
+    val fa = feat.select(col("id").as("a"), col("sh").as("sh_a"))
+    val fb = feat.select(col("id").as("b"), col("sh").as("sh_b"))
+    cand.join(fa, "a").join(fb, "b")
+      .withColumn("jaccard", jaccard_sim(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= t)
+      .select("a", "b", "jaccard")
+  }
+
+  /**
    * Brute-force n-gram Jaccard pairs — the exact oracle for the LSH variants
    * (small inputs only: O(n^2) via self-join; the golden recall gate compares
    * [[minhashLshPairs]] against this at identical config,

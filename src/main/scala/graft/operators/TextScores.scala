@@ -78,11 +78,14 @@ object TextScores {
     if (norm == 0.0) 0.0 else score / norm
   }
 
-  /** fastAlignScore as a column (Scala UDF — pair scorer, not a hot path). */
+  /** fastAlignScore as a column — a codegen'd Catalyst expression
+    * ([[graft.functions.FastAlign]]), bit-identical to [[fastAlignScore]]
+    * with empty df (the df damping joins in upstream when wanted). */
   def fast_align(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-      gamma: Double = 1.0): org.apache.spark.sql.Column = {
-    val f = udf((x: Seq[String], y: Seq[String]) =>
-      fastAlignScore(x.toArray, y.toArray, gamma = gamma))
-    f(a, b)
-  }
+      gamma: Double = 1.0): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.FastAlign(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b),
+        gamma, alpha = 0.0))
 }

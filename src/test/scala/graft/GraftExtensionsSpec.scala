@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-function surface: the same codegen'd kernels reachable from plain SQL,
+  * both via runtime registration and via the SparkSessionExtensions hook. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("register exposes every kernel as a SQL function") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+           graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L))      AS jac,
+           graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F))       AS cos,
+           graft_lcs_length('hello world', 'say hello')             AS lcs,
+           size(graft_minhash(array(7L, 8L, 9L), 16))               AS sig_n,
+           size(graft_band_keys(graft_minhash(array(7L), 16), 4, 4)) AS bands_n,
+           size(graft_shingles(array('a','b','c','d'), 3))          AS sh_n,
+           graft_simhash64(array(5L, 6L))                           AS sim,
+           size(graft_phash_tokens(81985529216486895L))             AS ph_n,
+           graft_fingerprint('abc')                                 AS fp,
+           graft_srp_bucket(array(0.5F, -0.5F), 8)                  AS srp
+        """).head()
+    assert(row.getAs[Double]("jac") === 0.5)
+    assert(row.getAs[Double]("cos") === 1.0)
+    assert(row.getAs[Int]("lcs") === 5)
+    assert(row.getAs[Int]("sig_n") === 16)
+    assert(row.getAs[Int]("bands_n") === 4)
+    assert(row.getAs[Int]("sh_n") === 2)
+    assert(row.getAs[Int]("ph_n") === 8)
+    assert(row.getAs[Long]("fp") !== 0L)
+  }
+
+  test("SQL results agree with the Column API on real captions") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq("the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs")
+      .toDF("caption").createOrReplaceTempView("ext_caps")
+    val viaSql = spark.sql(
+      """SELECT graft_simhash64(graft_shingles(split(caption, ' '), 3)) AS s,
+                graft_minhash(graft_shingles(split(caption, ' '), 3), 32) AS m
+         FROM ext_caps""").collect()
+    val viaCol = spark.table("ext_caps").select(
+      graft.functions.simhash64(
+        graft.functions.shingle_hashes(
+          org.apache.spark.sql.functions.split($"caption", " "), 3)).as("s"),
+      graft.functions.minhash_signature(
+        graft.functions.shingle_hashes(
+          org.apache.spark.sql.functions.split($"caption", " "), 3), 32).as("m"))
+      .collect()
+    assert(viaSql.map(_.getLong(0)).toSeq === viaCol.map(_.getLong(0)).toSeq)
+    assert(viaSql.map(_.getSeq[Long](1)).toSeq === viaCol.map(_.getSeq[Long](1)).toSeq)
+  }
+
+  test("non-literal static parameter is rejected at resolution") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1L), cast(rand() * 4 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.toLowerCase.contains("foldable"))
+  }
+
+  test("extensions hook injects the functions into a fresh session") {
+    // Reuse the shared SparkContext but build a NEW session through the
+    // public extensions path (Builder.withExtensions), then restore the
+    // shared session as active/default for the other suites.
+    val base = spark
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val fresh = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(fresh ne base)
+      val jac = fresh.sql("SELECT graft_jaccard(array(1L,2L), array(1L,2L)) AS j")
+        .head().getAs[Double]("j")
+      assert(jac === 1.0)
+      // DESCRIBE FUNCTION resolves through the injected ExpressionInfo
+      val descr = fresh.sql("DESCRIBE FUNCTION graft_minhash").collect().mkString
+      assert(descr.contains("graft_minhash"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

@@ -53,6 +53,26 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
   }
 
+  test("q46: exact jaccard join plans no cartesian and no unpartitioned window") {
+    val df = SparkEntry.queries("q46_ngram_jaccard_exact")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), "cartesian product in exact-jaccard plan")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
+  }
+
+  test("q47: ivf centroid sample takes top-k without a global sort shuffle") {
+    val df = SparkEntry.queries("q47_ivf_ann_rank1")(spark, dir)
+    val p = planOf(df)
+    // the nlist-row centroid table must come from TakeOrderedAndProject (per-
+    // partition top-k + driver merge) and be broadcast to both cross joins
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroids not broadcast")
+  }
+
   test("training triplets contain no unpartitioned window") {
     import spark.implicits._
     val asg = (1 to 100).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "c")

@@ -32,6 +32,76 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivf top-k with full probe equals exact brute force") {
+    // probing every cell removes the approximation: result must match the
+    // exact baseline row-for-row (same tie-break)
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .select("query_id", "item_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Ann.ivfTopK(df, queries, "vec_id", "embedding", 10,
+      nlist = 8, nProbe = 8)
+      .select("query_id", "item_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == exact,
+      s"missing=${(exact diff ivf).take(5)} extra=${(ivf diff exact).take(5)}")
+  }
+
+  test("ivf top-k achieves decent recall@10 at partial probe") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" < 20)
+    val exact = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(df, queries, "vec_id", "embedding", 10,
+      nlist = 16, nProbe = 6)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("ivf assignment is deterministic across reruns") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" < 10)
+    def run() = Ann.ivfTopK(df, queries, "vec_id", "embedding", 5,
+        nlist = 16, nProbe = 3)
+      .select("query_id", "item_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(run() == run())
+  }
+
+  test("kmeans-refined centroids: deterministic, full probe stays exact") {
+    val df = vecs.toDF("vec_id", "embedding")
+    def train() = Ann.kmeansCentroids(df, "vec_id", "embedding", nlist = 8, iters = 2)
+    val cents = train()
+    assert(cents.collect().map(_.toString).sorted.toSeq ==
+      train().collect().map(_.toString).sorted.toSeq, "kmeans not deterministic")
+    val queries = df.where($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .select("query_id", "item_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Ann.ivfTopKWith(df, queries, cents, "vec_id", "embedding", 10,
+      nProbe = 8) // probes every cell -> approximation removed
+    val got = ivf.select("query_id", "item_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exact,
+      s"missing=${(exact diff got).take(5)} extra=${(got diff exact).take(5)}")
+  }
+
+  test("kmeans-refined partial probe matches sampled-centroid recall or better") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" < 20)
+    val exact = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val s = res.select("query_id", "item_id").as[(Long, Long)].collect().toSet
+      (exact intersect s).size.toDouble / exact.size
+    }
+    val sampled = recallOf(Ann.ivfTopK(df, queries, "vec_id", "embedding", 10,
+      nlist = 16, nProbe = 4))
+    val cents = Ann.kmeansCentroids(df, "vec_id", "embedding", nlist = 16, iters = 3)
+    val trained = recallOf(Ann.ivfTopKWith(df, queries, cents, "vec_id", "embedding",
+      10, nProbe = 4))
+    assert(trained >= sampled - 0.05, s"trained=$trained sampled=$sampled")
+    assert(trained >= 0.7, s"trained recall too low: $trained")
+  }
+
   test("lsh top-k achieves decent recall@10 vs exact") {
     val df = vecs.toDF("vec_id", "embedding")
     val queries = df.where($"vec_id" < 20)

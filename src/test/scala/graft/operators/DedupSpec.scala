@@ -60,6 +60,34 @@ class DedupSpec extends SparkSpec {
     assert(got == expect, s"missing=${(expect diff got).take(5)} extra=${(got diff expect).take(5)}")
   }
 
+  test("prefix-filtered exact n-gram Jaccard equals brute force pair-for-pair") {
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", cfg)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val expect = Dedup.bruteForceJaccardPairs(docs, "doc_id", "text", cfg)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(expect.nonEmpty, "oracle produced no dup pairs — corpus broken")
+    assert(got.keySet == expect.keySet,
+      s"missing=${(expect.keySet diff got.keySet).take(5)} " +
+      s"extra=${(got.keySet diff expect.keySet).take(5)}")
+    got.foreach { case (k, j) => assert(j == expect(k), s"jaccard differs at $k") }
+  }
+
+  test("prefix-filtered exact join is exact at a lower threshold too") {
+    // threshold change moves both the prefix length and the verify gate;
+    // result must stay identical to brute force
+    val low = cfg.copy(jaccardMin = 0.3)
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", low)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expect = Dedup.bruteForceJaccardPairs(docs, "doc_id", "text", low)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == expect,
+      s"missing=${(expect diff got).take(5)} extra=${(got diff expect).take(5)}")
+  }
+
   test("exact dedup keeps min id per identical text") {
     val docs = Seq((5L, "x y z"), (2L, "x y z"), (9L, "a b c"), (1L, "q"))
       .toDF("doc_id", "text")

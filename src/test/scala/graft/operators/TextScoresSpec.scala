@@ -39,6 +39,23 @@ class TextScoresSpec extends SparkSpec {
     assert(shifted > 0.0 && shifted < same)
   }
 
+  test("fast_align column (codegen'd expression) matches the driver kernel") {
+    val cases = Seq(
+      (Array("a", "b", "c"), Array("a", "b", "c")),
+      (Array("a", "b"), Array("x", "y")),
+      (Array("a", "b", "c"), Array("x", "a", "b")),
+      (Array("a", "a", "b"), Array("b", "a")), // repeated tokens: first pos wins
+      (Array.empty[String], Array("z")))
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i, a.toSeq, b.toSeq) }.toDF("i", "ta", "tb")
+    val got = df.select($"i", TextScores.fast_align($"ta", $"tb").as("s"))
+      .as[(Int, Double)].collect().toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(got(i) - TextScores.fastAlignScore(a, b)) < 1e-12,
+        s"case $i: got=${got(i)} want=${TextScores.fastAlignScore(a, b)}")
+    }
+  }
+
   test("bootstrap CI: deterministic, brackets the mean, partitioning-independent") {
     val scores = (1 to 200).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "s")
     val r1 = Metrics.bootstrapCI(scores, "s", "id").head()
