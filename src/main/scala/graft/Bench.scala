@@ -129,8 +129,13 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try materialize(fn(spark, smallDir)) catch { case _: Throwable => () }
     }
+    // min of two timed passes per query: same robust-min estimator the probe
+    // legs use — the hypervisor's steal-time windows otherwise show up as
+    // multi-x noise on individual sub-second queries
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try timed(materialize(fn(spark, sfDir)))
+      val sec = try math.min(
+          timed(materialize(fn(spark, sfDir))),
+          timed(materialize(fn(spark, sfDir))))
         catch { case _: Throwable => -1.0 }
       name -> sec
     }
@@ -181,7 +186,8 @@ object Bench {
          |
          |## Query suite (sf dir: $sfDir, local[$cpus])
          |
-         |Noop-sink materialization; one untimed sf0.001 warm-up pass runs first.
+         |Noop-sink materialization; one untimed sf0.001 warm-up pass runs first;
+         |reported time is the min of two timed passes (steal-noise robust).
          |
          || query | sec |
          ||---|---|

@@ -50,10 +50,10 @@ object Ann {
    * Centroids are a deterministic hash-order sample of the corpus
    * (`TakeOrderedAndProject` — per-partition top-nlist then driver merge, no
    * full sort shuffle; content-derived order, so re-runs pick identical
-   * centroids). A Lloyd refinement is a drop-in: the assignment plan below is
-   * exactly the k-means E-step. Cell assignment is a broadcast cross join
-   * (nlist is small by construction) collapsed by `max_by` — one shuffle on
-   * item_id; the probe join is an equi-join on the cell key.
+   * centroids); [[kmeansCentroids]] refines them. The nlist-row centroid
+   * table is collected and inlined as literals, so cell assignment and probe
+   * selection are NARROW per-row expressions (whole-stage codegen, zero
+   * shuffle); the only shuffles are the cell equi-join and the final rank.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -88,7 +88,7 @@ object Ann {
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
     var cents = sampleCentroids(c, nlist)
     for (_ <- 0 until iters) {
-      val means = assignCells(c, broadcast(cents))
+      val means = assignCells(c, collectCents(cents))
         .select(col("cell"), posexplode(col("cv")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .groupBy("cell")
@@ -111,25 +111,44 @@ object Ann {
     c.orderBy(xxhash64(col("item_id")), col("item_id")).limit(nlist)
       .select(col("item_id").as("cent_id"), col("cv").as("centv"))
 
-  /** E-step: nearest-centroid cell per item (broadcast cross join collapsed
-    * by max_by with a deterministic tie-break) — one shuffle on item_id. */
-  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame =
-    c.crossJoin(cents)
-      .withColumn("sim", cosine_sim(col("cv"), col("centv")))
-      .groupBy("item_id")
-      .agg(max_by(col("cent_id"), struct(col("sim"), col("cent_id"))).as("cell"),
-        first(col("cv")).as("cv"))
+  /** Per-centroid (sim, cent_id) struct columns against literal centroid
+    * vectors. The centroid table is tiny by construction (nlist rows), so it
+    * rides into the plan as literals: both cell assignment and probe
+    * selection become NARROW per-row expressions inside whole-stage codegen —
+    * zero shuffle, instead of a broadcast cross join + groupBy that would
+    * re-shuffle every full vector. */
+  private def centSimStructs(vecCol: org.apache.spark.sql.Column,
+      cents: Array[(Any, Array[Float])]): Seq[org.apache.spark.sql.Column] =
+    cents.toSeq.map { case (id, v) =>
+      struct(cosine_sim(vecCol, typedLit(v.toSeq)).as("sim"), lit(id).as("cent_id"))
+    }
+
+  /** E-step: nearest-centroid cell per item — narrow map, deterministic
+    * tie-break (max sim, then max cent_id — struct ordering). */
+  private def assignCells(c: DataFrame, cents: Array[(Any, Array[Float])]): DataFrame = {
+    val sims = centSimStructs(col("cv"), cents)
+    val best = if (sims.size == 1) sims.head else greatest(sims: _*)
+    c.withColumn("cell", best.getField("cent_id"))
+  }
+
+  private def collectCents(centroids: DataFrame): Array[(Any, Array[Float])] =
+    centroids.collect().map(r => (r.get(0), r.getSeq[Float](1).toArray))
 
   private def ivfSearch(c: DataFrame, q: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val cents = broadcast(centroids)
+    val cents = collectCents(centroids)
     val assigned = assignCells(c, cents)
-    val probes = q.crossJoin(cents)
-      .withColumn("sim", cosine_sim(col("qv"), col("centv")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cent_id"))))
-      .where(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    // per-query probe cells: sort the nlist (negated sim, cent_id) structs
+    // ascending -> highest sim first, smaller cent_id on ties; slice nProbe.
+    // Narrow expression, no window, no shuffle.
+    val negSims = cents.toSeq.map { case (id, v) =>
+      struct((-cosine_sim(col("qv"), typedLit(v.toSeq))).as("negsim"),
+        lit(id).as("cent_id"))
+    }
+    val probes = q
+      .withColumn("probe", explode(
+        slice(array_sort(array(negSims: _*)), 1, math.min(nProbe, cents.length))))
+      .select(col("query_id"), col("qv"), col("probe.cent_id").as("cell"))
     probes.join(assigned, "cell")
       .where(col("query_id") =!= col("item_id"))
       .withColumn("cosine", cosine_sim(col("qv"), col("cv")))

@@ -91,12 +91,16 @@ object Dedup {
    * generation far below a full posting-list join while keeping the result
    * exact — unlike [[minhashLshPairs]] there is no probabilistic recall loss.
    *
-   * The global order is ascending document frequency (rarest shingles first),
-   * the classic AllPairs choice: prefixes then hold the least-collliding keys,
-   * so candidate volume tracks true-pair volume. Costs one extra df
-   * aggregation; all joins are equi-joins on long keys (AQE handles residual
-   * skew on boilerplate shingles). The per-doc ordering window partitions by
-   * doc id — no global window.
+   * The global order is ascending hash VALUE: shingle hashes are uniform
+   * 64-bit values, so value order is a (fixed) random order and the prefix is
+   * a narrow `slice(array_sort(sh))` expression — no document-frequency
+   * pre-pass, no per-doc window, no extra joins. (Classic AllPairs orders by
+   * ascending df to put the rarest tokens in prefixes; that matters for
+   * natural-token postings with Zipfian df, not for uniform hashes — and it
+   * costs a df aggregation + join + window that tripled this plan's depth.)
+   * The PPJoin positional filter prunes candidates whose match position
+   * leaves too few remaining elements to reach the required overlap
+   * ceil(t/(1+t)*(na+nb)).
    *
    * Reference analogue: same verify semantics as the hash-unique + n-gram
    * similarity listing (ea/sim/main/data/duplicates.py:21-41) but as one
@@ -106,24 +110,27 @@ object Dedup {
       cfg: DedupConfig): DataFrame = {
     val t = cfg.jaccardMin
     val feat = docs.select(col(idCol).as("id"),
-        array_distinct(
-          shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed)).as("sh"))
+        array_sort(array_distinct(
+          shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed))).as("sh"))
       .where(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting = feat.select(col("id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("g"))
-    val dfreq = posting.groupBy("g").agg(count(lit(1)).as("df"))
-    val prefix = posting.join(dfreq, "g")
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("g"))))
-      .where(col("rn") <= col("n") - ceil(col("n") * t).cast("int") + 1)
-      .select("id", "n", "g")
-    // candidate pairs share a prefix shingle; length filter prunes pairs whose
-    // size ratio alone already caps Jaccard below t
+    // prefix explode: first n - ceil(t*n) + 1 value-ordered shingles; any
+    // pair with Jaccard >= t must collide on a prefix element of both sides
+    val n = size(col("sh"))
+    val plen = (n - ceil(n * t) + 1).cast("int")
+    val prefix = feat.select(col("id"), n.as("n"),
+        posexplode(slice(col("sh"), lit(1), plen)))
+      .select(col("id"), col("n"), col("pos"), col("col").as("g"))
+    val minOverlap = ceil((col("pa.n") + col("pb.n")) * lit(t / (1.0 + t)))
     val cand = prefix.as("pa").join(prefix.as("pb"),
         col("pa.g") === col("pb.g") && col("pa.id") < col("pb.id") &&
+        // length filter: size ratio alone must not cap Jaccard below t
         col("pb.n") >= ceil(col("pa.n") * t) &&
-        col("pa.n") >= ceil(col("pb.n") * t))
+        col("pa.n") >= ceil(col("pb.n") * t) &&
+        // positional filter (PPJoin): elements at/after the matching position
+        // bound the achievable overlap
+        lit(1) + least(col("pa.n") - col("pa.pos") - 1,
+          col("pb.n") - col("pb.pos") - 1) >= minOverlap)
       .select(col("pa.id").as("a"), col("pb.id").as("b"))
       .distinct()
     val fa = feat.select(col("id").as("a"), col("sh").as("sh_a"))

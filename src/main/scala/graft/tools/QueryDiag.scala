@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+/** Per-job/stage wall-time breakdown of one SparkEntry query:
+  * `runMain graft.tools.QueryDiag <name> [sfDir] [cpus] [reps=2]`. */
+object QueryDiag {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = if (args.length > 2) args(2).toInt else 32
+    val reps = if (args.length > 3) args(3).toInt else 2
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    @volatile var report = false
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobStart.put(j.jobId, (System.nanoTime(),
+          Option(j.properties.getProperty("spark.job.description")).getOrElse("?")
+            .take(60) + s" [stages=${j.stageIds.size}]"))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        Option(jobStart.get(j.jobId)).foreach { case (t0, d) =>
+          val w = (System.nanoTime() - t0) / 1e9
+          if (report && w > 0.05) println(f"[job] id=${j.jobId}%3d wall=$w%6.2f s  $d")
+        }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val wall = (for (s <- i.submissionTime; e <- i.completionTime)
+          yield (e - s) / 1000.0).getOrElse(-1.0)
+        val m = i.taskMetrics
+        if (report && wall > 0.1)
+          println(f"  [stage] ${i.stageId}%4d wall=$wall%6.2f cpu=${m.executorCpuTime / 1e9}%6.2f " +
+            f"gc=${m.jvmGCTime / 1e3}%5.2f tasks=${i.numTasks}%4d ${i.name.take(60)}")
+      }
+    })
+
+    val fn = graft.SparkEntry.queries(name)
+    for (r <- 1 to reps) {
+      report = r == reps // only the last (warm) rep is reported
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(f"[rep] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

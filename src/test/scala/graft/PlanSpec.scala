@@ -63,14 +63,18 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
   }
 
-  test("q47: ivf centroid sample takes top-k without a global sort shuffle") {
+  test("q47: ivf assignment and probe selection are narrow (no cross join)") {
+    // centroids ride into the plan as literals: cell assignment and probe
+    // selection must be per-row expressions — no cartesian/nested-loop join,
+    // and the only window is the final per-query rank (partitioned)
     val df = SparkEntry.queries("q47_ivf_ann_rank1")(spark, dir)
     val p = planOf(df)
-    // the nlist-row centroid table must come from TakeOrderedAndProject (per-
-    // partition top-k + driver merge) and be broadcast to both cross joins
-    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      "centroids not broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian product in ivf plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in ivf plan")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
   }
 
   test("training triplets contain no unpartitioned window") {
