@@ -142,6 +142,31 @@ object Dedup {
   }
 
   /**
+   * One-call near-dup grouping: MinHash-LSH pairs -> connected components ->
+   * (id, dup_group_id = min id of the connected group). The document-corpus
+   * counterpart of the image pipeline's cluster assignment
+   * ([[graft.pipeline.DedupPipeline]]); singleton docs keep their own id.
+   */
+  def minhashLshGroups(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig): DataFrame = {
+    // CC runs on long labels; ids of any type ride as xxhash64 nids (the
+    // DedupPipeline identity scheme — content-derived, deterministic) and the
+    // group label is re-derived as min ORIGINAL id per component
+    val nid = xxhash64(col(idCol).cast("string"))
+    val base = docs.select(col(idCol)).withColumn("__nid", nid)
+    val edges = minhashLshPairs(docs, idCol, textCol, cfg)
+      .select(xxhash64(col("a").cast("string")).as("src"),
+        xxhash64(col("b").cast("string")).as("dst"))
+    val cc = ConnectedComponents.run(edges)
+      .select(col("id").as("__nid"), col("component"))
+    base.join(cc, Seq("__nid"), "left")
+      .withColumn("__comp", coalesce(col("component"), col("__nid")))
+      .withColumn("dup_group_id",
+        min(col(idCol)).over(Window.partitionBy("__comp")))
+      .select(col(idCol), col("dup_group_id"))
+  }
+
+  /**
    * Brute-force n-gram Jaccard pairs — the exact oracle for the LSH variants
    * (small inputs only: O(n^2) via self-join; the golden recall gate compares
    * [[minhashLshPairs]] against this at identical config,

@@ -33,6 +33,14 @@ object Multimodal {
    * @return per-row decode features (schema above); rows whose payload fails
    *         to decode fall back to the stub path instead of failing the task.
    */
+  /** Real decode only for the formats the in-JDK codec handles; anything else
+    * (or a corrupt payload) returns None and the caller stubs/passes through
+    * instead of failing the task. */
+  private def tryDecode(bytes: Array[Byte], fmt: String): Option[java.awt.image.BufferedImage] =
+    if (fmt == "png" || fmt == "jpg" || fmt == "jpeg")
+      try Option(ImageCodec.decode(bytes)) catch { case _: Throwable => None }
+    else None
+
   def decodeFeatures(spark: SparkSession, images: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(featureSchema)
     val input = images.select(col("image_id"), col("bytes"), col("fmt"))
@@ -41,11 +49,7 @@ object Multimodal {
         val id = r.getString(0)
         val bytes = r.getAs[Array[Byte]](1)
         val fmt = r.getString(2)
-        val real = fmt == "png" || fmt == "jpg" || fmt == "jpeg"
-        val decodedImg = if (real) {
-          try Option(ImageCodec.decode(bytes)) catch { case _: Throwable => None }
-        } else None
-        decodedImg match {
+        tryDecode(bytes, fmt) match {
           case Some(img) =>
             var sum = 0.0
             val step = math.max(1, img.getWidth * img.getHeight / 4096) // sampled luma
@@ -67,6 +71,80 @@ object Multimodal {
         }
       }
     }(enc).toDF()
+  }
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("image_id", StringType),
+    StructField("bytes", BinaryType),
+    StructField("w", IntegerType),
+    StructField("h", IntegerType),
+    StructField("fmt", StringType)))
+
+  /**
+   * Batch resize of image payloads to a bounding box (aspect preserved, no
+   * upscale) — the preprocessing step a training pipeline runs before feature
+   * extraction. PNG/JPEG are decoded/re-encoded for real (in-JDK codec);
+   * other formats pass through untouched with a `fmt` suffix marker — same
+   * honest-stub policy as [[decodeFeatures]]. One decoder per partition,
+   * binary-in/binary-out so the payload never round-trips the driver.
+   */
+  def resizeTo(images: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val enc = ExpressionEncoder(resizeSchema)
+    images.select(col("image_id"), col("bytes"), col("fmt")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val fmt = r.getString(2)
+        tryDecode(bytes, fmt) match {
+          case Some(img) if img.getWidth > maxW || img.getHeight > maxH =>
+            val scale = math.min(maxW.toDouble / img.getWidth,
+              maxH.toDouble / img.getHeight)
+            val w = math.max(1, (img.getWidth * scale).round.toInt)
+            val h = math.max(1, (img.getHeight * scale).round.toInt)
+            val out = ImageCodec.resize(img, w, h)
+            val b = if (fmt == "png") ImageCodec.encodePng(out)
+                    else ImageCodec.encodeJpg(out)
+            Row(id, b, w, h, fmt)
+          case Some(img) => Row(id, bytes, img.getWidth, img.getHeight, fmt)
+          case None      => Row(id, bytes, -1, -1, s"$fmt+passthrough")
+        }
+      }
+    }(enc).toDF()
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("image_id", StringType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_hash", LongType)))
+
+  /**
+   * Frame sampling for video payloads: emit `everyNth`-spaced frame records
+   * per clip. STUB decode (no video codec ships in this container): frame
+   * hashes are derived deterministically from (payload bytes, frame index),
+   * while the Spark-side shape — one generator pass, (clip, frame_idx) rows,
+   * partition-local decoding — is the real 100 TB plumbing. `nFrames` comes
+   * from a metadata column (containers carry frame counts in headers).
+   */
+  def frameSamples(videos: DataFrame, nFramesCol: String, everyNth: Int): DataFrame = {
+    val enc = ExpressionEncoder(frameSchema)
+    videos.select(col("image_id"), col("bytes"), col(nFramesCol).cast("int"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          // null / un-castable frame counts yield zero rows, not a task
+          // failure — same bad-row policy as decodeFeatures/resizeTo
+          if (r.isNullAt(2)) Iterator.empty
+          else {
+            val id = r.getString(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val n = r.getInt(2)
+            val payloadH = graft.functions.HashKernels.hashBytes(bytes, 11L)
+            (0 until n by math.max(1, everyNth)).iterator.map { i =>
+              // STUB: replace with a real frame decode when a codec is present
+              Row(id, i, graft.functions.HashKernels.mix64(payloadH ^ i.toLong))
+            }
+          }
+        }
+      }(enc).toDF()
   }
 
   /** PSNR-based per-row fidelity check of a lossy payload vs reference pixels

@@ -66,6 +66,19 @@ class ExpressionsSpec extends SparkSpec {
       s"signature projection fell out of codegen:\n$plan")
   }
 
+  test("fast_align stays inside whole-stage codegen too") {
+    val df = spark.range(100)
+      .withColumn("ta", split(concat_ws(" ", lit("a"), ($"id" % 5).cast("string")), " "))
+      .withColumn("tb", split(concat_ws(" ", lit("a"), ($"id" % 3).cast("string")), " "))
+    val plan = df.select(
+        graft.operators.TextScores.fast_align($"ta", $"tb").as("s"))
+      .queryExecution.executedPlan
+    val line = plan.toString.linesIterator
+      .find(_.contains("fast_align")).getOrElse("")
+    assert(line.trim.startsWith("*("),
+      s"fast_align fell out of codegen:\n$plan")
+  }
+
   test("null propagation: null input yields null output, no NPE") {
     val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("id", "text")
     val out = df.select($"id",

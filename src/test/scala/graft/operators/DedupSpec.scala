@@ -88,6 +88,35 @@ class DedupSpec extends SparkSpec {
       s"missing=${(expect diff got).take(5)} extra=${(got diff expect).take(5)}")
   }
 
+  test("minhashLshGroups: exact copies group under min id, singletons keep their own") {
+    val docs = corpus.toDF("doc_id", "text")
+    val withCopies = docs.unionByName(
+      docs.limit(20).select(($"doc_id" + 50000).as("doc_id"), $"text"))
+    val groups = Dedup.minhashLshGroups(withCopies, "doc_id", "text", cfg)
+      .as[(Long, Long)].collect().toMap
+    assert(groups.size == withCopies.count())
+    // every copied doc must share its original's group
+    (0L until 20L).flatMap(i => corpus.lift(i.toInt)).foreach { case (id, _) =>
+      assert(groups(id + 50000) == groups(id), s"copy of $id not grouped")
+    }
+    // group label is the minimum member id
+    groups.groupBy(_._2).foreach { case (g, members) =>
+      assert(g == members.keys.min, s"group $g not labeled by min member")
+    }
+  }
+
+  test("minhashLshGroups handles string ids (CC rides on hashed nids)") {
+    val txt = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq(("doc-b", txt), ("doc-a", txt),
+      ("doc-c", "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.minhashLshGroups(docs, "doc_id", "text", cfg)
+      .as[(String, String)].collect().toMap
+    assert(groups("doc-a") == "doc-a" && groups("doc-b") == "doc-a",
+      s"identical docs must group under the min string id: $groups")
+    assert(groups("doc-c") == "doc-c")
+  }
+
   test("exact dedup keeps min id per identical text") {
     val docs = Seq((5L, "x y z"), (2L, "x y z"), (9L, "a b c"), (1L, "q"))
       .toDF("doc_id", "text")
