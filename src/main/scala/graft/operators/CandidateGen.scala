@@ -71,13 +71,14 @@ object CandidateGen {
       chunks: Int): DataFrame = {
     require(chunks >= 2 && 64 % chunks == 0, s"chunks($chunks) must divide 64 and be >= 2")
     val width = 64 / chunks
-    val rows = (0 until chunks).map { c =>
+    val keys = (0 until chunks).map { c =>
       val chunkVal = shiftrightunsigned(col(simhashCol), c * width)
         .bitwiseAND(lit((1L << width) - 1))
       // mix chunk index into the key so chunk 0 and chunk 1 never collide
-      df.select(col(idCol).as("id"),
-        xxhash64(lit(c), chunkVal).as("key"))
+      xxhash64(lit(c), chunkVal)
     }
-    rows.reduce(_ union _)
+    // one generator pass over the source instead of a `chunks`-way union
+    // (a union is shuffle-free but re-reads/recomputes the child per leg)
+    df.select(col(idCol).as("id"), explode(array(keys: _*)).as("key"))
   }
 }

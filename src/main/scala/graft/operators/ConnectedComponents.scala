@@ -119,7 +119,9 @@ object ConnectedComponents {
    * scale the edge count blows past any threshold and the distributed loop
    * runs. The reference resolves duplicate chains driver-side unconditionally
    * (helpers/so/steps/merge_issues_duplicates.py:10-50); here that is only
-   * ever a size-guarded optimization.
+   * ever a size-guarded optimization. The label map returns to executors
+   * inline in task binaries (`parallelize`) — Spark warns above ~1 MiB/task,
+   * but the threshold bounds the total at a few tens of MB by construction.
    *
    * @param hashMinRounds rounds of hash-min before falling back to star
    *                      rounds — min labels propagate one hop per round, so

@@ -191,10 +191,9 @@ object Dedup {
       seed: Long = 42L, maxBucketSize: Int = 4096): DataFrame = {
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = (0 until tables).map { t =>
-      base.select(col("id"),
-        xxhash64(lit(t), srp_bucket(col("vec"), srpBits, seed + t)).as("key"))
-    }.reduce(_ union _)
+    // one generator pass over the vectors instead of a `tables`-way union
+    val buckets = base.select(col("id"), explode(array((0 until tables).map(t =>
+      xxhash64(lit(t), srp_bucket(col("vec"), srpBits, seed + t))): _*)).as("key"))
     val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize)
     val fa = base.select(col("id").as("a"), col("vec").as("va"))
     val fb = base.select(col("id").as("b"), col("vec").as("vb"))

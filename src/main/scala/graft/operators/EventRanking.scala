@@ -35,21 +35,27 @@ object EventRanking {
    * @param queries    query events: (queryIdCol, tsCol)
    * @param candidates candidate events: (itemIdCol, tsCol)
    * @param forgetDays retention window in days (reference forget_days)
+   * @param qExtra     extra query columns carried through the join (avoids a
+   *                   post-hoc re-join shuffling the full pair fan-out)
+   * @param cExtra     extra candidate columns carried through, same reason
    * @return one row per (query, candidate) with cand.ts < q.ts and
    *         q.ts - cand.ts <= forgetDays days, carrying `query_id`,
-   *         `item_id`, `q_ts`, `c_ts`
+   *         `item_id`, `q_ts`, `c_ts` plus the extras
    */
   def asOfCandidates(queries: DataFrame, candidates: DataFrame, forgetDays: Int,
       queryIdCol: String = "query_id", itemIdCol: String = "item_id",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts",
+      qExtra: Seq[String] = Nil, cExtra: Seq[String] = Nil): DataFrame = {
     val qs = queries.select(
-      col(queryIdCol).as("query_id"),
-      col(tsCol).cast("timestamp").as("q_ts"),
-      col(tsCol).cast("timestamp").cast("long").as("__qsec"))
+      col(queryIdCol).as("query_id") +:
+      col(tsCol).cast("timestamp").as("q_ts") +:
+      col(tsCol).cast("timestamp").cast("long").as("__qsec") +:
+      qExtra.map(col): _*)
     val cs = candidates.select(
-      col(itemIdCol).as("item_id"),
-      col(tsCol).cast("timestamp").as("c_ts"),
-      floor(col(tsCol).cast("timestamp").cast("long") / DaySec).as("__day"))
+      col(itemIdCol).as("item_id") +:
+      col(tsCol).cast("timestamp").as("c_ts") +:
+      floor(col(tsCol).cast("timestamp").cast("long") / DaySec).as("__day") +:
+      cExtra.map(col): _*)
     // explode each query to every day bucket its window can reach
     val qDays = qs.withColumn("__day",
         explode(sequence(
@@ -58,7 +64,8 @@ object EventRanking {
     qDays.join(cs, "__day")
       .where(col("c_ts") < col("q_ts") &&
         col("__qsec") - col("c_ts").cast("long") <= forgetDays * DaySec)
-      .select("query_id", "item_id", "q_ts", "c_ts")
+      .select((Seq("query_id", "item_id", "q_ts", "c_ts") ++ qExtra ++ cExtra)
+        .map(col): _*)
   }
 
   /**
@@ -153,9 +160,10 @@ object EventRanking {
     val cands = events.select(col(idCol).as("item_id"), col(tsCol).as("ts"),
       col(valueCol).as("c_val"), col(clusterCol).as("cluster"))
 
-    val pairs = asOfCandidates(queries, cands, forgetDays)
-      .join(queries.select("query_id", "q_val"), "query_id")
-      .join(cands.select("item_id", "c_val", "cluster"), "item_id")
+    // value/cluster columns ride through the as-of join itself — re-joining
+    // them afterwards would shuffle the full pair fan-out twice more
+    val pairs = asOfCandidates(queries, cands, forgetDays,
+        qExtra = Seq("q_val"), cExtra = Seq("c_val", "cluster"))
       .withColumn("score", score)
 
     // retrieval truncation BEFORE cluster attribution (retrieval_model.py:15-21)
