@@ -133,11 +133,12 @@ object Bench {
     // legs use — the hypervisor's steal-time windows otherwise show up as
     // multi-x noise on individual sub-second queries
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try math.min(
-          timed(materialize(fn(spark, sfDir))),
-          timed(materialize(fn(spark, sfDir))))
-        catch { case _: Throwable => -1.0 }
-      name -> sec
+      // per-pass try: a flaky second pass must not discard a valid first
+      val passes = (1 to 2).flatMap { _ =>
+        try Some(timed(materialize(fn(spark, sfDir))))
+        catch { case _: Throwable => None }
+      }
+      name -> (if (passes.isEmpty) -1.0 else passes.min)
     }
 
     // ---- phase 2: scaling probe ----------------------------------------

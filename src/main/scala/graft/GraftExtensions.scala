@@ -46,8 +46,15 @@ object GraftExtensions {
     }
   }
 
-  private def longOf(e: Expression, fn: String, what: String): Long =
-    intOf(e, fn, what).toLong
+  private def longOf(e: Expression, fn: String, what: String): Long = {
+    require(e.foldable, s"$fn: $what must be a literal")
+    e.eval() match {
+      case i: Int  => i.toLong
+      case l: Long => l // full 64-bit seeds must NOT truncate through Int
+      case other   => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+  }
 
   private def arity(fn: String, args: Seq[Expression], min: Int, max: Int): Unit =
     require(args.size >= min && args.size <= max,

@@ -80,7 +80,10 @@ object Ann {
    * iteration; centroids (k * dim floats — tiny by construction) round-trip
    * through the driver each iteration, which truncates lineage and is exactly
    * how you'd persist the quantizer artifact between corpus snapshots.
-   * Deterministic: hash-ordered init + deterministic tie-breaks.
+   * Init and tie-breaks are deterministic; the M-step's floating-point avg()
+   * merges partials in shuffle arrival order, so exact bit-reproducibility
+   * across DIFFERENT cluster topologies is not guaranteed (last-ulp drift) —
+   * persist the trained centroids (ivfTopKWith) when runs must agree.
    */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): DataFrame = {
@@ -138,16 +141,15 @@ object Ann {
       k: Int, nProbe: Int): DataFrame = {
     val cents = collectCents(centroids)
     val assigned = assignCells(c, cents)
-    // per-query probe cells: sort the nlist (negated sim, cent_id) structs
-    // ascending -> highest sim first, smaller cent_id on ties; slice nProbe.
-    // Narrow expression, no window, no shuffle.
-    val negSims = cents.toSeq.map { case (id, v) =>
-      struct((-cosine_sim(col("qv"), typedLit(v.toSeq))).as("negsim"),
-        lit(id).as("cent_id"))
-    }
+    // per-query probe cells: descending (sim, cent_id) struct order — the
+    // SAME tie-break as cell assignment's greatest(), so an item's assigned
+    // cell is always reachable by a query with the same vector (sim-tied
+    // centroids would otherwise send assignment to the max cent_id and the
+    // probes to the min). Narrow expression, no window, no shuffle.
     val probes = q
       .withColumn("probe", explode(
-        slice(array_sort(array(negSims: _*)), 1, math.min(nProbe, cents.length))))
+        slice(reverse(array_sort(array(centSimStructs(col("qv"), cents): _*))),
+          1, math.min(nProbe, cents.length))))
       .select(col("query_id"), col("qv"), col("probe.cent_id").as("cell"))
     probes.join(assigned, "cell")
       .where(col("query_id") =!= col("item_id"))

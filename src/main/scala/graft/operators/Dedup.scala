@@ -109,24 +109,33 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig): DataFrame = {
     val t = cfg.jaccardMin
+    // NOT persisted: feat is a narrow codegen projection consumed by three
+    // branches — recomputing it is cheaper than pinning the corpus-sized
+    // shingle table in cache (which a caller could never unpersist, and
+    // which would not fit at web scale anyway)
     val feat = docs.select(col(idCol).as("id"),
         array_sort(array_distinct(
           shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed))).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EPS guards the exact-in-real-arithmetic thresholds against double
+    // rounding: e.g. 100 * 0.07 = 7.000000000000001, whose un-guarded ceil
+    // (8, not 7) would shorten the prefix / tighten the filters and drop a
+    // genuinely qualifying pair. Erring low only loosens the filters —
+    // exactness is preserved by the verify stage.
+    val EPS = 1e-9
     // prefix explode: first n - ceil(t*n) + 1 value-ordered shingles; any
     // pair with Jaccard >= t must collide on a prefix element of both sides
     val n = size(col("sh"))
-    val plen = (n - ceil(n * t) + 1).cast("int")
+    val plen = (n - ceil(n * t - EPS) + 1).cast("int")
     val prefix = feat.select(col("id"), n.as("n"),
         posexplode(slice(col("sh"), lit(1), plen)))
       .select(col("id"), col("n"), col("pos"), col("col").as("g"))
-    val minOverlap = ceil((col("pa.n") + col("pb.n")) * lit(t / (1.0 + t)))
+    val minOverlap = ceil((col("pa.n") + col("pb.n")) * lit(t / (1.0 + t)) - EPS)
     val cand = prefix.as("pa").join(prefix.as("pb"),
         col("pa.g") === col("pb.g") && col("pa.id") < col("pb.id") &&
         // length filter: size ratio alone must not cap Jaccard below t
-        col("pb.n") >= ceil(col("pa.n") * t) &&
-        col("pa.n") >= ceil(col("pb.n") * t) &&
+        col("pb.n") >= ceil(col("pa.n") * t - EPS) &&
+        col("pa.n") >= ceil(col("pb.n") * t - EPS) &&
         // positional filter (PPJoin): elements at/after the matching position
         // bound the achievable overlap
         lit(1) + least(col("pa.n") - col("pa.pos") - 1,

@@ -130,9 +130,9 @@ object Multimodal {
     videos.select(col("image_id"), col("bytes"), col(nFramesCol).cast("int"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          // null / un-castable frame counts yield zero rows, not a task
-          // failure — same bad-row policy as decodeFeatures/resizeTo
-          if (r.isNullAt(2)) Iterator.empty
+          // null payloads / null / un-castable frame counts yield zero rows,
+          // not a task failure — same bad-row policy as decodeFeatures/resizeTo
+          if (r.isNullAt(1) || r.isNullAt(2)) Iterator.empty
           else {
             val id = r.getString(0)
             val bytes = r.getAs[Array[Byte]](1)

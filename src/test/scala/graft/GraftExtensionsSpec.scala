@@ -53,6 +53,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_.getSeq[Long](1)).toSeq === viaCol.map(_.getSeq[Long](1)).toSeq)
   }
 
+  test("64-bit seeds reach the kernels untruncated") {
+    GraftExtensions.register(spark)
+    val bigSeed = 5000000000L // outside Int range
+    val viaSql = spark.sql(s"SELECT graft_fingerprint('abc', $bigSeed) AS f")
+      .head().getLong(0)
+    val viaCol = spark.range(1)
+      .select(graft.functions.rolling_fingerprint(
+        org.apache.spark.sql.functions.lit("abc"), bigSeed).as("f"))
+      .head().getLong(0)
+    assert(viaSql == viaCol, "SQL seed path truncated a 64-bit literal")
+  }
+
   test("non-literal static parameter is rejected at resolution") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -58,6 +58,20 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("ivf: sim-tied assignment and probe agree (zero vector reachable at nProbe=1)") {
+    // a zero vector ties at cosine 0 with every centroid; assignment and
+    // probe selection must break the tie the same way or the copy's cell is
+    // unreachable at partial probe
+    val data = vecs ++ Seq((900L, Array.fill(32)(0f)), (901L, Array.fill(32)(0f)))
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" === 901L)
+    val candidates = Ann.ivfTopK(df, queries, "vec_id", "embedding", k = 300,
+        nlist = 8, nProbe = 1)
+      .select("item_id").as[Long].collect().toSet
+    assert(candidates.contains(900L),
+      s"tied-sim item not reachable through its assigned cell: $candidates")
+  }
+
   test("ivf assignment is deterministic across reruns") {
     val df = vecs.toDF("vec_id", "embedding")
     val queries = df.where($"vec_id" < 10)

@@ -88,6 +88,24 @@ class DedupSpec extends SparkSpec {
       s"missing=${(expect diff got).take(5)} extra=${(got diff expect).take(5)}")
   }
 
+  test("prefix-filtered exact join survives double-rounding threshold boundaries") {
+    // 102 unique tokens -> 100 distinct trigram shingles; the 9-token prefix
+    // doc has 7, all shared -> Jaccard exactly 7/100 = 0.07. At t = 0.07 the
+    // un-guarded ceil(100 * 0.07) = ceil(7.000000000000001) = 8 would drop
+    // the pair via the length filter (and shorten the prefix); the EPS guard
+    // must keep this pair exact.
+    val toksA = (0 until 102).map(i => s"u$i")
+    val docs = Seq((1L, toksA.mkString(" ")), (2L, toksA.take(9).mkString(" ")))
+      .toDF("doc_id", "text")
+    val edge = cfg.copy(jaccardMin = 0.07)
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", edge)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expect = Dedup.bruteForceJaccardPairs(docs, "doc_id", "text", edge)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(expect == Set((1L, 2L)), s"oracle setup broken: $expect")
+    assert(got == expect, s"boundary pair dropped: got=$got")
+  }
+
   test("minhashLshGroups: exact copies group under min id, singletons keep their own") {
     val docs = corpus.toDF("doc_id", "text")
     val withCopies = docs.unionByName(

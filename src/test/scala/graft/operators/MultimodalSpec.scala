@@ -45,9 +45,10 @@ class MultimodalSpec extends SparkSpec {
 
   test("frameSamples: every-nth frame rows, deterministic hashes") {
     val vids = Seq(
-      ("clip_a", Array[Byte](9, 9, 9), Some(10)),
-      ("clip_b", Array[Byte](7, 7), Some(3)),
-      ("clip_null", Array[Byte](5), Option.empty[Int])) // null count -> 0 rows
+      ("clip_a", Some(Array[Byte](9, 9, 9)), Some(10)),
+      ("clip_b", Some(Array[Byte](7, 7)), Some(3)),
+      ("clip_null", Some(Array[Byte](5)), Option.empty[Int]), // null count -> 0 rows
+      ("clip_nobytes", Option.empty[Array[Byte]], Some(5)))   // null payload -> 0 rows
       .toDF("image_id", "bytes", "n_frames")
     val out = Multimodal.frameSamples(vids, "n_frames", everyNth = 4)
       .as[(String, Int, Long)].collect().sortBy(r => (r._1, r._2))
