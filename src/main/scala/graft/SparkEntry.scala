@@ -594,6 +594,24 @@ object SparkEntry {
         .select("a", "b").orderBy("a", "b")
     }),
 
+    "q48_last_update_window" -> ((s, d) => {
+      // second forget-days variant (LastUpdateIssueSelector,
+      // issues_selector.py:17-29): clusters active within the window expose
+      // ALL their pre-query members — per-query aggregate keeps output small
+      val ev = t(s, d, "events")
+      val queriesDf = ev.where(col("event_type") === "error" &&
+          col("event_id") % 20 === 0)
+        .select(col("event_id").as("query_id"), col("ts"))
+      val cands = ev.select(col("event_id").as("item_id"), col("ts"),
+        col("user_id").as("cluster_id"))
+      EventRanking.asOfCandidatesLastUpdate(queriesDf, cands, forgetDays = 1)
+        .groupBy("query_id")
+        .agg(countDistinct("cluster_id").as("n_clusters"),
+          count(lit(1)).as("n_candidates"),
+          min("item_id").as("min_item"))
+        .orderBy("query_id")
+    }),
+
     "q47_ivf_ann_rank1" -> ((s, d) => {
       // IVF top-k (Ann.ivfTopK) on corpus + exact copies: a copy is assigned
       // to its original's cell (identical vector, deterministic tie-break)
@@ -1056,5 +1074,21 @@ object SparkEntry {
 
     "q47_ivf_ann_rank1" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS item_id, 1 AS rank
-         FROM embeddings ORDER BY query_id""")
+         FROM embeddings ORDER BY query_id""",
+
+    "q48_last_update_window" ->
+      """WITH q AS (SELECT event_id AS query_id, ts AS q_ts FROM events
+             WHERE event_type = 'error' AND event_id % 20 = 0),
+         c AS (SELECT event_id AS item_id, ts AS c_ts, user_id AS cluster_id
+             FROM events),
+         active AS (SELECT DISTINCT q.query_id, q.q_ts, c.cluster_id
+           FROM q JOIN c ON c.c_ts < q.q_ts
+             AND CAST(floor(epoch(q.q_ts)) AS BIGINT)
+               - CAST(floor(epoch(c.c_ts)) AS BIGINT) <= 86400),
+         members AS (SELECT a.query_id, c.item_id, c.cluster_id
+           FROM active a JOIN c ON c.cluster_id = a.cluster_id
+           WHERE c.c_ts < a.q_ts)
+         SELECT query_id, count(DISTINCT cluster_id) AS n_clusters,
+           count(*) AS n_candidates, min(item_id) AS min_item
+         FROM members GROUP BY 1 ORDER BY query_id""")
 }

@@ -69,6 +69,39 @@ object EventRanking {
   }
 
   /**
+   * The reference's SECOND retention-window variant
+   * (`LastUpdateIssueSelector`, issues_selector.py:17-29, vs the per-report
+   * `ReportTimeIssueSelector` that [[asOfCandidates]] implements): a cluster
+   * stays candidate-eligible when its LAST update before the query falls
+   * inside the window, and then ALL its pre-query members are candidates —
+   * old members of recently-active clusters re-enter.
+   *
+   * Plan: in-window clusters are exactly the clusters with >= 1 event in the
+   * window (their last pre-query update is then necessarily in-window too),
+   * so activation reuses the day-bucketed [[asOfCandidates]] join; a second
+   * equi-join on the cluster key re-attaches the full pre-query membership.
+   *
+   * @return one row per (query, candidate member of an active cluster) with
+   *         `query_id`, `item_id`, `q_ts`, `c_ts`, `clusterCol`
+   */
+  def asOfCandidatesLastUpdate(queries: DataFrame, candidates: DataFrame,
+      forgetDays: Int, queryIdCol: String = "query_id",
+      itemIdCol: String = "item_id", tsCol: String = "ts",
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val active = asOfCandidates(queries, candidates, forgetDays,
+        queryIdCol, itemIdCol, tsCol, cExtra = Seq(clusterCol))
+      .select(col("query_id"), col("q_ts"), col(clusterCol))
+      .distinct()
+    val cs = candidates.select(
+      col(itemIdCol).as("item_id"),
+      col(tsCol).cast("timestamp").as("c_ts"),
+      col(clusterCol))
+    active.join(cs, clusterCol)
+      .where(col("c_ts") < col("q_ts"))
+      .select("query_id", "item_id", "q_ts", "c_ts", clusterCol)
+  }
+
+  /**
    * Cluster ranking with the min-score default: clusters present in
    * `universe` but absent from the scored set still appear, at `minScore`,
    * ranked after every scored cluster (reference ranking_model.py:67-73 —

@@ -25,6 +25,24 @@ class EventRankingSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("asOfCandidatesLastUpdate: active clusters expose ALL pre-query members") {
+    val queries = Seq((100L, ts(10))).toDF("query_id", "ts")
+    val cands = Seq(
+      (1L, ts(0), "A"),     // ancient member of A — back in via A's activity
+      (2L, ts(9, 12), "A"), // recent member of A -> activates A
+      (3L, ts(2), "B"),     // B's last update is old -> B inactive
+      (4L, ts(11), "A")     // after the query -> never a candidate
+    ).toDF("item_id", "ts", "cluster_id")
+    val lastUpdate = EventRanking.asOfCandidatesLastUpdate(
+        queries, cands, forgetDays = 1)
+      .select("item_id").as[Long].collect().toSet
+    assert(lastUpdate == Set(1L, 2L), s"got $lastUpdate")
+    // contrast: the per-report variant admits only the in-window member
+    val perReport = EventRanking.asOfCandidates(queries, cands, forgetDays = 1)
+      .select("item_id").as[Long].collect().toSet
+    assert(perReport == Set(2L))
+  }
+
   test("asOfCandidates matches a naive range-join oracle on random data") {
     val r = new scala.util.Random(7)
     val ev = (1 to 300).map { i =>
