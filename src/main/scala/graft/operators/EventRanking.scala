@@ -87,18 +87,21 @@ object EventRanking {
   def asOfCandidatesLastUpdate(queries: DataFrame, candidates: DataFrame,
       forgetDays: Int, queryIdCol: String = "query_id",
       itemIdCol: String = "item_id", tsCol: String = "ts",
-      clusterCol: String = "cluster_id"): DataFrame = {
+      clusterCol: String = "cluster_id",
+      qExtra: Seq[String] = Nil, cExtra: Seq[String] = Nil): DataFrame = {
     val active = asOfCandidates(queries, candidates, forgetDays,
-        queryIdCol, itemIdCol, tsCol, cExtra = Seq(clusterCol))
-      .select(col("query_id"), col("q_ts"), col(clusterCol))
+        queryIdCol, itemIdCol, tsCol, qExtra = qExtra, cExtra = Seq(clusterCol))
+      .select((Seq("query_id", "q_ts", clusterCol) ++ qExtra).map(col): _*)
       .distinct()
     val cs = candidates.select(
-      col(itemIdCol).as("item_id"),
-      col(tsCol).cast("timestamp").as("c_ts"),
-      col(clusterCol))
+      col(itemIdCol).as("item_id") +:
+      col(tsCol).cast("timestamp").as("c_ts") +:
+      col(clusterCol) +:
+      cExtra.map(col): _*)
     active.join(cs, clusterCol)
       .where(col("c_ts") < col("q_ts"))
-      .select("query_id", "item_id", "q_ts", "c_ts", clusterCol)
+      .select((Seq("query_id", "item_id", "q_ts", "c_ts", clusterCol) ++
+        qExtra ++ cExtra).map(col): _*)
   }
 
   /**
@@ -181,10 +184,14 @@ object EventRanking {
       idCol, clusterCol, tsCol, valueCol)
   }
 
+  /** @param lastUpdateWindow false (default) = per-report slicing
+    *        (`ReportTimeIssueSelector`); true = cluster-last-update candidacy
+    *        (`LastUpdateIssueSelector`) — see [[asOfCandidatesLastUpdate]]. */
   def replayRank(events: DataFrame, queryFilter: Column, score: Column,
       forgetDays: Int, retrievalTopN: Int, k: Int, minScore: Double,
       idCol: String = "event_id", clusterCol: String = "cluster_id",
-      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+      tsCol: String = "ts", valueCol: String = "value",
+      lastUpdateWindow: Boolean = false): DataFrame = {
     // queryFilter is evaluated against the ORIGINAL event columns (it may
     // reference fields the harness itself does not carry, e.g. event_type)
     val queries = events.where(queryFilter).select(
@@ -195,9 +202,14 @@ object EventRanking {
 
     // value/cluster columns ride through the as-of join itself — re-joining
     // them afterwards would shuffle the full pair fan-out twice more
-    val pairs = asOfCandidates(queries, cands, forgetDays,
-        qExtra = Seq("q_val"), cExtra = Seq("c_val", "cluster"))
-      .withColumn("score", score)
+    val asOf =
+      if (lastUpdateWindow)
+        asOfCandidatesLastUpdate(queries, cands, forgetDays,
+          clusterCol = "cluster", qExtra = Seq("q_val"), cExtra = Seq("c_val"))
+      else
+        asOfCandidates(queries, cands, forgetDays,
+          qExtra = Seq("q_val"), cExtra = Seq("c_val", "cluster"))
+    val pairs = asOf.withColumn("score", score)
 
     // retrieval truncation BEFORE cluster attribution (retrieval_model.py:15-21)
     val retrieved = Ranking.topKItems(

@@ -88,6 +88,19 @@ class DedupSpec extends SparkSpec {
       s"missing=${(expect diff got).take(5)} extra=${(got diff expect).take(5)}")
   }
 
+  test("prefix-filtered exact join equals brute force across a threshold sweep") {
+    val docs = corpus.toDF("doc_id", "text")
+    Seq(0.15, 0.33, 0.61, 0.8).foreach { t =>
+      val c = cfg.copy(jaccardMin = t)
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", c)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val want = Dedup.bruteForceJaccardPairs(docs, "doc_id", "text", c)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == want,
+        s"t=$t missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+    }
+  }
+
   test("prefix-filtered exact join survives double-rounding threshold boundaries") {
     // 102 unique tokens -> 100 distinct trigram shingles; the 9-token prefix
     // doc has 7, all shared -> Jaccard exactly 7/100 = 0.07. At t = 0.07 the

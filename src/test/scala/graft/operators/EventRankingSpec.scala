@@ -43,6 +43,26 @@ class EventRankingSpec extends SparkSpec {
     assert(perReport == Set(2L))
   }
 
+  test("replayRank lastUpdateWindow widens candidacy to whole active clusters") {
+    val events = Seq(
+      (1L, "A", ts(0), 10.0),     // ancient A member, value matches the query
+      (2L, "A", ts(9, 12), 99.0), // recent A member -> keeps A active
+      (3L, "B", ts(2), 50.0),     // stale B -> B out either way
+      (100L, "Q", ts(10), 10.0))  // the query event
+      .toDF("event_id", "cluster_id", "ts", "value")
+    def run(lastUpdate: Boolean) = EventRanking.replayRank(events,
+        queryFilter = col("event_id") === 100L,
+        score = -abs(col("q_val") - col("c_val")),
+        forgetDays = 1, retrievalTopN = 10, k = 2, minScore = -1000.0,
+        lastUpdateWindow = lastUpdate)
+      .select("cluster_id", "cluster_score").as[(String, Double)].collect().toMap
+    val wide = run(lastUpdate = true)
+    assert(wide("A") == 0.0, s"old member's perfect score must win: $wide")
+    assert(!wide.contains("B"), "stale cluster must stay out")
+    val narrow = run(lastUpdate = false)
+    assert(narrow("A") == -89.0, s"per-report variant must see only the recent member: $narrow")
+  }
+
   test("asOfCandidates matches a naive range-join oracle on random data") {
     val r = new scala.util.Random(7)
     val ev = (1 to 300).map { i =>
