@@ -77,6 +77,12 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
   }
 
+  test("q48: last-update window plans equi-joins only") {
+    val p = planOf(SparkEntry.queries("q48_last_update_window")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in last-update plan")
+    assert(!p.contains("CartesianProduct"), "cartesian product in last-update plan")
+  }
+
   test("training triplets contain no unpartitioned window") {
     import spark.implicits._
     val asg = (1 to 100).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "c")
