@@ -39,9 +39,11 @@ object GraftExtensions {
   private def intOf(e: Expression, fn: String, what: String): Int = {
     require(e.foldable, s"$fn: $what must be a literal")
     e.eval() match {
-      case i: Int  => i
-      case l: Long => l.toInt
-      case other   => throw new IllegalArgumentException(
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case l: Long => throw new IllegalArgumentException(
+        s"$fn: $what is out of Int range: $l") // no silent wrap (cf. longOf)
+      case other => throw new IllegalArgumentException(
         s"$fn: $what must be an integer literal, got $other")
     }
   }

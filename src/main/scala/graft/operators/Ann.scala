@@ -167,11 +167,11 @@ object Ann {
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // bucket rows carry ONLY (id, key): the multi-table explode and the
-    // distinct over colliding pairs shuffle ids, never the vectors; one
-    // generator pass over the source instead of a `tables`-way union
+    // distinct over colliding pairs shuffle ids, never the vectors; key
+    // scheme shared with the embedding near-dup path via CandidateGen
     def buckets(df: DataFrame, idc: String, vc: String): DataFrame =
-      df.select(col(idc), explode(array((0 until tables).map(t =>
-        xxhash64(lit(t), srp_bucket(col(vc), srpBits, seed + t))): _*)).as("key"))
+      CandidateGen.srpBuckets(df, idc, vc, srpBits, tables, seed)
+        .withColumnRenamed("id", idc)
     val candIds = buckets(c, "item_id", "cv").join(buckets(q, "query_id", "qv"), "key")
       .where(col("query_id") =!= col("item_id"))
       .select("query_id", "item_id")

@@ -62,6 +62,18 @@ object CandidateGen {
     df.select(col(idCol).as("id"), explode(col(bandKeysCol)).as("key"))
 
   /**
+   * Multi-table sign-random-projection bucket rows for an embedding column:
+   * one row per (id, table-key), one generator pass over the vectors. Shared
+   * by the embedding near-dup and LSH top-k paths so the key scheme (table
+   * index mixed into the hash) cannot silently diverge between them.
+   */
+  def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
+      srpBits: Int, tables: Int, seed: Long): DataFrame =
+    df.select(col(idCol).as("id"), explode(array((0 until tables).map(t =>
+      xxhash64(lit(t), graft.functions.srp_bucket(col(vecCol), srpBits, seed + t))): _*))
+      .as("key"))
+
+  /**
    * Hamming-LSH bucket rows for a 64-bit simhash: split into `chunks` equal
    * bit-ranges; by pigeonhole, two hashes within Hamming distance
    * `chunks - 1` share at least one exact chunk — so chunks = hammingMax + 1

@@ -65,6 +65,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol, "SQL seed path truncated a 64-bit literal")
   }
 
+  test("out-of-Int-range count literal is rejected, not silently wrapped") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1L), 4294967299)").collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("out of Int range"), msgs)
+  }
+
   test("non-literal static parameter is rejected at resolution") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
