@@ -344,15 +344,20 @@ object SparkEntry {
     }),
 
     "q30_fast_align" -> ((s, d) => {
-      // FaST positional alignment diagnostic (SURVEY 2.9) — pair UDF,
-      // engine-specific scoring, rows-only check (unit-tested in TextScoresSpec)
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val a = docs.select(col("doc_id").as("a"), split(col("text"), " ").as("ta"))
-      val b = docs.select(col("doc_id").as("a"),
-        split(concat(col("text"), lit(" zz")), " ").as("tb"))
-      a.join(b, "a")
-        .select(col("a"), round(TextScores.fast_align(col("ta"), col("tb")), 4).as("score"))
-        .orderBy("a")
+      // FaST positional alignment (SURVEY 2.9) with a closed-form oracle:
+      // per doc, a synthetic ALL-DISTINCT token array a = [w0..w(n-1)],
+      // n = 3 + doc_id % 7. With alpha = 0 every positional weight is 1, so
+      // fast_align(a, a) = 2n/2n = 1 exactly, and appending one unmatched
+      // token gives 2n/(2n+1) — both SQL-expressible, upgrading q30 from a
+      // rows-only check (full pair semantics unit-tested in TextScoresSpec)
+      val docs = t(s, d, "documents").select("doc_id")
+      val n = (lit(3) + col("doc_id") % 7).cast("int")
+      val toks = transform(sequence(lit(0), n - 1), i => concat(lit("w"), i))
+      docs.select(col("doc_id"),
+          round(TextScores.fast_align(toks, toks), 4).as("score_self"),
+          round(TextScores.fast_align(toks,
+            concat(toks, array(lit("zz")))), 4).as("score_pad"))
+        .orderBy("doc_id")
     }),
 
     "q35_fbeta_sweep" -> ((s, d) => {
@@ -361,6 +366,24 @@ object SparkEntry {
       val scored = t(s, d, "events")
         .select(col("value").as("score"), (col("event_type") === "click").as("is_new"))
       Metrics.fBetaSweep(scored, "score", "is_new", beta = 1.0)
+        .select(round(col("threshold"), 2).as("threshold"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("fbeta"), 6).as("fbeta"))
+        .orderBy(col("threshold"))
+    }),
+
+    "q49_fbeta_sweep_v2" -> ((s, d) => {
+      // AttachFBetaV2 sweep — ImprovedUpdateRule(reverse=True) (reference
+      // attach_f_beta_v2.py:10 + f_beta/helpers.py:47-81): recall counts a
+      // not-new prediction whose retrieval MISSED (is_hit false) as a false
+      // negative. is_hit derives deterministically from event_id so the
+      // DuckDB oracle re-derives it
+      val scored = t(s, d, "events")
+        .select(col("value").as("score"),
+          (col("event_type") === "click").as("is_new"),
+          (col("event_id") % 3 === 0).as("is_hit"))
+      Metrics.fBetaSweepV2(scored, "score", "is_new", "is_hit", beta = 1.0)
         .select(round(col("threshold"), 2).as("threshold"),
           round(col("precision"), 6).as("precision"),
           round(col("recall"), 6).as("recall"),
@@ -414,9 +437,21 @@ object SparkEntry {
 
     "q25_fingerprint" -> ((s, d) => {
       // rolling-hash document fingerprint (content-identity analogue,
-      // stack.py:54-57) — engine-specific hash, rows-only check
-      t(s, d, "documents")
-        .select(col("doc_id"), rolling_fingerprint(col("text")).as("fp"))
+      // stack.py:54-57). The raw 64-bit fp is engine-specific, so the check
+      // asserts its defining STRUCTURE instead (q39's structural-oracle
+      // pattern): a copy of the text — fingerprinted on a SEPARATE row, so
+      // the comparison crosses a real shuffle — matches, and a one-token
+      // append differs
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val base = docs.select(col("doc_id"),
+        rolling_fingerprint(col("text")).as("fp"),
+        rolling_fingerprint(concat(col("text"), lit(" zz"))).as("fp_zz"))
+      val copies = docs.select(col("doc_id").as("doc_id2"),
+        rolling_fingerprint(col("text")).as("fp_copy"))
+      base.join(copies, col("doc_id") === col("doc_id2"))
+        .select(col("doc_id"),
+          (col("fp") === col("fp_copy")).as("copy_match"),
+          (col("fp") =!= col("fp_zz")).as("append_differs"))
         .orderBy("doc_id")
     }),
 
@@ -869,6 +904,39 @@ object SparkEntry {
              ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (SELECT pos FROM t))) END, 6) AS fbeta
          FROM c ORDER BY threshold""",
 
+    "q49_fbeta_sweep_v2" ->
+      """WITH g AS (
+           SELECT value AS threshold, count(*) AS cntg,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS tpg,
+             sum(CASE WHEN event_type <> 'click' AND event_id % 3 = 0
+                 THEN 1 ELSE 0 END) AS tng
+           FROM events GROUP BY value),
+         c AS (
+           SELECT threshold,
+             sum(cntg) OVER (ORDER BY threshold
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccnt,
+             sum(tpg) OVER (ORDER BY threshold
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(tng) OVER (ORDER BY threshold
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctn
+           FROM g),
+         t AS (SELECT count(*) AS n,
+             sum(CASE WHEN event_type <> 'click' AND event_id % 3 = 0
+                 THEN 1 ELSE 0 END) AS tn_tot
+           FROM events),
+         m AS (
+           SELECT threshold, tp, ccnt - tp AS fp,
+             (SELECT n FROM t) - ccnt - ((SELECT tn_tot FROM t) - ctn) AS fn
+           FROM c)
+         SELECT round(threshold, 2) AS threshold,
+           round(tp * 1.0 / (tp + fp), 6) AS precision,
+           round(CASE WHEN tp + fn = 0 THEN 0.0
+             ELSE tp * 1.0 / (tp + fn) END, 6) AS recall,
+           round(CASE WHEN tp = 0 THEN 0.0 ELSE
+             (2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))) /
+             ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn))) END, 6) AS fbeta
+         FROM m ORDER BY threshold""",
+
     "q36_roc_auc" ->
       """WITH g AS (
            SELECT value AS s, count(*) AS cnt,
@@ -885,6 +953,20 @@ object SparkEntry {
     "q34_regex_filter" ->
       """SELECT doc_id FROM documents
          WHERE regexp_matches(text, '\bspark\b.*\bjoin\b') ORDER BY doc_id""",
+
+    // structural oracle (q39 pattern): a separately-computed copy
+    // fingerprint matches, a one-token append differs
+    "q25_fingerprint" ->
+      """SELECT doc_id, true AS copy_match, true AS append_differs
+         FROM documents ORDER BY doc_id""",
+
+    // closed form with alpha=0 over all-distinct tokens: self = 1,
+    // one appended unmatched token = 2n/(2n+1), n = 3 + doc_id % 7
+    "q30_fast_align" ->
+      """SELECT doc_id, CAST(1.0 AS DOUBLE) AS score_self,
+           round(CAST(2 * n AS DOUBLE) / (2 * n + 1), 4) AS score_pad
+         FROM (SELECT doc_id, 3 + doc_id % 7 AS n FROM documents)
+         ORDER BY doc_id""",
 
     "q32_training_pairs" ->
       """SELECT cluster_id, a, b FROM (
@@ -972,7 +1054,8 @@ object SparkEntry {
                ORDER BY coalesce(s.s, -1000.0) DESC, u.cluster_id) AS rank
            FROM universe u LEFT JOIN scored s
              ON s.query_id = u.query_id AND s.cluster_id = u.cluster_id)
-         SELECT query_id, cluster_id, round(cluster_score, 2) AS cluster_score,
+         SELECT query_id, cluster_id,
+           round(cluster_score, 2) + 0.0 AS cluster_score,
            rank
          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 

@@ -168,4 +168,54 @@ object Metrics {
       .select(col(scoreCol).as("threshold"), col("precision"), col("recall"), col("fbeta"))
       .orderBy(col("fbeta").desc_nulls_last)
   }
+
+  /**
+   * F-beta threshold sweep, "improved" update rule — the reference's
+   * AttachFBetaV2 (reference: metrics/wrappers/f_beta/attach_f_beta_v2.py:10,
+   * helpers.py:47-81 `ImprovedUpdateRule(reverse=True)`). Differs from
+   * [[fBetaSweep]] in how the un-flagged side is scored: a prediction above
+   * the threshold counts as a TRUE negative only when it is both not-new AND
+   * a retrieval hit (`is_hit` — the top-ranked issue was the target); a
+   * not-new prediction whose retrieval missed is a FALSE negative, so recall
+   * now punishes bad attachments, not just missed new issues. Closed-form
+   * cumulative confusion counts per candidate threshold (predict "new" when
+   * score <= threshold, matching the reference's ascending sweep):
+   *   TP = new & score<=th            FP = !new & score<=th
+   *   TN = !new & hit & score>th      FN = (score>th) - TN
+   * Like [[fBetaSweep]], rows where the reference's f_beta is undefined
+   * (precision = recall = 0) report fbeta = 0 instead of being dropped.
+   *
+   * @param scored (score DOUBLE, is_new BOOLEAN, is_hit BOOLEAN)
+   * @return per-threshold precision/recall/fbeta, best row first.
+   */
+  def fBetaSweepV2(scored: DataFrame, scoreCol: String, isNewCol: String,
+      isHitCol: String, beta: Double): DataFrame = {
+    val totalsRow = scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(!col(isNewCol) && col(isHitCol), 1L).otherwise(0L)).as("tn"))
+      .head()
+    val n = totalsRow.getLong(0).toDouble
+    val tnTotal = totalsRow.getLong(1).toDouble
+    val b2 = beta * beta
+    val grouped = scored
+      .groupBy(scoreCol)
+      .agg(count(lit(1)).as("cntg"),
+        sum(when(col(isNewCol), 1L).otherwise(0L)).as("tpg"),
+        sum(when(!col(isNewCol) && col(isHitCol), 1L).otherwise(0L)).as("tng"))
+    graft.operators.OrderedScan.cumSums(grouped, scoreCol,
+        Seq("cntg" -> "ccnt", "tpg" -> "tp", "tng" -> "ctn"))
+      .withColumn("fp", col("ccnt") - col("tp"))
+      .withColumn("tn", lit(tnTotal) - col("ctn"))
+      .withColumn("fn", lit(n) - col("ccnt") - col("tn"))
+      .withColumn("precision", col("tp") / (col("tp") + col("fp")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(col("tp") / (col("tp") + col("fn"))))
+      .withColumn("fbeta",
+        when(col("tp") === 0, lit(0.0)).otherwise(
+          (lit(1 + b2) * col("precision") * col("recall")) /
+          (lit(b2) * col("precision") + col("recall"))))
+      .select(col(scoreCol).as("threshold"), col("precision"), col("recall"), col("fbeta"))
+      .orderBy(col("fbeta").desc_nulls_last)
+  }
 }

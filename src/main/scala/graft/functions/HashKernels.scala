@@ -315,6 +315,14 @@ object HashKernels {
    * in each doc; normalized by the total weight mass of both docs. The
    * reference's df damping term is applied upstream as a join (it needs the
    * corpus df table), keeping this kernel a pure per-pair function.
+   *
+   * Intentional deviations from the cited reference (shared with
+   * [[graft.operators.TextScores.fastAlignScore]]): (a) no gap penalty for
+   * unmatched tokens — the reference subtracts unmatched weight, giving a
+   * score range of [-1, 1] vs [0, 1] here; (b) tokens align at their
+   * FIRST-occurrence 0-based position, where the reference merges every
+   * occurrence over reversed 1-based positions. The citation marks
+   * provenance of the scoring shape, not semantic equivalence.
    */
   def fastAlignData(a: ArrayData, b: ArrayData, gamma: Double, alpha: Double): Double = {
     val na = a.numElements()

@@ -91,7 +91,7 @@ object Ann {
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
     var cents = sampleCentroids(c, nlist)
     for (_ <- 0 until iters) {
-      val means = assignCells(c, collectCents(cents))
+      val means = assignCellsAuto(c, cents, nlist.toLong)
         .select(col("cell"), posexplode(col("cv")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .groupBy("cell")
@@ -114,12 +114,21 @@ object Ann {
     c.orderBy(xxhash64(col("item_id")), col("item_id")).limit(nlist)
       .select(col("item_id").as("cent_id"), col("cv").as("centv"))
 
+  /** Literal-path ceiling: centroid vectors are inlined as literals only up
+    * to this many cells. greatest() over nlist struct columns and an
+    * nlist-element array_sort are per-row expression TREES that grow with
+    * nlist — past a few hundred cells the generated method blows the JVM
+    * size limit and whole-stage codegen silently falls back to interpreted
+    * evaluation. Above the ceiling, centroids stay a DataFrame: assignment
+    * and probing run as a broadcast join + aggregate/window (see
+    * [[assignCellsAuto]]), keeping every expression codegen-sized at
+    * real-IVF nlist (~2^16 at 10^9 vectors). */
+  private[operators] val literalCentroidMax = 256
+
   /** Per-centroid (sim, cent_id) struct columns against literal centroid
-    * vectors. The centroid table is tiny by construction (nlist rows), so it
-    * rides into the plan as literals: both cell assignment and probe
-    * selection become NARROW per-row expressions inside whole-stage codegen —
-    * zero shuffle, instead of a broadcast cross join + groupBy that would
-    * re-shuffle every full vector. */
+    * vectors (small-nlist path only, see [[literalCentroidMax]]): both cell
+    * assignment and probe selection become NARROW per-row expressions inside
+    * whole-stage codegen — zero shuffle. */
   private def centSimStructs(vecCol: org.apache.spark.sql.Column,
       cents: Array[(Any, Array[Float])]): Seq[org.apache.spark.sql.Column] =
     cents.toSeq.map { case (id, v) =>
@@ -137,20 +146,54 @@ object Ann {
   private def collectCents(centroids: DataFrame): Array[(Any, Array[Float])] =
     centroids.collect().map(r => (r.get(0), r.getSeq[Float](1).toArray))
 
+  /** Nearest-centroid cell per corpus row, path gated on centroid count:
+    * literal expressions under [[literalCentroidMax]], broadcast join +
+    * max_by aggregate above. Both paths break ties identically (max sim,
+    * then max cent_id) and return (item_id, cv, cell). The big path's
+    * aggregate collapses the nlist-way fan-out map-side (every replicated
+    * row of an item sits in the same partition the broadcast join emitted it
+    * in), so the single shuffle carries one row per item. */
+  private def assignCellsAuto(c: DataFrame, centroids: DataFrame,
+      nlist: Long): DataFrame =
+    if (nlist <= literalCentroidMax) assignCells(c, collectCents(centroids))
+    else {
+      val cents = broadcast(centroids
+        .select(col("cent_id"), col("centv")))
+      c.crossJoin(cents)
+        .withColumn("sim", cosine_sim(col("cv"), col("centv")))
+        .groupBy("item_id")
+        .agg(first(col("cv")).as("cv"),
+          max_by(col("cent_id"), struct(col("sim"), col("cent_id"))).as("cell"))
+    }
+
   private def ivfSearch(c: DataFrame, q: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val cents = collectCents(centroids)
-    val assigned = assignCells(c, cents)
-    // per-query probe cells: descending (sim, cent_id) struct order — the
-    // SAME tie-break as cell assignment's greatest(), so an item's assigned
-    // cell is always reachable by a query with the same vector (sim-tied
-    // centroids would otherwise send assignment to the max cent_id and the
-    // probes to the min). Narrow expression, no window, no shuffle.
-    val probes = q
-      .withColumn("probe", explode(
-        slice(reverse(array_sort(array(centSimStructs(col("qv"), cents): _*))),
-          1, math.min(nProbe, cents.length))))
-      .select(col("query_id"), col("qv"), col("probe.cent_id").as("cell"))
+    // nlist rows by construction — a bounded count, used to pick the path
+    val nlist = centroids.count()
+    val assigned = assignCellsAuto(c, centroids, nlist)
+    // per-query probe cells: descending (sim, cent_id) order — the SAME
+    // tie-break as cell assignment, so an item's assigned cell is always
+    // reachable by a query with the same vector (sim-tied centroids would
+    // otherwise send assignment to the max cent_id and the probes to the
+    // min). Small nlist: narrow expression, no window, no shuffle. Large
+    // nlist: broadcast join + per-query window (the window shuffles only
+    // query rows — the small dimension by design).
+    val probes =
+      if (nlist <= literalCentroidMax) {
+        val cents = collectCents(centroids)
+        q.withColumn("probe", explode(
+            slice(reverse(array_sort(array(centSimStructs(col("qv"), cents): _*))),
+              1, math.min(nProbe, cents.length))))
+          .select(col("query_id"), col("qv"), col("probe.cent_id").as("cell"))
+      } else {
+        q.crossJoin(broadcast(centroids.select(col("cent_id"), col("centv"))))
+          .withColumn("sim", cosine_sim(col("qv"), col("centv")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(struct(col("sim"), col("cent_id")).desc)))
+          .where(col("rn") <= nProbe)
+          .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      }
     probes.join(assigned, "cell")
       .where(col("query_id") =!= col("item_id"))
       .withColumn("cosine", cosine_sim(col("qv"), col("cv")))

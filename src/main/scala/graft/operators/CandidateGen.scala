@@ -74,23 +74,69 @@ object CandidateGen {
       .as("key"))
 
   /**
-   * Hamming-LSH bucket rows for a 64-bit simhash: split into `chunks` equal
-   * bit-ranges; by pigeonhole, two hashes within Hamming distance
-   * `chunks - 1` share at least one exact chunk — so chunks = hammingMax + 1
-   * gives guaranteed candidate recall for the Hamming verify threshold.
+   * Hamming-LSH bucket rows for a 64-bit simhash, CHUNK-SUBSET keys: split
+   * the hash into `c` equal bit-ranges and emit one key per `s`-element
+   * subset of chunk positions (s = c - hammingMax), each key hashing the
+   * subset index plus the exact chunk values. Two hashes within Hamming
+   * distance `hammingMax` differ in at most `hammingMax` chunks, so at least
+   * `s` chunks are intact — and every s-subset of intact chunks is a shared
+   * key, giving GUARANTEED candidate recall (pigeonhole), like the classic
+   * one-chunk scheme (c = hammingMax + 1, s = 1) but with a key space of
+   * C(c,s) * 2^(s*64/c) instead of c * 2^(64/c).
+   *
+   * Why that matters at scale: the one-chunk scheme at hammingMax = 3 has at
+   * most 4 * 2^16 ~ 262k distinct keys — at 10^9+ rows EVERY bucket blows
+   * past `maxBucketSize` and [[pairsFromBuckets]] degrades wholesale to the
+   * sorted-neighborhood fallback, silently voiding the recall guarantee.
+   * (c, s) is chosen per `hammingMax` to keep >= 32 content bits per key
+   * (>= 4 * 10^9 buckets) when achievable with <= 256 keys/row:
+   * d=1 -> (2,1): 2 keys, 32 bits; d=2 -> (4,2): 6 keys, 32 bits;
+   * d=3 -> (8,5): 56 keys, 40 bits; d=4 -> (8,4): 70 keys, 32 bits;
+   * d>=5 degrades gracefully to the widest affordable scheme. At 10^9 rows
+   * and d=3 expected occupancy is 56*10^9 / (56*2^40) ~ 0.001 rows/bucket —
+   * the skew cap then only fires on genuinely degenerate hash values.
+   *
+   * Replaces the reference's per-anchor FAISS retrieval at a scale it never
+   * faces (reference: ea/sim/main/methods/index/faiss.py:63-77).
+   *
+   * @param hammingMax the Hamming verify threshold the downstream filter
+   *                   applies (NOT a chunk count); must be in [0, 15].
    */
   def simhashChunkBuckets(df: DataFrame, idCol: String, simhashCol: String,
-      chunks: Int): DataFrame = {
-    require(chunks >= 2 && 64 % chunks == 0, s"chunks($chunks) must divide 64 and be >= 2")
+      hammingMax: Int): DataFrame = {
+    val (chunks, subset) = subsetScheme(hammingMax)
     val width = 64 / chunks
-    val keys = (0 until chunks).map { c =>
-      val chunkVal = shiftrightunsigned(col(simhashCol), c * width)
-        .bitwiseAND(lit((1L << width) - 1))
-      // mix chunk index into the key so chunk 0 and chunk 1 never collide
-      xxhash64(lit(c), chunkVal)
-    }
-    // one generator pass over the source instead of a `chunks`-way union
+    def chunkVal(c: Int) =
+      shiftrightunsigned(col(simhashCol), c * width)
+        .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1))
+    // subset index mixed into the key so distinct position-sets never collide
+    val keys = (0 until chunks).combinations(subset).zipWithIndex.map {
+      case (cs, t) => xxhash64((lit(t) +: cs.map(chunkVal)): _*)
+    }.toSeq
+    // one generator pass over the source instead of a per-key union
     // (a union is shuffle-free but re-reads/recomputes the child per leg)
     df.select(col(idCol).as("id"), explode(array(keys: _*)).as("key"))
+  }
+
+  /** (chunks, subsetSize) for [[simhashChunkBuckets]]. The guarantee holds
+    * for ANY s <= c - d (at least c - d chunks are intact, so every s-subset
+    * of them is shared); among all (c, s) with c | 64, c > d, s <= c - d and
+    * C(c, s) <= 256 keys/row, pick the cheapest scheme with >= 32 content
+    * bits per key, else the widest-key one (large d inherently trades key
+    * width for key count — document occupancy before using d >= 5 at 10^9+
+    * rows). */
+  private[operators] def subsetScheme(hammingMax: Int): (Int, Int) = {
+    require(hammingMax >= 0 && hammingMax <= 15,
+      s"hammingMax($hammingMax) must be in [0, 15]")
+    def binom(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+    val opts = for {
+      c <- Seq(2, 4, 8, 16, 32) if c > hammingMax
+      s <- 1 to (c - hammingMax) if binom(c, s) <= 256
+    } yield (c, s, s * (64 / c), binom(c, s))
+    val wide = opts.filter(_._3 >= 32)
+    val pick = if (wide.nonEmpty) wide.minBy(_._4)
+               else opts.maxBy(o => (o._3, -o._4))
+    (pick._1, pick._2)
   }
 }

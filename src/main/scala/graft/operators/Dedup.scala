@@ -49,11 +49,22 @@ object Dedup {
       .withColumn("simhash",
         simhash64(col("shingles"), cfg.seed))
 
-  /** MinHash+LSH near-dup pairs verified by exact shingle Jaccard. */
+  /** MinHash+LSH near-dup pairs verified by exact shingle Jaccard.
+    *
+    * @param persistFeatures cache the per-doc feature table consumed by the
+    *        bucket and both verify branches (default true: measurably faster
+    *        on bounded corpora). The cache entry outlives the returned plan —
+    *        pass false in long-lived sessions / at web scale (the recompute
+    *        is a narrow codegen projection), or `spark.catalog.clearCache()`
+    *        after materializing. Same knob on [[simhashPairs]],
+    *        [[embeddingNearDupPairs]], [[ngramJaccardPairs]]. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      cfg: DedupConfig): DataFrame = {
-    val feat = textFeatures(docs, idCol, textCol, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cfg: DedupConfig, persistFeatures: Boolean = true): DataFrame = {
+    val featBase = textFeatures(docs, idCol, textCol, cfg)
+    val feat =
+      if (persistFeatures)
+        featBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else featBase
     val buckets = CandidateGen.explodeBands(
       feat.where(size(col("shingles")) > 0), "id", "band_keys")
     val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize)
@@ -65,14 +76,18 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** SimHash near-dup pairs: Hamming-chunk buckets + bit_count verify. */
+  /** SimHash near-dup pairs: Hamming-subset buckets + bit_count verify.
+    * `persistFeatures`: see [[minhashLshPairs]]. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      cfg: DedupConfig): DataFrame = {
-    val feat = textFeatures(docs, idCol, textCol, cfg)
+      cfg: DedupConfig, persistFeatures: Boolean = true): DataFrame = {
+    val featBase = textFeatures(docs, idCol, textCol, cfg)
       .select("id", "simhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feat =
+      if (persistFeatures)
+        featBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else featBase
     val buckets = CandidateGen.simhashChunkBuckets(
-      feat, "id", "simhash", cfg.hammingMax + 1)
+      feat, "id", "simhash", cfg.hammingMax)
     val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize)
     val fa = feat.select(col("id").as("a"), col("simhash").as("sim_a"))
     val fb = feat.select(col("id").as("b"), col("simhash").as("sim_b"))
@@ -201,12 +216,17 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs via sign-random-projection buckets. */
+  /** Embedding-cosine near-dup pairs via sign-random-projection buckets.
+    * `persistFeatures`: see [[minhashLshPairs]]. */
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       cosineMin: Double, srpBits: Int = 12, tables: Int = 4,
-      seed: Long = 42L, maxBucketSize: Int = 4096): DataFrame = {
-    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      seed: Long = 42L, maxBucketSize: Int = 4096,
+      persistFeatures: Boolean = true): DataFrame = {
+    val baseDf = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base =
+      if (persistFeatures)
+        baseDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else baseDf
     val buckets = CandidateGen.srpBuckets(base, "id", "vec", srpBits, tables, seed)
     val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize)
     val fa = base.select(col("id").as("a"), col("vec").as("va"))

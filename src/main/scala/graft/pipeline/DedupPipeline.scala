@@ -102,7 +102,7 @@ object DedupPipeline {
     val capBuckets = CandidateGen.explodeBands(
       capReps.where(size(col("shingles")) > 0), "nid", "band_keys")
     val chunkBuckets = CandidateGen.simhashChunkBuckets(
-      phReps, "nid", "simhash", cfg.hammingMax + 1)
+      phReps, "nid", "simhash", cfg.hammingMax)
     val candidates = CandidateGen.pairsFromBuckets(
       capBuckets.union(chunkBuckets), cfg.maxBucketSize)
 

@@ -38,7 +38,7 @@ object QuickStats {
       .orderBy(desc("count")).show(10, false)
     val chunkBuckets = CandidateGen.simhashChunkBuckets(
       feat.join(feat.groupBy("phash").agg(min("nid").as("rep2")), "phash")
-        .where(col("nid") === col("rep2")), "nid", "simhash", cfg.hammingMax + 1)
+        .where(col("nid") === col("rep2")), "nid", "simhash", cfg.hammingMax)
     println("[qs] simhash chunk bucket size histogram (top):")
     chunkBuckets.groupBy("key").count().groupBy("count").agg(count(lit(1)).as("n"))
       .orderBy(desc("count")).show(10, false)

@@ -51,6 +51,50 @@ class MetricsSpec extends SparkSpec {
     assert(best.getAs[Double]("threshold") == 0.2)
   }
 
+  test("fBetaSweepV2 matches a direct port of ImprovedUpdateRule(reverse=true)") {
+    // (score, is_new, is_hit) — scores distinct so every prediction is its
+    // own threshold row, like the reference's per-prediction sweep
+    val preds = Seq(
+      (0.05, true, false), (0.10, true, true), (0.20, false, false),
+      (0.30, true, false), (0.40, false, true), (0.55, false, false),
+      (0.60, false, true), (0.75, true, true), (0.90, false, true))
+    // reference loop (attach_f_beta_v2.py:10 + f_beta/helpers.py:47-81):
+    // ascending by score; start all-negative (TN = !new & hit, FN = rest);
+    // each step flips one prediction to positive
+    val sorted = preds.sortBy(_._1)
+    var tn = sorted.count(p => !p._2 && p._3)
+    var fn = sorted.length - tn
+    var tp = 0; var fp = 0
+    val expected = sorted.map { case (score, isNew, isHit) =>
+      if (!isNew && isHit) tn -= 1 else fn -= 1
+      if (isNew) tp += 1 else fp += 1
+      val p = tp.toDouble / (tp + fp)
+      val r = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+      val f = if (tp == 0) 0.0 else 2 * p * r / (p + r)
+      (score, p, r, f)
+    }
+    val got = Metrics.fBetaSweepV2(
+        preds.toDF("score", "is_new", "is_hit"), "score", "is_new", "is_hit",
+        beta = 1.0)
+      .orderBy("threshold")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gt, gp, gr, gf), (et, ep, er, ef)) =>
+      assert(gt == et)
+      assert(math.abs(gp - ep) < 1e-12, s"precision at $gt")
+      assert(math.abs(gr - er) < 1e-12, s"recall at $gt")
+      assert(math.abs(gf - ef) < 1e-12, s"fbeta at $gt")
+    }
+    // and the v1 rule on the same input DIFFERS (the variant is real):
+    // v1 recall ignores is_hit, so the two sweeps disagree wherever a
+    // not-new miss sits above the threshold
+    val v1 = Metrics.fBetaSweep(
+        preds.map(p => (p._1, p._2)).toDF("score", "is_new"),
+        "score", "is_new", beta = 1.0)
+      .orderBy("threshold").as[(Double, Double, Double, Double)].collect()
+    assert(v1.zip(got).exists { case ((_, _, r1, _), (_, _, r2, _)) => r1 != r2 })
+  }
+
   test("clusterPairs emits all intra-cluster pairs") {
     val asg = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 2L)).toDF("id", "cluster")
     val pairs = Metrics.clusterPairs(asg, "id", "cluster")

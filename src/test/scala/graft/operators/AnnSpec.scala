@@ -116,6 +116,28 @@ class AnnSpec extends SparkSpec {
     assert(trained >= 0.7, s"trained recall too low: $trained")
   }
 
+  test("large nlist (>= 1024) takes the broadcast-join path, full probe stays exact") {
+    // above literalCentroidMax the centroid vectors must NOT ride in as a
+    // per-row expression tree (greatest over 1024 structs would blow the
+    // generated-method size and fall back to interpreted eval) — they stay a
+    // broadcast relation and assignment/probing run as join + aggregate
+    val rng = new scala.util.Random(11)
+    val big = (0L until 1200L).map(i => (i, Array.fill(16)(rng.nextFloat() - 0.5f)))
+    val df = big.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .select("query_id", "item_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Ann.ivfTopK(df, queries, "vec_id", "embedding", 10,
+      nlist = 1024, nProbe = 1024)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("greatest("),
+      "literal-centroid expression path used at nlist=1024")
+    val got = ivf.select("query_id", "item_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exact,
+      s"missing=${(exact diff got).take(5)} extra=${(got diff exact).take(5)}")
+  }
+
   test("lsh top-k achieves decent recall@10 vs exact") {
     val df = vecs.toDF("vec_id", "embedding")
     val queries = df.where($"vec_id" < 20)

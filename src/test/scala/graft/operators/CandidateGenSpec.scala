@@ -33,14 +33,51 @@ class CandidateGenSpec extends SparkSpec {
     assert(cc == 1L)
   }
 
-  test("simhash chunk buckets guarantee candidates within hamming chunks-1") {
-    val rng = new scala.util.Random(9)
-    val base = rng.nextLong()
-    // flip exactly 3 bits -> with 4 chunks, must share >= 1 chunk
-    val flipped = base ^ (1L << 3) ^ (1L << 20) ^ (1L << 63)
-    val df = Seq((1L, base), (2L, flipped)).toDF("id", "simhash")
-    val buckets = CandidateGen.simhashChunkBuckets(df, "id", "simhash", 4)
+  test("simhash subset buckets guarantee a candidate at hamming <= hammingMax") {
+    val df = Seq((1L, 0x0123456789ABCDEFL),
+      (2L, 0x0123456789ABCDEFL ^ (1L << 3) ^ (1L << 20) ^ (1L << 63)))
+      .toDF("id", "simhash")
+    val buckets = CandidateGen.simhashChunkBuckets(df, "id", "simhash", 3)
     val pairs = CandidateGen.pairsFromBuckets(buckets).as[(Long, Long)].collect()
     assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("subset-key recall property: every planted pair within hammingMax collides") {
+    // 100 random bases per d; partner flips EXACTLY d random bit positions
+    // (worst case: <= d corrupts fewer chunks). Guarantee: >= 1 shared key.
+    val rng = new scala.util.Random(1234)
+    for (d <- Seq(0, 1, 2, 3, 4, 6)) {
+      val rows = (0 until 100).flatMap { i =>
+        val base = rng.nextLong()
+        val positions = rng.shuffle((0 until 64).toList).take(d)
+        val flipped = positions.foldLeft(base)((h, p) => h ^ (1L << p))
+        Seq((i.toLong * 2, base), (i.toLong * 2 + 1, flipped))
+      }
+      val buckets = CandidateGen.simhashChunkBuckets(
+        rows.toDF("id", "simhash"), "id", "simhash", d)
+      // direct key-collision check (not pairsFromBuckets: its skew fallback
+      // is a separate concern) — partner pairs differ by exactly 1 in id
+      val collided = buckets.as("x").join(buckets.as("y"),
+          $"x.key" === $"y.key" && $"x.id" + 1 === $"y.id" && $"x.id" % 2 === 0)
+        .select($"x.id").distinct().count()
+      assert(collided == 100L, s"d=$d: only $collided/100 planted pairs collided")
+    }
+  }
+
+  test("subset scheme picks >= 32 content bits per key where affordable") {
+    assert(CandidateGen.subsetScheme(0) == (2, 2))  // 1 key, full 64 bits
+    assert(CandidateGen.subsetScheme(1) == (2, 1))  // 2 keys, 32 bits
+    assert(CandidateGen.subsetScheme(2) == (4, 2))  // 6 keys, 32 bits
+    assert(CandidateGen.subsetScheme(3) == (8, 5))  // 56 keys, 40 bits
+    assert(CandidateGen.subsetScheme(4) == (8, 4))  // 70 keys, 32 bits
+    // d >= 5: no affordable >= 32-bit scheme; degrade to widest keys
+    assert(CandidateGen.subsetScheme(5) == (8, 3))
+    // keys-per-row stays bounded and the pigeonhole precondition (s <= c - d)
+    // holds for every supported d
+    for (d <- 0 to 15) {
+      val (c, s) = CandidateGen.subsetScheme(d)
+      assert(c > d && s >= 1 && s <= c - d, s"d=$d -> ($c, $s)")
+      assert((0 until c).combinations(s).size <= 256)
+    }
   }
 }

@@ -165,4 +165,23 @@ class DedupSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert((0L until 10L).forall(i => got.contains((i, i + 1000))), s"got=$got")
   }
+
+  test("persistFeatures=false leaves no lingering cached RDDs") {
+    val docs = corpus.take(40).toDF("doc_id", "text")
+    val rng = new scala.util.Random(7)
+    val embs = (0L until 20L)
+      .map(i => (i, Array.fill(16)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashLshPairs(docs, "doc_id", "text", cfg,
+      persistFeatures = false).count()
+    Dedup.simhashPairs(docs, "doc_id", "text", cfg,
+      persistFeatures = false).count()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", cfg,
+      persistFeatures = false).count()
+    Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", cosineMin = 0.99,
+      persistFeatures = false).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"cache entries leaked: $leaked")
+  }
 }

@@ -1,8 +1,13 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness compare:
 runs each oracle SQL, loads the Spark parquet result, sorts columns by name
-and rows by all values, and diffs. Usage: check_oracle.py <sfDir> <verifyOut>"""
-import duckdb, json, sys, glob, os
+and rows by all values, and diffs. Usage: check_oracle.py <sfDir> <verifyOut>
+
+Values are compared at BIT level (driver hash semantics): floats are
+canonicalized via struct.pack('>d'), so -0.0 != +0.0 and NaN == NaN —
+Python's == (which says -0.0 == 0.0 and NaN != NaN) would pass results the
+driver's value hash fails (this exact class bit round 2's q37)."""
+import duckdb, json, sys, glob, os, struct
 
 sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -11,9 +16,27 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem',
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 
+def tok(v):
+    """Bit-exact, totally-orderable token for one value."""
+    if v is None:
+        return 'n'
+    if isinstance(v, bool):
+        return f'B:{v}'
+    if isinstance(v, float):
+        return 'f:' + struct.pack('>d', v).hex()
+    if isinstance(v, int):
+        return f'i:{v:+025d}'
+    if isinstance(v, (bytes, bytearray)):
+        return 'b:' + bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return 'l:[' + ','.join(tok(x) for x in v) + ']'
+    if isinstance(v, dict):
+        return 'd:{' + ','.join(f'{k}={tok(x)}' for k, x in sorted(v.items())) + '}'
+    return f't:{type(v).__name__}:{v}'
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted([tuple(r[i] for i in order) for r in rows]), sorted(cols)
+    return sorted([tuple(tok(r[i]) for i in order) for r in rows]), sorted(cols)
 
 fails = 0
 for name, sql in sorted(oracle.items()):
