@@ -1,0 +1,120 @@
+package graft
+
+import graft.config.DedupConfig
+import graft.io.{CheckpointStore, TableIO}
+import graft.operators.{Ingest, Validate}
+import graft.pipeline.DedupPipeline
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Production entrypoint — the `spark-submit` surface of the north rule
+ * ("runs via spark-submit on multi-executor clusters at N and 4N
+ * executors"):
+ *
+ * {{{
+ * spark-submit --class graft.Main stacktracededuplicationspark.jar \
+ *   --input <table-or-dir> --output <dir> \
+ *   [--checkpoint <dir>] [--run-id <id>] [--partitions <n>] \
+ *   [--set shingleK=3] [--set hammingMax=3] [--set jaccardMin=0.5] ...
+ * }}}
+ *
+ * Uses the ambient session spark-submit provides (no master/memory settings
+ * hardcoded here — the cluster config owns those); reads the input through
+ * [[TableIO]] (Iceberg when `--input` names a catalog table, parquet
+ * directories otherwise), then runs the flagship DAG: ONE fused pass over
+ * the payload bytes (decode + phash/dims validation per BASELINE.json
+ * input_hint, plus signature feature extraction — [[Ingest]]), then the
+ * full dedup pipeline (LSH candidates -> exact verify -> connected
+ * components -> cluster labels). Outputs, all through [[TableIO]]:
+ *
+ *  - `<output>/assignments` — (image_id, cluster_id)
+ *  - `<output>/dup_pairs`   — (a, b, jaccard, hamming) evidence pairs
+ *  - `<output>/validation`  — one-row per-payload validation report
+ *  - `<output>/metrics`     — per-stage lineage rows (with `--checkpoint`)
+ *
+ * With `--checkpoint <dir>`, the verified-pairs stage is staged through
+ * [[CheckpointStore]] under `--run-id` (default "run"): re-submitting the
+ * same run id resumes from the persisted stage instead of recomputing —
+ * the reference's snapshot/tail-replay semantics at job granularity.
+ */
+object Main {
+
+  private case class Args(
+      input: String = null,
+      output: String = null,
+      checkpoint: Option[String] = None,
+      runId: String = "run",
+      partitions: Int = 0,
+      sets: Map[String, String] = Map.empty)
+
+  private def parse(argv: List[String], acc: Args): Args = argv match {
+    case Nil => acc
+    case "--input" :: v :: rest => parse(rest, acc.copy(input = v))
+    case "--output" :: v :: rest => parse(rest, acc.copy(output = v))
+    case "--checkpoint" :: v :: rest => parse(rest, acc.copy(checkpoint = Some(v)))
+    case "--run-id" :: v :: rest => parse(rest, acc.copy(runId = v))
+    case "--partitions" :: v :: rest => parse(rest, acc.copy(partitions = v.toInt))
+    case "--set" :: kv :: rest =>
+      val Array(k, v) = kv.split("=", 2)
+      parse(rest, acc.copy(sets = acc.sets + (k -> v)))
+    case other :: _ =>
+      throw new IllegalArgumentException(s"unknown argument: $other")
+  }
+
+  /** DedupConfig with `--set key=value` overrides applied. */
+  private[graft] def configOf(sets: Map[String, String]): DedupConfig = {
+    val base = DedupConfig.default
+    val known = Set("shingleK", "numHashes", "bands", "rowsPerBand",
+      "hammingMax", "jaccardMin", "lcsMin", "maxBucketSize", "seed",
+      "forgetDays", "dupAttach")
+    sets.keys.find(!known(_)).foreach(k =>
+      throw new IllegalArgumentException(s"unknown --set key: $k (known: ${known.mkString(", ")})"))
+    def i(k: String, d: Int) = sets.get(k).map(_.toInt).getOrElse(d)
+    base.copy(
+      shingleK = i("shingleK", base.shingleK),
+      numHashes = i("numHashes", base.numHashes),
+      bands = i("bands", base.bands),
+      rowsPerBand = i("rowsPerBand", base.rowsPerBand),
+      hammingMax = i("hammingMax", base.hammingMax),
+      jaccardMin = sets.get("jaccardMin").map(_.toDouble).getOrElse(base.jaccardMin),
+      lcsMin = i("lcsMin", base.lcsMin),
+      maxBucketSize = i("maxBucketSize", base.maxBucketSize),
+      seed = sets.get("seed").map(_.toLong).getOrElse(base.seed),
+      forgetDays = sets.get("forgetDays").map(_.toInt).orElse(base.forgetDays),
+      dupAttach = sets.get("dupAttach").map(_.toBoolean).getOrElse(base.dupAttach))
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.toList, Args())
+    require(args.input != null, "--input is required")
+    require(args.output != null, "--output is required")
+
+    // the ambient spark-submit session; sane shuffle sizing only if the
+    // submitter didn't set one (cluster config wins)
+    val spark = SparkSession.builder().getOrCreate()
+    val cfg = configOf(args.sets)
+    run(spark, args.input, args.output, cfg, args.checkpoint, args.runId,
+      args.partitions)
+  }
+
+  /** The full job, callable from tests with an existing session. */
+  def run(spark: SparkSession, input: String, output: String,
+      cfg: DedupConfig, checkpoint: Option[String] = None,
+      runId: String = "run", partitions: Int = 0): Unit = {
+    val inIo = TableIO.resolve(spark, input)
+    val outIo = TableIO.resolve(spark, output)
+    val parts =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+    val store = checkpoint.map(new CheckpointStore(spark, _, runId))
+    val feat = Ingest.run(spark, inIo.read(input), cfg, partitions = parts)
+    val result = DedupPipeline.runFromFeatures(spark, feat, cfg, store)
+
+    outIo.write(Validate.report(feat), s"$output/validation")
+    outIo.write(result.assignments, s"$output/assignments")
+    outIo.write(result.dupPairs, s"$output/dup_pairs")
+    store.foreach(s => outIo.write(s.metrics(), s"$output/metrics"))
+    feat.unpersist()
+  }
+}

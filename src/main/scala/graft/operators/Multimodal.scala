@@ -12,11 +12,12 @@ import org.apache.spark.sql.types._
  * over the binary payloads (the Scala analogue of a batched mapInPandas —
  * one decoder instantiation per partition, not per row).
  *
- * PNG/JPEG decode is REAL (in-JDK javax.imageio, same codec the synthesizer
- * and phash validators use). Other formats (audio/video/webp...) take the
- * clearly-marked deterministic STUB path: the container has no media codecs,
- * so the stub derives a fake-but-stable feature vector from the payload bytes
- * — the Spark-side schema, partitioning, and batch shape are real and tested.
+ * PNG/JPEG/GIF/BMP decode is REAL (in-JDK javax.imageio, same codec the
+ * synthesizer and phash validators use). Other formats (audio/video/webp...)
+ * take the clearly-marked deterministic STUB path: the container has no media
+ * codecs, so the stub derives a fake-but-stable feature vector from the
+ * payload bytes — the Spark-side schema, partitioning, and batch shape are
+ * real and tested.
  */
 object Multimodal {
 
@@ -33,11 +34,17 @@ object Multimodal {
    * @return per-row decode features (schema above); rows whose payload fails
    *         to decode fall back to the stub path instead of failing the task.
    */
+  /** Formats the in-JDK javax.imageio registry genuinely decodes (png/jpeg
+    * via cached per-thread readers, gif/bmp/wbmp via the registry fallback in
+    * ImageCodec.decode). webp/audio/video are NOT in this set — the container
+    * ships no codecs for them, so they take the stub path below. */
+  private val jdkDecodable = Set("png", "jpg", "jpeg", "gif", "bmp", "wbmp")
+
   /** Real decode only for the formats the in-JDK codec handles; anything else
     * (or a corrupt payload) returns None and the caller stubs/passes through
     * instead of failing the task. */
   private def tryDecode(bytes: Array[Byte], fmt: String): Option[java.awt.image.BufferedImage] =
-    if (fmt == "png" || fmt == "jpg" || fmt == "jpeg")
+    if (jdkDecodable(fmt))
       try Option(ImageCodec.decode(bytes)) catch { case _: Throwable => None }
     else None
 

@@ -1,0 +1,52 @@
+package graft
+
+import graft.config.DedupConfig
+import graft.synth.ImageGen
+import org.apache.spark.sql.functions._
+
+class MainSpec extends SparkSpec {
+
+  private def rmrf(p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+  }
+
+  test("spark-submit entrypoint runs end to end and resumes from checkpoint") {
+    val in = "/tmp/graft_main_spec/in"
+    val out = "/tmp/graft_main_spec/out"
+    val ck = "/tmp/graft_main_spec/ck"
+    Seq(in, out, ck).foreach(rmrf)
+    ImageGen.generate(spark, bases = 25, seed = 42L)
+      .write.mode("overwrite").parquet(in)
+    val nIn = spark.read.parquet(in).count()
+
+    Main.run(spark, in, out, DedupConfig.default, Some(ck), "r1", partitions = 4)
+
+    val asg = spark.read.parquet(s"$out/assignments")
+    assert(asg.count() == nIn, "one assignment row per input image")
+    assert(asg.select("cluster_id").distinct().count() < nIn,
+      "generator plants dup groups — clusters must merge some images")
+    val v = spark.read.parquet(s"$out/validation").head()
+    assert(v.getAs[Long]("rows") == nIn)
+    assert(v.getAs[Long]("valid") == nIn, "synthetic payloads all validate")
+    val m1 = spark.read.parquet(s"$out/metrics")
+      .where(col("stage") === "verified_pairs")
+    assert(m1.count() == 1, "staged verify recorded one lineage row")
+
+    // resume: same run id reuses the persisted stage — no new metric row
+    Main.run(spark, in, out, DedupConfig.default, Some(ck), "r1", partitions = 4)
+    val m2 = spark.read.parquet(s"$out/metrics")
+      .where(col("stage") === "verified_pairs")
+    assert(m2.count() == 1, "resumed run must not recompute the staged stage")
+  }
+
+  test("configOf applies --set overrides and rejects unknown keys") {
+    val c = Main.configOf(Map("hammingMax" -> "2", "jaccardMin" -> "0.7",
+      "forgetDays" -> "14", "dupAttach" -> "false"))
+    assert(c.hammingMax == 2 && c.jaccardMin == 0.7)
+    assert(c.forgetDays.contains(14) && !c.dupAttach)
+    intercept[IllegalArgumentException] {
+      Main.configOf(Map("notAKey" -> "1"))
+    }
+  }
+}

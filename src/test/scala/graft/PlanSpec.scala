@@ -53,6 +53,17 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
   }
 
+  test("fBetaSweepV2 contains no unpartitioned window") {
+    import spark.implicits._
+    val scored = (1 to 200).map(i => (i * 0.37 % 11, i % 3 == 0, i % 5 == 0))
+      .toDF("score", "is_new", "is_hit")
+    val df = graft.eval.Metrics.fBetaSweepV2(scored, "score", "is_new", "is_hit", 1.0)
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
+  }
+
   test("q46: exact jaccard join plans no cartesian and no unpartitioned window") {
     val df = SparkEntry.queries("q46_ngram_jaccard_exact")(spark, dir)
     val p = planOf(df)

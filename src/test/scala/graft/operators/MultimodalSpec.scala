@@ -43,6 +43,27 @@ class MultimodalSpec extends SparkSpec {
     assert(of == "webm+passthrough" && (ob sameElements Array[Byte](1, 2, 3, 4)))
   }
 
+  test("decodeFeatures: gif and bmp decode for real via the in-JDK registry") {
+    def enc(fmt: String, img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      ("g", enc("gif", gradient(20, 12)), "gif"),
+      ("b", enc("bmp", gradient(16, 10)), "bmp"),
+      ("p", ImageCodec.encodePng(gradient(8, 8)), "png"),
+      ("w", Array[Byte](1, 2, 3), "webp")) // no jdk codec -> stub path
+      .toDF("image_id", "bytes", "fmt")
+    val out = Multimodal.decodeFeatures(spark, rows)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out("g") == ((true, 20, 12)))
+    assert(out("b") == ((true, 16, 10)))
+    assert(out("p") == ((true, 8, 8)))
+    assert(out("w")._1 == false, "webp must take the honest stub path")
+  }
+
   test("frameSamples: every-nth frame rows, deterministic hashes") {
     val vids = Seq(
       ("clip_a", Some(Array[Byte](9, 9, 9)), Some(10)),
