@@ -109,7 +109,7 @@ object Bench {
     // payload files again (at 100 TB the payload scan dominates; reading it
     // once instead of twice halves the job's I/O + decode cost)
     val feat = graft.operators.Ingest.run(spark,
-      graft.io.TableIO.resolve(spark, inputDir).read(inputDir),
+      graft.io.TableIO.readLocation(spark, inputDir),
       DedupConfig.default, partitions = 32)
     materialize(graft.operators.Validate.report(feat)) // materializes the pass
     val res = DedupPipeline.runFromFeatures(spark, feat, DedupConfig.default)

@@ -20,17 +20,20 @@ import org.apache.spark.sql.SparkSession
  *
  * Uses the ambient session spark-submit provides (no master/memory settings
  * hardcoded here — the cluster config owns those); reads the input through
- * [[TableIO]] (Iceberg when `--input` names a catalog table, parquet
- * directories otherwise), then runs the flagship DAG: ONE fused pass over
- * the payload bytes (decode + phash/dims validation per BASELINE.json
+ * [[TableIO.readLocation]] (Iceberg when `--input` names a catalog table,
+ * a parquet directory otherwise), then runs the flagship DAG: ONE fused pass
+ * over the payload bytes (decode + phash/dims validation per BASELINE.json
  * input_hint, plus signature feature extraction — [[Ingest]]), then the
  * full dedup pipeline (LSH candidates -> exact verify -> connected
- * components -> cluster labels). Outputs, all through [[TableIO]]:
+ * components -> cluster labels). `--output` is a [[TableIO]] ROOT (an
+ * Iceberg namespace or a parquet directory) holding four named tables —
+ * `<output>/<name>.parquet` on the parquet backend, `<output>.<name>` as an
+ * Iceberg identifier:
  *
- *  - `<output>/assignments` — (image_id, cluster_id)
- *  - `<output>/dup_pairs`   — (a, b, jaccard, hamming) evidence pairs
- *  - `<output>/validation`  — one-row per-payload validation report
- *  - `<output>/metrics`     — per-stage lineage rows (with `--checkpoint`)
+ *  - `assignments` — (image_id, cluster_id)
+ *  - `dup_pairs`   — (a, b, jaccard, hamming) evidence pairs
+ *  - `validation`  — one-row per-payload validation report
+ *  - `metrics`     — per-stage lineage rows (with `--checkpoint`)
  *
  * With `--checkpoint <dir>`, the verified-pairs stage is staged through
  * [[CheckpointStore]] under `--run-id` (default "run"): re-submitting the
@@ -55,11 +58,19 @@ object Main {
     case "--run-id" :: v :: rest => parse(rest, acc.copy(runId = v))
     case "--partitions" :: v :: rest => parse(rest, acc.copy(partitions = v.toInt))
     case "--set" :: kv :: rest =>
-      val Array(k, v) = kv.split("=", 2)
-      parse(rest, acc.copy(sets = acc.sets + (k -> v)))
+      kv.split("=", 2) match {
+        case Array(k, v) => parse(rest, acc.copy(sets = acc.sets + (k -> v)))
+        case _ => throw new IllegalArgumentException(
+          s"--set expects key=value, got: $kv")
+      }
+    case flag :: Nil if valueFlags(flag) =>
+      throw new IllegalArgumentException(s"missing value for $flag")
     case other :: _ =>
       throw new IllegalArgumentException(s"unknown argument: $other")
   }
+
+  private val valueFlags = Set(
+    "--input", "--output", "--checkpoint", "--run-id", "--partitions", "--set")
 
   /** DedupConfig with `--set key=value` overrides applied. */
   private[graft] def configOf(sets: Map[String, String]): DedupConfig = {
@@ -101,20 +112,22 @@ object Main {
   def run(spark: SparkSession, input: String, output: String,
       cfg: DedupConfig, checkpoint: Option[String] = None,
       runId: String = "run", partitions: Int = 0): Unit = {
-    val inIo = TableIO.resolve(spark, input)
+    // input is a LOCATION (the table itself); output is a TableIO ROOT the
+    // four result tables are written under by bare name
     val outIo = TableIO.resolve(spark, output)
     val parts =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
     val store = checkpoint.map(new CheckpointStore(spark, _, runId))
-    val feat = Ingest.run(spark, inIo.read(input), cfg, partitions = parts)
+    val feat = Ingest.run(spark, TableIO.readLocation(spark, input), cfg,
+      partitions = parts)
     val result = DedupPipeline.runFromFeatures(spark, feat, cfg, store)
 
-    outIo.write(Validate.report(feat), s"$output/validation")
-    outIo.write(result.assignments, s"$output/assignments")
-    outIo.write(result.dupPairs, s"$output/dup_pairs")
-    store.foreach(s => outIo.write(s.metrics(), s"$output/metrics"))
+    outIo.write(Validate.report(feat), "validation")
+    outIo.write(result.assignments, "assignments")
+    outIo.write(result.dupPairs, "dup_pairs")
+    store.foreach(s => outIo.write(s.metrics(), "metrics"))
     feat.unpersist()
   }
 }

@@ -147,8 +147,10 @@ object Metrics {
     // double scores distinct ~ N, so the cumulation itself must be
     // distributed too (range-partitioned windows + boundary offsets), never
     // a single-partition global window
+    // coalesce: sum() over zero rows is null — an empty frame must yield an
+    // empty sweep, not a driver NPE
     val totals = scored.agg(
-      sum(when(col(isNewCol), 1L).otherwise(0L)).as("pos")).head()
+      coalesce(sum(when(col(isNewCol), 1L).otherwise(0L)), lit(0L)).as("pos")).head()
     val pos = totals.getLong(0).toDouble
     val b2 = beta * beta
     val grouped = scored
@@ -190,9 +192,11 @@ object Metrics {
    */
   def fBetaSweepV2(scored: DataFrame, scoreCol: String, isNewCol: String,
       isHitCol: String, beta: Double): DataFrame = {
+    // coalesce: see fBetaSweep — empty input must not NPE on a null sum
     val totalsRow = scored.agg(
       count(lit(1)).as("n"),
-      sum(when(!col(isNewCol) && col(isHitCol), 1L).otherwise(0L)).as("tn"))
+      coalesce(sum(when(!col(isNewCol) && col(isHitCol), 1L).otherwise(0L)),
+        lit(0L)).as("tn"))
       .head()
     val n = totalsRow.getLong(0).toDouble
     val tnTotal = totalsRow.getLong(1).toDouble

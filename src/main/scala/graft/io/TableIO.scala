@@ -47,6 +47,21 @@ object TableIO {
       new IcebergTableIO(spark, location)
     else new ParquetTableIO(spark, location)
   }
+
+  /**
+   * Read a LOCATION directly — a full catalog table identifier (no `/`, on a
+   * session with Iceberg extensions) via `spark.table`, anything path-like as
+   * a parquet directory. Use this for a CLI `--input` that names the table
+   * itself; [[resolve]] + [[TableIO.read]] is for a *root* under which named
+   * tables live (passing the root as its own table name doubles the FQN on
+   * the Iceberg side).
+   */
+  def readLocation(spark: SparkSession, location: String): DataFrame = {
+    val ext = spark.conf.get("spark.sql.extensions", "")
+    if (!location.contains("/") && ext.contains("IcebergSparkSessionExtensions"))
+      spark.table(location)
+    else spark.read.parquet(location)
+  }
 }
 
 /**

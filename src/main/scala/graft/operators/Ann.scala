@@ -156,21 +156,36 @@ object Ann {
   private def assignCellsAuto(c: DataFrame, centroids: DataFrame,
       nlist: Long): DataFrame =
     if (nlist <= literalCentroidMax) assignCells(c, collectCents(centroids))
-    else {
-      val cents = broadcast(centroids
-        .select(col("cent_id"), col("centv")))
-      c.crossJoin(cents)
-        .withColumn("sim", cosine_sim(col("cv"), col("centv")))
-        .groupBy("item_id")
-        .agg(first(col("cv")).as("cv"),
-          max_by(col("cent_id"), struct(col("sim"), col("cent_id"))).as("cell"))
-    }
+    else assignCellsBig(c, centroids)
+
+  /** Large-nlist assignment: broadcast join + map-side max_by collapse. */
+  private def assignCellsBig(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col("cent_id"), col("centv")))
+    c.crossJoin(cents)
+      .withColumn("sim", cosine_sim(col("cv"), col("centv")))
+      .groupBy("item_id")
+      .agg(first(col("cv")).as("cv"),
+        max_by(col("cent_id"), struct(col("sim"), col("cent_id"))).as("cell"))
+  }
 
   private def ivfSearch(c: DataFrame, q: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    // nlist rows by construction — a bounded count, used to pick the path
-    val nlist = centroids.count()
-    val assigned = assignCellsAuto(c, centroids, nlist)
+    // The centroid table is nlist rows by construction (the index artifact —
+    // k * dim floats, tiny), but its PLAN can be a full corpus sample
+    // (sampleCentroids is a TakeOrdered over every vector). Collect it
+    // exactly ONCE and re-root both the assignment and probe sides on the
+    // collected rows — a count + two separate collects would execute that
+    // corpus-sample job three times per search.
+    val rows = centroids.collect()
+    val nlist = rows.length.toLong
+    val localCents = centroids.sparkSession.createDataFrame(
+      centroids.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      centroids.schema).select(col("cent_id"), col("centv"))
+    val cents = rows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    val assigned =
+      if (nlist <= literalCentroidMax) assignCells(c, cents)
+      else assignCellsBig(c, localCents)
     // per-query probe cells: descending (sim, cent_id) order — the SAME
     // tie-break as cell assignment, so an item's assigned cell is always
     // reachable by a query with the same vector (sim-tied centroids would
@@ -180,13 +195,12 @@ object Ann {
     // query rows — the small dimension by design).
     val probes =
       if (nlist <= literalCentroidMax) {
-        val cents = collectCents(centroids)
         q.withColumn("probe", explode(
             slice(reverse(array_sort(array(centSimStructs(col("qv"), cents): _*))),
               1, math.min(nProbe, cents.length))))
           .select(col("query_id"), col("qv"), col("probe.cent_id").as("cell"))
       } else {
-        q.crossJoin(broadcast(centroids.select(col("cent_id"), col("centv"))))
+        q.crossJoin(broadcast(localCents))
           .withColumn("sim", cosine_sim(col("qv"), col("centv")))
           .withColumn("rn", row_number().over(
             Window.partitionBy("query_id")

@@ -88,23 +88,31 @@ object CandidateGen {
    * most 4 * 2^16 ~ 262k distinct keys — at 10^9+ rows EVERY bucket blows
    * past `maxBucketSize` and [[pairsFromBuckets]] degrades wholesale to the
    * sorted-neighborhood fallback, silently voiding the recall guarantee.
-   * (c, s) is chosen per `hammingMax` to keep >= 32 content bits per key
-   * (>= 4 * 10^9 buckets) when achievable with <= 256 keys/row:
-   * d=1 -> (2,1): 2 keys, 32 bits; d=2 -> (4,2): 6 keys, 32 bits;
-   * d=3 -> (8,5): 56 keys, 40 bits; d=4 -> (8,4): 70 keys, 32 bits;
-   * d>=5 degrades gracefully to the widest affordable scheme. At 10^9 rows
-   * and d=3 expected occupancy is 56*10^9 / (56*2^40) ~ 0.001 rows/bucket —
-   * the skew cap then only fires on genuinely degenerate hash values.
+   * EVERY (c, s) with s <= c - hammingMax carries the pigeonhole guarantee;
+   * the schemes differ only in key-space size vs keys-per-row cost, so the
+   * choice is an occupancy question, not a correctness one. With `nRows > 0`
+   * (a corpus-size hint — an upper bound is fine) the cheapest scheme whose
+   * EXPECTED occupancy nRows * C(c,s) / keyspace stays <= 64 (64x headroom
+   * under the default 4096 skew cap, absorbing simhash non-uniformity) is
+   * picked — e.g. d=3 stays on the classic 4-keys/row (4,1) up to ~4M rows
+   * and switches to (8,5) (56 keys, 40 content bits, occupancy ~0.001 at
+   * 10^9 rows) beyond. With `nRows = 0` (unknown scale) the selection is the
+   * conservative scale-safe one: >= 32 content bits per key (>= 4 * 10^9
+   * buckets) when achievable with <= 256 keys/row — d=1 -> (2,1); d=2 ->
+   * (4,2); d=3 -> (8,5); d=4 -> (8,4); d>=5 degrades gracefully to the
+   * widest affordable scheme.
    *
    * Replaces the reference's per-anchor FAISS retrieval at a scale it never
    * faces (reference: ea/sim/main/methods/index/faiss.py:63-77).
    *
    * @param hammingMax the Hamming verify threshold the downstream filter
    *                   applies (NOT a chunk count); must be in [0, 15].
+   * @param nRows      corpus-size hint (upper bound ok); 0 = unknown ->
+   *                   scale-safe selection.
    */
   def simhashChunkBuckets(df: DataFrame, idCol: String, simhashCol: String,
-      hammingMax: Int): DataFrame = {
-    val (chunks, subset) = subsetScheme(hammingMax)
+      hammingMax: Int, nRows: Long = 0L): DataFrame = {
+    val (chunks, subset) = subsetScheme(hammingMax, nRows)
     val width = 64 / chunks
     def chunkVal(c: Int) =
       shiftrightunsigned(col(simhashCol), c * width)
@@ -120,12 +128,15 @@ object CandidateGen {
 
   /** (chunks, subsetSize) for [[simhashChunkBuckets]]. The guarantee holds
     * for ANY s <= c - d (at least c - d chunks are intact, so every s-subset
-    * of them is shared); among all (c, s) with c | 64, c > d, s <= c - d and
-    * C(c, s) <= 256 keys/row, pick the cheapest scheme with >= 32 content
-    * bits per key, else the widest-key one (large d inherently trades key
-    * width for key count — document occupancy before using d >= 5 at 10^9+
-    * rows). */
-  private[operators] def subsetScheme(hammingMax: Int): (Int, Int) = {
+    * of them is shared), so selection is pure cost tuning. Candidates: all
+    * (c, s) with c | 64, c > d, s <= c - d and C(c, s) <= 256 keys/row.
+    * With a corpus-size hint, pick the fewest-keys scheme whose expected
+    * occupancy nRows * C(c,s) / (C(c,s) * 2^(s*64/c)) = nRows / 2^(s*64/c)
+    * stays <= 64 (ties -> more content bits); without one (nRows <= 0), the
+    * cheapest scheme with >= 32 content bits per key, else the widest-key
+    * one (large d inherently trades key width for key count — document
+    * occupancy before using d >= 5 at 10^9+ rows). */
+  private[operators] def subsetScheme(hammingMax: Int, nRows: Long = 0L): (Int, Int) = {
     require(hammingMax >= 0 && hammingMax <= 15,
       s"hammingMax($hammingMax) must be in [0, 15]")
     def binom(n: Int, k: Int): Long =
@@ -134,9 +145,17 @@ object CandidateGen {
       c <- Seq(2, 4, 8, 16, 32) if c > hammingMax
       s <- 1 to (c - hammingMax) if binom(c, s) <= 256
     } yield (c, s, s * (64 / c), binom(c, s))
+    val fitted =
+      if (nRows > 0)
+        // expected occupancy: keys cancel — nRows / 2^(contentBits) <= 64,
+        // i.e. contentBits >= log2(nRows) - 6 (saturating at 62 bits)
+        opts.filter(o => o._3 >= 62 || (1L << math.min(o._3, 62)) >= nRows / 64L)
+      else Seq.empty
     val wide = opts.filter(_._3 >= 32)
-    val pick = if (wide.nonEmpty) wide.minBy(_._4)
-               else opts.maxBy(o => (o._3, -o._4))
+    val pick =
+      if (fitted.nonEmpty) fitted.minBy(o => (o._4, -o._3))
+      else if (wide.nonEmpty) wide.minBy(_._4)
+      else opts.maxBy(o => (o._3, -o._4))
     (pick._1, pick._2)
   }
 }

@@ -77,7 +77,11 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: Hamming-subset buckets + bit_count verify.
-    * `persistFeatures`: see [[minhashLshPairs]]. */
+    * `persistFeatures`: see [[minhashLshPairs]]. In persisted (bounded-
+    * corpus) mode the corpus is counted — one cheap pass over the cache —
+    * and the count sizes the bucket-key scheme, keeping small corpora on the
+    * classic few-keys-per-row layout; un-persisted (web-scale) mode skips
+    * the count and takes the conservative scale-safe scheme. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig, persistFeatures: Boolean = true): DataFrame = {
     val featBase = textFeatures(docs, idCol, textCol, cfg)
@@ -86,8 +90,9 @@ object Dedup {
       if (persistFeatures)
         featBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else featBase
+    val nRows = if (persistFeatures) feat.count() else 0L
     val buckets = CandidateGen.simhashChunkBuckets(
-      feat, "id", "simhash", cfg.hammingMax)
+      feat, "id", "simhash", cfg.hammingMax, nRows)
     val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize)
     val fa = feat.select(col("id").as("a"), col("simhash").as("sim_a"))
     val fb = feat.select(col("id").as("b"), col("simhash").as("sim_b"))

@@ -29,16 +29,16 @@ object Multimodal {
     StructField("phash64", LongType),
     StructField("mean_luma", DoubleType)))
 
-  /**
-   * @param images (image_id STRING, bytes BINARY, fmt STRING)
-   * @return per-row decode features (schema above); rows whose payload fails
-   *         to decode fall back to the stub path instead of failing the task.
-   */
   /** Formats the in-JDK javax.imageio registry genuinely decodes (png/jpeg
     * via cached per-thread readers, gif/bmp/wbmp via the registry fallback in
     * ImageCodec.decode). webp/audio/video are NOT in this set — the container
     * ships no codecs for them, so they take the stub path below. */
   private val jdkDecodable = Set("png", "jpg", "jpeg", "gif", "bmp", "wbmp")
+
+  /** Formats [[resizeTo]] may rewrite: the JDK writes faithful png/jpeg, but
+    * its gif/bmp/wbmp writers lose animation/palette semantics — decodable
+    * formats outside this set are measured, never re-encoded. */
+  private val jdkReencodable = Set("png", "jpg", "jpeg")
 
   /** Real decode only for the formats the in-JDK codec handles; anything else
     * (or a corrupt payload) returns None and the caller stubs/passes through
@@ -48,6 +48,11 @@ object Multimodal {
       try Option(ImageCodec.decode(bytes)) catch { case _: Throwable => None }
     else None
 
+  /**
+   * @param images (image_id STRING, bytes BINARY, fmt STRING)
+   * @return per-row decode features (schema above); rows whose payload fails
+   *         to decode fall back to the stub path instead of failing the task.
+   */
   def decodeFeatures(spark: SparkSession, images: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(featureSchema)
     val input = images.select(col("image_id"), col("bytes"), col("fmt"))
@@ -91,8 +96,11 @@ object Multimodal {
    * Batch resize of image payloads to a bounding box (aspect preserved, no
    * upscale) — the preprocessing step a training pipeline runs before feature
    * extraction. PNG/JPEG are decoded/re-encoded for real (in-JDK codec);
-   * other formats pass through untouched with a `fmt` suffix marker — same
-   * honest-stub policy as [[decodeFeatures]]. One decoder per partition,
+   * gif/bmp/wbmp are decoded for their true dimensions but never rewritten
+   * (the JDK has no faithful re-encoder for them — animation/palette would
+   * be destroyed and the `fmt` column would lie about the bytes); formats the
+   * JDK cannot decode pass through untouched with a `fmt` suffix marker —
+   * same honest-stub policy as [[decodeFeatures]]. One decoder per partition,
    * binary-in/binary-out so the payload never round-trips the driver.
    */
   def resizeTo(images: DataFrame, maxW: Int, maxH: Int): DataFrame = {
@@ -103,7 +111,8 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](1)
         val fmt = r.getString(2)
         tryDecode(bytes, fmt) match {
-          case Some(img) if img.getWidth > maxW || img.getHeight > maxH =>
+          case Some(img) if (img.getWidth > maxW || img.getHeight > maxH) &&
+              jdkReencodable(fmt) =>
             val scale = math.min(maxW.toDouble / img.getWidth,
               maxH.toDouble / img.getHeight)
             val w = math.max(1, (img.getWidth * scale).round.toInt)

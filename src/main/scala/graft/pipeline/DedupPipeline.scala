@@ -99,10 +99,15 @@ object DedupPipeline {
     val (phStars, phReps) = collapse(feat, "phash")
 
     // --- candidate generation on representatives ----------------------------
+    // feat is persisted above, so this count is one cheap pass over the
+    // cache (and fills it); it upper-bounds the representative count and
+    // sizes the simhash bucket-key scheme — small corpora keep the classic
+    // few-keys-per-row layout, large ones get the wide-key-space subsets
+    val nFeat = feat.count()
     val capBuckets = CandidateGen.explodeBands(
       capReps.where(size(col("shingles")) > 0), "nid", "band_keys")
     val chunkBuckets = CandidateGen.simhashChunkBuckets(
-      phReps, "nid", "simhash", cfg.hammingMax)
+      phReps, "nid", "simhash", cfg.hammingMax, nFeat)
     val candidates = CandidateGen.pairsFromBuckets(
       capBuckets.union(chunkBuckets), cfg.maxBucketSize)
 

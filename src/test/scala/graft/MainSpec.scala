@@ -22,20 +22,20 @@ class MainSpec extends SparkSpec {
 
     Main.run(spark, in, out, DedupConfig.default, Some(ck), "r1", partitions = 4)
 
-    val asg = spark.read.parquet(s"$out/assignments")
+    val asg = spark.read.parquet(s"$out/assignments.parquet")
     assert(asg.count() == nIn, "one assignment row per input image")
     assert(asg.select("cluster_id").distinct().count() < nIn,
       "generator plants dup groups — clusters must merge some images")
-    val v = spark.read.parquet(s"$out/validation").head()
+    val v = spark.read.parquet(s"$out/validation.parquet").head()
     assert(v.getAs[Long]("rows") == nIn)
     assert(v.getAs[Long]("valid") == nIn, "synthetic payloads all validate")
-    val m1 = spark.read.parquet(s"$out/metrics")
+    val m1 = spark.read.parquet(s"$out/metrics.parquet")
       .where(col("stage") === "verified_pairs")
     assert(m1.count() == 1, "staged verify recorded one lineage row")
 
     // resume: same run id reuses the persisted stage — no new metric row
     Main.run(spark, in, out, DedupConfig.default, Some(ck), "r1", partitions = 4)
-    val m2 = spark.read.parquet(s"$out/metrics")
+    val m2 = spark.read.parquet(s"$out/metrics.parquet")
       .where(col("stage") === "verified_pairs")
     assert(m2.count() == 1, "resumed run must not recompute the staged stage")
   }

@@ -95,6 +95,14 @@ class MetricsSpec extends SparkSpec {
     assert(v1.zip(got).exists { case ((_, _, r1, _), (_, _, r2, _)) => r1 != r2 })
   }
 
+  test("fBeta sweeps yield an empty frame (not an NPE) on empty input") {
+    val empty = Seq.empty[(Double, Boolean, Boolean)]
+      .toDF("score", "is_new", "is_hit")
+    assert(Metrics.fBetaSweep(empty, "score", "is_new", beta = 1.0).count() == 0)
+    assert(Metrics.fBetaSweepV2(
+      empty, "score", "is_new", "is_hit", beta = 1.0).count() == 0)
+  }
+
   test("clusterPairs emits all intra-cluster pairs") {
     val asg = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 2L)).toDF("id", "cluster")
     val pairs = Metrics.clusterPairs(asg, "id", "cluster")

@@ -44,9 +44,10 @@ class CandidateGenSpec extends SparkSpec {
 
   test("subset-key recall property: every planted pair within hammingMax collides") {
     // 100 random bases per d; partner flips EXACTLY d random bit positions
-    // (worst case: <= d corrupts fewer chunks). Guarantee: >= 1 shared key.
+    // (worst case: <= d corrupts fewer chunks). Guarantee: >= 1 shared key —
+    // under BOTH the scale-safe scheme (no hint) and the corpus-sized one.
     val rng = new scala.util.Random(1234)
-    for (d <- Seq(0, 1, 2, 3, 4, 6)) {
+    for (d <- Seq(0, 1, 2, 3, 4, 6); nRows <- Seq(0L, 200L)) {
       val rows = (0 until 100).flatMap { i =>
         val base = rng.nextLong()
         val positions = rng.shuffle((0 until 64).toList).take(d)
@@ -54,14 +55,28 @@ class CandidateGenSpec extends SparkSpec {
         Seq((i.toLong * 2, base), (i.toLong * 2 + 1, flipped))
       }
       val buckets = CandidateGen.simhashChunkBuckets(
-        rows.toDF("id", "simhash"), "id", "simhash", d)
+        rows.toDF("id", "simhash"), "id", "simhash", d, nRows)
       // direct key-collision check (not pairsFromBuckets: its skew fallback
       // is a separate concern) — partner pairs differ by exactly 1 in id
       val collided = buckets.as("x").join(buckets.as("y"),
           $"x.key" === $"y.key" && $"x.id" + 1 === $"y.id" && $"x.id" % 2 === 0)
         .select($"x.id").distinct().count()
-      assert(collided == 100L, s"d=$d: only $collided/100 planted pairs collided")
+      assert(collided == 100L,
+        s"d=$d nRows=$nRows: only $collided/100 planted pairs collided")
     }
+  }
+
+  test("subset scheme sizes to the corpus when a row-count hint is given") {
+    // guarantee is scheme-independent; the hint only tunes occupancy/cost —
+    // small corpora keep the classic cheap layout
+    assert(CandidateGen.subsetScheme(3, 1000L) == (4, 1))
+    assert(CandidateGen.subsetScheme(3, 4L << 20) == (4, 1)) // 64 * 2^16 boundary
+    // past the occupancy budget (expected rows/bucket > 64) the wide
+    // key-space scheme takes over; no hint -> conservative scale-safe
+    assert(CandidateGen.subsetScheme(3, 100L * 1000 * 1000) == (8, 5))
+    assert(CandidateGen.subsetScheme(3, 0L) == (8, 5))
+    // d=1's classic scheme already has 32 content bits — fine at 10^9 rows
+    assert(CandidateGen.subsetScheme(1, 1000L * 1000 * 1000) == (2, 1))
   }
 
   test("subset scheme picks >= 32 content bits per key where affordable") {

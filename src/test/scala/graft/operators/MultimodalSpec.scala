@@ -15,11 +15,19 @@ class MultimodalSpec extends SparkSpec {
     img
   }
 
+  private def encVia(fmt: String, img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
   test("resizeTo: oversize images shrink aspect-preserved, small ones pass through") {
     val smallBytes = ImageCodec.encodePng(gradient(40, 30))
+    val gifBytes = encVia("gif", gradient(200, 80))
     val rows = Seq(
       ("big_png", ImageCodec.encodePng(gradient(200, 100)), "png"),
       ("big_jpg", ImageCodec.encodeJpg(gradient(100, 200)), "jpg"),
+      ("big_gif", gifBytes, "gif"),
       ("small", smallBytes, "png"),
       ("opaque", Array[Byte](1, 2, 3, 4), "webm"))
       .toDF("image_id", "bytes", "fmt")
@@ -39,16 +47,18 @@ class MultimodalSpec extends SparkSpec {
     assert((sw, sh) == ((40, 30)))
     assert(sb sameElements smallBytes, "small payload must pass through untouched")
 
+    // decodable but not faithfully re-encodable: dims measured, bytes and
+    // fmt untouched — resizeTo must never swap a gif payload for jpeg bytes
+    val (gw, gh, gf, gb) = out("big_gif")
+    assert((gw, gh, gf) == ((200, 80, "gif")))
+    assert(gb sameElements gifBytes, "gif payload must pass through untouched")
+
     val (_, _, of, ob) = out("opaque")
     assert(of == "webm+passthrough" && (ob sameElements Array[Byte](1, 2, 3, 4)))
   }
 
   test("decodeFeatures: gif and bmp decode for real via the in-JDK registry") {
-    def enc(fmt: String, img: BufferedImage): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, fmt, bos)
-      bos.toByteArray
-    }
+    val enc = encVia _
     val rows = Seq(
       ("g", enc("gif", gradient(20, 12)), "gif"),
       ("b", enc("bmp", gradient(16, 10)), "bmp"),
