@@ -110,6 +110,10 @@ object GraftExtensions {
       arity("graft_cosine", args, 2, 2)
       CosineSim(args.head, args(1))
     },
+    reg("graft_dot", "graft_dot(a, b) - inner product of two float vectors") { args =>
+      arity("graft_dot", args, 2, 2)
+      DotProduct(args.head, args(1))
+    },
     reg("graft_srp_bucket", "graft_srp_bucket(vec, bits[, seed]) - sign-random-projection bucket") { args =>
       arity("graft_srp_bucket", args, 2, 3)
       SrpBucket(args.head, intOf(args(1), "graft_srp_bucket", "bits"),

@@ -661,10 +661,35 @@ object SparkEntry {
         .where(col("rank") === 1)
         .select("query_id", "item_id", "rank")
         .orderBy("query_id")
+    }),
+
+    "q50_pq_adc_guarantee" -> ((s, d) => {
+      // Product-quantization ADC invariant (Ann.pqTopK): a query vector's
+      // own codes are per-subspace argmax of its lookup table (encode and
+      // LUT share the same inner-product kernel), so NO corpus item can
+      // ADC-score strictly above the query's own original — and double
+      // addition is monotone, so the termwise domination survives the float
+      // sum. Emitting that check per query exercises codebook training,
+      // encoding, LUT construction and ADC ranking end to end with an
+      // enumerable oracle (every row hit = true).
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val queriesDf = emb.select(
+        (col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val books = Ann.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, k = 16, iters = 1)
+      val top1 = Ann.pqTopK(emb, queriesDf, books, "vec_id", "embedding", k = 1)
+      val own = Ann.pqScorePairs(
+        queriesDf.select(col("vec_id").as("query_id"),
+          (col("vec_id") - 100000).as("item_id")),
+        emb, queriesDf, books, "vec_id", "embedding")
+        .select(col("query_id"), col("adc").as("own_adc"))
+      top1.join(own, "query_id")
+        .select(col("query_id"), (col("own_adc") >= col("adc")).as("hit"))
+        .orderBy("query_id")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
-    * (q23, q24, q25) get the driver's weaker rows-only check; their strong
+    * (q23, q24, q29) get the driver's weaker rows-only check; their strong
     * correctness gates live in the ScalaTest suites instead. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -1068,6 +1093,10 @@ object SparkEntry {
 
     "q39_lsh_ann_rank1" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS item_id, 1 AS rank
+         FROM embeddings ORDER BY query_id""",
+
+    "q50_pq_adc_guarantee" ->
+      """SELECT vec_id + 100000 AS query_id, CAST(1 AS BOOLEAN) AS hit
          FROM embeddings ORDER BY query_id""",
 
     "q40_lcs_verify" ->

@@ -284,6 +284,20 @@ object HashKernels {
   def cosineData(a: ArrayData, b: ArrayData): Double =
     cosine(a.toFloatArray(), b.toFloatArray())
 
+  /** Inner product — the PQ/ADC scoring measure (on L2-normalized inputs it
+    * ranks identically to cosine; unlike cosine it is additive across
+    * subvector slices, which is what asymmetric-distance lookup sums). */
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  def dotData(a: ArrayData, b: ArrayData): Double =
+    dot(a.toFloatArray(), b.toFloatArray())
+
   /** Sign-random-projection LSH bucket for a float vector: `bits` hyperplanes
     * drawn deterministically from seed; bucket = packed sign bits. */
   def srpBucket(v: Array[Float], bits: Int, seed: Long): Long = {

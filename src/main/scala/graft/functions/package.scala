@@ -38,6 +38,9 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
 
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
   def srp_bucket(vec: Column, bits: Int, seed: Long = 42L): Column =
     column(SrpBucket(expression(vec), bits, seed))
 

@@ -170,7 +170,50 @@ object Ann {
   }
 
   private def ivfSearch(c: DataFrame, q: DataFrame, centroids: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int): DataFrame =
+    coarsePairs(c, q, centroids, nProbe)
+      .withColumn("cosine", cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("item_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "item_id", "cosine", "rank")
+
+  /** The IVF coarse stage alone: cell-restricted (query, item) candidate
+    * pairs — compose with [[pqScorePairs]] (IVFADC) or any custom verifier. */
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame =
+    coarsePairs(corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      centroids.select("cent_id", "centv"), nProbe)
+      .select("query_id", "item_id")
+
+  /**
+   * Full IVFADC (the FAISS `IndexIVFPQ` shape): the coarse quantizer
+   * restricts each query's candidates to its `nProbe` cells, the PQ codes
+   * score the survivors in the compressed domain, and only (id, id, score)
+   * rows reach the final rank — at 10^9+ vectors neither the candidate
+   * shuffle nor the scoring ever carries a full float vector. (This sandbox
+   * variant re-derives codes from the corpus inside the plan; a production
+   * run persists the encoded (item_id, cell, codes) table once — [[pqEncode]]
+   * output — and joins that instead.)
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame =
+    pqScorePairs(
+      ivfCandidates(corpus, queries, centroids, idCol, vecCol, nProbe),
+      corpus, queries, codebooks, idCol, vecCol)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc").desc, col("item_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "item_id", "adc", "rank")
+
+  /** (query_id, qv, item_id, cv) pairs sharing a probed cell — the shared
+    * candidate stage of [[ivfSearch]]/[[ivfCandidates]]. */
+  private def coarsePairs(c: DataFrame, q: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
     // The centroid table is nlist rows by construction (the index artifact —
     // k * dim floats, tiny), but its PLAN can be a full corpus sample
     // (sampleCentroids is a TakeOrdered over every vector). Collect it
@@ -210,12 +253,144 @@ object Ann {
       }
     probes.join(assigned, "cell")
       .where(col("query_id") =!= col("item_id"))
-      .withColumn("cosine", cosine_sim(col("qv"), col("cv")))
+  }
+
+  // --- product quantization (PQ / ADC) ---------------------------------
+
+  /**
+   * Train product-quantization codebooks — the FAISS `IndexPQ`/`IndexIVFPQ`
+   * compression half (the reference stops at flat IP, faiss.py:10-83; PQ is
+   * the standard next step at 10^9-10^12 vectors, where full float vectors
+   * no longer fit executor memory or the candidate shuffle): each vector is
+   * split into `m` contiguous subvector slices and every slice is quantized
+   * against a per-subspace codebook of <= `k` centroids trained by the same
+   * distributed Lloyd as the IVF quantizer. An item is then stored as m
+   * small codes (m bytes at k = 256: a 64-dim float vector compresses 32x).
+   *
+   * @return (sub INT, code INT, centv ARRAY<FLOAT>) — at most m*k rows, the
+   *         compressed-index artifact (persist it alongside the IVF
+   *         centroids; codes are dense 0..k'-1 per subspace and
+   *         content-deterministic — codebooks are sorted by value, so a
+   *         retrained book with identical centroids yields identical codes).
+   *         Subspaces whose cells die during Lloyd yield fewer than k codes.
+   */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int = 16, iters: Int = 2): DataFrame = {
+    require(m >= 1 && k >= 2 && m.toLong * k <= 4096,
+      s"m($m) * k($k) must stay literal-expression sized (<= 4096)")
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("pqCodebooks: empty corpus"))
+    require(dim % m == 0, s"vector dim($dim) must be divisible by m($m)")
+    val subDim = dim / m
+    import scala.math.Ordering.Implicits._
+    val books = (0 until m).flatMap { sub =>
+      val slices = corpus.select(col(idCol).as("item_id"),
+        slice(col(vecCol), sub * subDim + 1, subDim).as("cv"))
+      kmeansCentroids(slices, "item_id", "cv", nlist = k, iters = iters)
+        .collect().map(_.getSeq[Float](1).toArray)
+        .sortBy(_.toIndexedSeq)
+        .zipWithIndex.map { case (v, code) => (sub, code, v.toSeq) }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(books, 1))
+      .toDF("sub", "code", "centv")
+  }
+
+  /** Collected codebooks: books(sub)(code) = centroid floats. Bounded by
+    * construction (<= 4096 rows — the index artifact, not data). */
+  private def collectBooks(codebooks: DataFrame): Array[Array[Array[Float]]] =
+    codebooks.select("sub", "code", "centv").collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray) }
+
+  /**
+   * PQ-encode a corpus: (item_id, codes ARRAY<INT> length m) — nearest
+   * centroid per slice by INNER PRODUCT (the ADC measure; encode-argmax and
+   * lookup-table scoring must agree or ranking guarantees break). A narrow
+   * literal expression per subspace — zero shuffle, whole-stage codegen.
+   */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    pqEncodeWith(corpus, collectBooks(codebooks), idCol, vecCol)
+
+  private def pqEncodeWith(corpus: DataFrame, books: Array[Array[Array[Float]]],
+      idCol: String, vecCol: String): DataFrame = {
+    val subDim = books.head.head.length
+    val codeCols = books.toSeq.zipWithIndex.map { case (cents, sub) =>
+      val sv = slice(col(vecCol), sub * subDim + 1, subDim)
+      val structs = cents.toSeq.zipWithIndex.map { case (v, code) =>
+        struct(dot_product(sv, typedLit(v.toSeq)).as("sim"), lit(code).as("code"))
+      }
+      (if (structs.size == 1) structs.head else greatest(structs: _*))
+        .getField("code")
+    }
+    corpus.select(col(idCol).as("item_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Per-query ADC lookup table: the m*k subspace inner products, flattened
+    * subspace-major — built ONCE per query as a narrow literal expression,
+    * then every candidate costs m array lookups + adds instead of a
+    * dim-length float dot (compute and memory traffic both drop by ~dim/m). */
+  private def withLut(q: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
+    val subDim = books.head.head.length
+    val lutCols = books.toSeq.zipWithIndex.flatMap { case (cents, sub) =>
+      val sv = slice(col("qv"), sub * subDim + 1, subDim)
+      cents.toSeq.map(v => dot_product(sv, typedLit(v.toSeq)))
+    }
+    q.withColumn("lut", array(lutCols: _*))
+  }
+
+  /** Sum of m LUT lookups: codes zip with per-subspace LUT offsets. */
+  private def adcScore(books: Array[Array[Array[Float]]]): org.apache.spark.sql.Column = {
+    val offsets = books.map(_.length).scanLeft(0)(_ + _).init
+    aggregate(
+      zip_with(col("codes"), typedLit(offsets.toSeq),
+        (c, off) => element_at(col("lut"), (off + c + lit(1)).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /**
+   * ADC top-k over a PQ-compressed corpus. The corpus streams as m-code
+   * rows; queries (the small side by design) broadcast with their lookup
+   * tables. Composing with an IVF cell restriction ([[ivfTopKWith]]'s cell
+   * join on the candidate side, then [[pqScorePairs]] on the survivors) is
+   * the full IVFADC — this flat variant is the `IndexPQ` shape.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val books = collectBooks(codebooks)
+    val q = withLut(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), books)
+      .select("query_id", "lut")
+    pqEncodeWith(corpus, books, idCol, vecCol)
+      .crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("item_id"))
+      .withColumn("adc", adcScore(books))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("item_id"))))
+          .orderBy(col("adc").desc, col("item_id"))))
       .where(col("rank") <= k)
-      .select("query_id", "item_id", "cosine", "rank")
+      .select("query_id", "item_id", "adc", "rank")
+  }
+
+  /**
+   * ADC scores for an explicit (query_id, item_id) candidate-pair set — the
+   * scoring primitive a cell-restricted IVFPQ composes with: candidates come
+   * from a coarse-cell equi-join, scores from the compressed codes, and only
+   * the final top-k ever touches full vectors (if at all).
+   */
+  def pqScorePairs(pairs: DataFrame, corpus: DataFrame, queries: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val books = collectBooks(codebooks)
+    val q = withLut(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), books)
+      .select("query_id", "lut")
+    pairs.select("query_id", "item_id")
+      .join(pqEncodeWith(corpus, books, idCol, vecCol), "item_id")
+      .join(q, "query_id")
+      .withColumn("adc", adcScore(books))
+      .select("query_id", "item_id", "adc")
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame,

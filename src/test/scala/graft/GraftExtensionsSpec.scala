@@ -12,6 +12,7 @@ class GraftExtensionsSpec extends SparkSpec {
       """SELECT
            graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L))      AS jac,
            graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F))       AS cos,
+           graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))          AS dot,
            graft_lcs_length('hello world', 'say hello')             AS lcs,
            size(graft_minhash(array(7L, 8L, 9L), 16))               AS sig_n,
            size(graft_band_keys(graft_minhash(array(7L), 16), 4, 4)) AS bands_n,
@@ -23,6 +24,7 @@ class GraftExtensionsSpec extends SparkSpec {
         """).head()
     assert(row.getAs[Double]("jac") === 0.5)
     assert(row.getAs[Double]("cos") === 1.0)
+    assert(row.getAs[Double]("dot") === 11.0)
     assert(row.getAs[Int]("lcs") === 5)
     assert(row.getAs[Int]("sig_n") === 16)
     assert(row.getAs[Int]("bands_n") === 4)

@@ -44,11 +44,13 @@ class ExpressionsSpec extends SparkSpec {
       jaccard_sim($"s1", $"s2").as("j"),
       lcs_length($"t1", $"t2").as("l"),
       cosine_sim($"v1", $"v2").as("c"),
+      dot_product($"v1", $"v2").as("d"),
       hamming64($"h1", $"h2").as("h")).head()
     assert(r.getDouble(0) == 0.5)
     assert(r.getInt(1) == 3)
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
-    assert(r.getInt(3) == 2) // 101 ^ 110 = 011
+    assert(r.getDouble(3) == 1.0) // (1,0).(1,0)
+    assert(r.getInt(4) == 2) // 101 ^ 110 = 011
   }
 
   test("expressions survive whole-stage codegen (plan contains codegen span)") {

@@ -138,6 +138,93 @@ class AnnSpec extends SparkSpec {
       s"missing=${(exact diff got).take(5)} extra=${(got diff exact).take(5)}")
   }
 
+  test("pq: ADC scores are exact when items sit on orthogonal unit centroids") {
+    // with per-subspace argmax-dot encoding and these unit codebooks the
+    // reconstructed item equals the item, so ADC == exact inner product
+    val books = Seq(
+      (0, 0, Seq(1f, 0f)), (0, 1, Seq(0f, 1f)),
+      (1, 0, Seq(1f, 0f)), (1, 1, Seq(0f, 1f)))
+      .toDF("sub", "code", "centv")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 1f, 0f)), // codes (0, 0)
+      (2L, Array(0f, 1f, 0f, 1f))) // codes (1, 1)
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val got = Ann.pqTopK(corpus, queries, books, "vec_id", "embedding", k = 2)
+      .select("item_id", "adc", "rank").as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(got(1L)._1 - 4.0) < 1e-9) // 1*1 + 3*1
+    assert(math.abs(got(2L)._1 - 6.0) < 1e-9) // 2*1 + 4*1
+    assert(got(2L)._2 == 1 && got(1L)._2 == 2)
+  }
+
+  test("pq: identical vectors encode identically, codes dense and bounded") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = Ann.pqCodebooks(df, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    val perSub = books.groupBy("sub").count().as[(Int, Long)].collect().toMap
+    assert(perSub.keySet == Set(0, 1, 2, 3))
+    assert(perSub.values.forall(c => c >= 2 && c <= 16))
+    val copies = df.unionByName(
+      df.select(($"vec_id" + 1000L).as("vec_id"), $"embedding"))
+    val codes = Ann.pqEncode(copies, books, "vec_id", "embedding")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(_.size == 4))
+    codes.foreach { case (_, cs) =>
+      cs.zipWithIndex.foreach { case (c, sub) =>
+        assert(c >= 0 && c < perSub(sub), s"code $c out of range in sub $sub")
+      }
+    }
+    (0L until 200L).foreach { i =>
+      assert(codes(i) == codes(i + 1000L), s"copy of $i encoded differently")
+    }
+  }
+
+  test("pq: no item ADC-outscores the query's own original (q50 invariant)") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val books = Ann.pqCodebooks(df, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    val top1 = Ann.pqTopK(df, queries, books, "vec_id", "embedding", k = 1)
+    val own = Ann.pqScorePairs(
+      queries.select($"vec_id".as("query_id"), ($"vec_id" - 1000L).as("item_id")),
+      df, queries, books, "vec_id", "embedding")
+      .select($"query_id", $"adc".as("own_adc"))
+    val joined = top1.join(own, "query_id")
+    assert(joined.count() == 200L)
+    assert(joined.where($"own_adc" < $"adc").count() == 0L,
+      "an item out-scored the query's own vector under ADC")
+  }
+
+  test("ivfpq: probing every cell equals flat PQ ranking (approximations compose)") {
+    // with all coarse cells probed the candidate set is the whole corpus, so
+    // IVFADC must reproduce the flat ADC ranking row-for-row (same scores,
+    // same tie-break) — pins the candidate join and the shared scoring path
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" < 10)
+    val books = Ann.pqCodebooks(df, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    val cents = Ann.kmeansCentroids(df, "vec_id", "embedding", nlist = 8, iters = 1)
+    val flat = Ann.pqTopK(df, queries, books, "vec_id", "embedding", 10)
+      .select("query_id", "item_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivfpq = Ann.ivfPqTopK(df, queries, cents, books, "vec_id", "embedding",
+        k = 10, nProbe = 8)
+      .select("query_id", "item_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivfpq == flat,
+      s"missing=${(flat diff ivfpq).take(5)} extra=${(ivfpq diff flat).take(5)}")
+  }
+
+  test("pq: decent recall@10 vs exact on clustered vectors") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" < 20)
+    val exact = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val books = Ann.pqCodebooks(df, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val pq = Ann.pqTopK(df, queries, books, "vec_id", "embedding", 10)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // compressed-domain scoring is lossy by design (32-dim floats -> 4
+    // codes); the cluster structure must still dominate the ranking
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
   test("lsh top-k achieves decent recall@10 vs exact") {
     val df = vecs.toDF("vec_id", "embedding")
     val queries = df.where($"vec_id" < 20)
