@@ -30,9 +30,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *     while the interleaved local[2] legs stayed flat (~458 s) — an
  *     8-thread leg measures the hypervisor's CPU-credit decay curve, not
  *     the engine, and no within-run estimator can remove a monotonic
- *     confound. At <= 4 threads per-work cpu is flat across sustained load
- *     (ProbeBench 1v4: back-to-back rounds repeat within 2%), so the 1->4
- *     ratio isolates the engine's scaling. A local[32] leg is still
+ *     confound. At <= 4 threads per-work CPU TIME shows no such decay
+ *     across sustained load (ProbeBench 1v4 cpu-s repeat within 2%; wall
+ *     clock still varies with steal windows — the residual the paired
+ *     estimator cancels), so the 1->4 ratio isolates the engine's
+ *     scaling. A local[32] leg is still
  *     reported for whole-machine throughput context. Efficiency =
  *     (tN / t4N) / 4, estimated as the MEDIAN of per-PAIR ratios: the legs
  *     of a pair run back to back so steal windows hit both legs of a pair
@@ -133,10 +135,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 100k bases (~203k images): a 1-core leg is ~330 s — far above fixed
+    // 100k bases (~203k images): a 1-core leg is ~300 s — far above fixed
     // overhead (~5 s session+planning, so the ratio measures data work) yet
-    // small enough that 3 paired rounds fit the bench budget; ProbeBench
-    // back-to-back rounds on this input repeat within 2% per leg
+    // small enough that 3 paired rounds fit the bench budget; per-work cpu-s
+    // on this input show no sustained-load decay at <= 4 threads (wall still
+    // varies with steal windows — hence the paired-ratio estimator)
     val benchBases = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASES", "100000").toLong
     val smallDir = "/root/testdata/sf0.001"
     val seed = 42L
@@ -261,18 +264,19 @@ object Bench {
          |140.7 -> 170.1 -> 191.1 s while interleaved local[2] legs stayed
          |flat (~458 s) — an 8-thread leg measures the hypervisor's
          |CPU-credit decay, a monotonic confound no within-run estimator
-         |removes. At <= 4 threads per-work cpu is flat across sustained
-         |load (back-to-back rounds repeat within 2% per leg), so the
-         |$loCpus->$hiCpus ratio isolates the engine. The local[32] leg is
-         |whole-machine throughput context.
+         |removes. At <= 4 threads per-work CPU TIME shows no sustained-load
+         |decay (wall clock still varies with steal windows — the residual
+         |the paired estimator below cancels), so the $loCpus->$hiCpus ratio
+         |isolates the engine. The local[32] leg is whole-machine throughput
+         |context.
          |
          |Estimator: $nPairs PAIRED rounds, each pair's legs back to back
          |(order alternating), per-pair ratio t$loCpus/t$hiCpus, efficiency =
          |median pair ratio / ${"%.0f".format(ideal)}. Paired legs share each
          |multi-minute hypervisor steal window, so the window cancels in the
-         |ratio; round 2's independent per-leg minima did not cancel (one
-         |lucky window -> official 0.696 vs 0.828-0.855 across three full
-         |probe runs).
+         |ratio. (Independent per-leg minima do NOT cancel: the prior
+         |official artifact — 2v8 legs, per-leg min — read 0.696 while three
+         |full probe runs measured 0.828-0.855.)
          |
          || pair | t$loCpus sec | t$hiCpus sec | ratio (ideal ${"%.0f".format(ideal)}) |
          ||---|---|---|---|

@@ -666,14 +666,16 @@ object SparkEntry {
     "q50_pq_adc_guarantee" -> ((s, d) => {
       // Product-quantization ADC invariant (Ann.pqTopK): a query vector's
       // own codes are per-subspace argmax of its lookup table (encode and
-      // LUT share the same inner-product kernel), so NO corpus item can
-      // ADC-score strictly above the query's own original — and double
-      // addition is monotone, so the termwise domination survives the float
-      // sum. Emitting that check per query exercises codebook training,
-      // encoding, LUT construction and ADC ranking end to end with an
-      // enumerable oracle (every row hit = true).
+      // LUT share the same L2-via-dot score q_sub.c - ||c||^2/2), so NO
+      // corpus item can ADC-score strictly above the query's own original —
+      // and double addition is monotone, so the termwise domination survives
+      // the float sum. Emitting that check per query exercises codebook
+      // training, encoding, LUT construction and ADC ranking end to end with
+      // an enumerable oracle (every row hit = true).
       val emb = t(s, d, "embeddings").select("vec_id", "embedding")
-      val queriesDf = emb.select(
+      // query side capped at 500 so the flat cross-score stays proportionate
+      // at larger sf (the corpus side still grows with sf)
+      val queriesDf = emb.where(col("vec_id") < 500).select(
         (col("vec_id") + 100000).as("vec_id"), col("embedding"))
       val books = Ann.pqCodebooks(emb, "vec_id", "embedding",
         m = 4, k = 16, iters = 1)
@@ -1097,7 +1099,7 @@ object SparkEntry {
 
     "q50_pq_adc_guarantee" ->
       """SELECT vec_id + 100000 AS query_id, CAST(1 AS BOOLEAN) AS hit
-         FROM embeddings ORDER BY query_id""",
+         FROM embeddings WHERE vec_id < 500 ORDER BY query_id""",
 
     "q40_lcs_verify" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents

@@ -150,6 +150,28 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** (array<int> codes, array<double> lut) -> double PQ/ADC score: sum of
+  * lut[offsets(i) + codes(i)] over subspaces — the per-subspace lookup-table
+  * offsets ride as a baked constant (FastAlign-style scalar params), keeping
+  * the per-candidate cost a tight codegen'd loop. */
+case class AdcLookup(left: Expression, right: Expression, offsets: Seq[Int])
+    extends BinaryExpression {
+  @transient private lazy val offsetArr: Array[Int] = offsets.toArray
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "adc_lookup"
+  override protected def nullSafeEval(c: Any, l: Any): Any =
+    HashKernels.adcData(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData],
+      offsetArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcOffsets", offsetArr, "int[]")
+    defineCodeGen(ctx, ev, (c, l) =>
+      s"graft.functions.HashKernels.adcData($c, $l, $ref)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcLookup =
+    copy(left = l, right = r)
+}
+
 /** array<float> -> long sign-random-projection LSH bucket. */
 case class SrpBucket(child: Expression, bits: Int, seed: Long)
     extends UnaryExpression {

@@ -298,6 +298,18 @@ object HashKernels {
   def dotData(a: ArrayData, b: ArrayData): Double =
     dot(a.toFloatArray(), b.toFloatArray())
 
+  /** ADC sum: per-subspace lookup-table reads for a PQ-coded item —
+    * sum over i of lut[offsets(i) + codes(i)]. The tight loop the
+    * interpreted zip_with/aggregate higher-order functions cannot give
+    * (HOF lambdas stay outside whole-stage codegen). */
+  def adcData(codes: ArrayData, lut: ArrayData, offsets: Array[Int]): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) { s += lut.getDouble(offsets(i) + codes.getInt(i)); i += 1 }
+    s
+  }
+
   /** Sign-random-projection LSH bucket for a float vector: `bits` hyperplanes
     * drawn deterministically from seed; bucket = packed sign bits. */
   def srpBucket(v: Array[Float], bits: Int, seed: Long): Long = {

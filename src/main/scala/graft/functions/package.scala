@@ -41,6 +41,9 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
 
+  def adc_lookup(codes: Column, lut: Column, offsets: Seq[Int]): Column =
+    column(AdcLookup(expression(codes), expression(lut), offsets))
+
   def srp_bucket(vec: Column, bits: Int, seed: Long = 42L): Column =
     column(SrpBucket(expression(vec), bits, seed))
 

@@ -263,72 +263,167 @@ object Ann {
    * the standard next step at 10^9-10^12 vectors, where full float vectors
    * no longer fit executor memory or the candidate shuffle): each vector is
    * split into `m` contiguous subvector slices and every slice is quantized
-   * against a per-subspace codebook of <= `k` centroids trained by the same
-   * distributed Lloyd as the IVF quantizer. An item is then stored as m
-   * small codes (m bytes at k = 256: a 64-dim float vector compresses 32x).
+   * against a per-subspace codebook of <= `k` centroids trained by a fused
+   * variant of the IVF quantizer's distributed Lloyd. An item is then stored
+   * as m small codes instead of dim floats — e.g. a 64-dim vector at m = 4,
+   * k = 256 scores from 4 byte-sized codes, a 64x drop in scoring traffic.
+   *
+   * Training is a FUSED squared-L2 Lloyd: one exploded (sub, slice) frame
+   * feeds all m subspaces per iteration (`iters` corpus scans total, not
+   * m * iters), and the assignment measure is the same L2-via-dot identity
+   * the encoder and the ADC lookup use — argmin ||x - c||^2 == argmax
+   * (x.c - ||c||^2/2) — so the trained partition IS the partition items are
+   * encoded into (a cosine-trained book would mis-partition slices, whose
+   * norms vary even when the full vector is normalized).
    *
    * @return (sub INT, code INT, centv ARRAY<FLOAT>) — at most m*k rows, the
    *         compressed-index artifact (persist it alongside the IVF
-   *         centroids; codes are dense 0..k'-1 per subspace and
-   *         content-deterministic — codebooks are sorted by value, so a
-   *         retrained book with identical centroids yields identical codes).
-   *         Subspaces whose cells die during Lloyd yield fewer than k codes.
+   *         centroids). Codes are DENSE 0..k'-1 per subspace (the ADC lookup
+   *         layout is positional — [[collectBooks]] enforces density) and
+   *         content-deterministic: books are value-sorted, so a retrained
+   *         book with identical centroids yields identical codes. Subspaces
+   *         whose cells die during Lloyd yield fewer than k codes. Like
+   *         [[kmeansCentroids]], the M-step's avg() merges partials in
+   *         shuffle arrival order — persist the trained book when runs must
+   *         agree to the last ulp.
    */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int = 16, iters: Int = 2): DataFrame = {
-    require(m >= 1 && k >= 2 && m.toLong * k <= 4096,
-      s"m($m) * k($k) must stay literal-expression sized (<= 4096)")
+    require(m >= 1 && k >= 2 && k <= literalCentroidMax && m.toLong * k <= 1024,
+      s"m($m), k($k) must stay codegen-sized: k <= $literalCentroidMax, m*k <= 1024" +
+        " (larger books need a broadcast-join encode, same gating as IVF)")
     val spark = corpus.sparkSession
-    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException("pqCodebooks: empty corpus"))
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
+    // deterministic hash-order init sample (one TakeOrdered job, same trick
+    // as sampleCentroids); also pins the vector dim
+    val initRows = c.orderBy(xxhash64(col("item_id")), col("item_id")).limit(k)
+      .select("cv").collect().map(_.getSeq[Float](0).toArray)
+    require(initRows.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = initRows.head.length
     require(dim % m == 0, s"vector dim($dim) must be divisible by m($m)")
     val subDim = dim / m
-    import scala.math.Ordering.Implicits._
-    val books = (0 until m).flatMap { sub =>
-      val slices = corpus.select(col(idCol).as("item_id"),
-        slice(col(vecCol), sub * subDim + 1, subDim).as("cv"))
-      kmeansCentroids(slices, "item_id", "cv", nlist = k, iters = iters)
-        .collect().map(_.getSeq[Float](1).toArray)
-        .sortBy(_.toIndexedSeq)
-        .zipWithIndex.map { case (v, code) => (sub, code, v.toSeq) }
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m) { sub =>
+      initRows.map(_.slice(sub * subDim, (sub + 1) * subDim).toSeq)
+        .distinct.map(_.toArray)
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(books, 1))
+    // one exploded (sub, slice) frame drives every iteration — slices carry
+    // dim/m floats each, so the shuffle bytes match a single full-vector pass
+    val slices = c.select(explode(array((0 until m).map(sub =>
+        struct(lit(sub).as("sub"),
+          slice(col("cv"), sub * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("e.sv").as("sv"))
+    for (_ <- 0 until iters) {
+      val means = slices.withColumn("code", assignCode(col("sub"), col("sv"), books))
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy("sub", "code", "pos").agg(avg("col").as("mv"))
+        .groupBy("sub", "code")
+        .agg(collect_list(struct(col("pos"), col("mv"))).as("dims"))
+        .select(col("sub"), col("code"),
+          transform(array_sort(col("dims")), s => s("mv").cast("float")).as("centv"))
+        .collect() // <= m*k rows — the artifact, not data
+      books = Array.tabulate(m) { sub =>
+        means.filter(_.getInt(0) == sub)
+          .map(r => (r.getInt(1), r.getSeq[Float](2).toArray))
+          .sortBy(_._1).map(_._2)
+      }
+    }
+    import scala.math.Ordering.Implicits._
+    val rows = books.zipWithIndex.flatMap { case (cents, sub) =>
+      cents.sortBy(_.toIndexedSeq).zipWithIndex
+        .map { case (v, code) => (sub, code, v.toSeq) }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1))
       .toDF("sub", "code", "centv")
   }
 
+  private def normHalf(v: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    s / 2
+  }
+
+  /** Per-centroid (score, code) structs for one subspace: score is the
+    * L2-via-dot identity x.c - ||c||^2/2 (argmax == nearest centroid), the
+    * single measure shared by training, encoding and the ADC lookup table.
+    * Ties break to the max code everywhere. */
+  private def l2Structs(sv: org.apache.spark.sql.Column,
+      cents: Array[Array[Float]]): Seq[org.apache.spark.sql.Column] =
+    cents.toSeq.zipWithIndex.map { case (v, code) =>
+      struct((dot_product(sv, typedLit(v.toSeq)) - lit(normHalf(v))).as("score"),
+        lit(code).as("code"))
+    }
+
+  private def bestCode(sv: org.apache.spark.sql.Column,
+      cents: Array[Array[Float]]): org.apache.spark.sql.Column = {
+    val ss = l2Structs(sv, cents)
+    (if (ss.size == 1) ss.head else greatest(ss: _*)).getField("code")
+  }
+
+  /** Training E-step over the fused (sub, slice) frame: a sub-dispatched
+    * when-chain of per-subspace argmin expressions (m*k literal nodes,
+    * capped codegen-sized by the pqCodebooks require). */
+  private def assignCode(sub: org.apache.spark.sql.Column,
+      sv: org.apache.spark.sql.Column,
+      books: Array[Array[Array[Float]]]): org.apache.spark.sql.Column = {
+    val cases = books.zipWithIndex.map { case (cents, s) => (s, bestCode(sv, cents)) }
+    cases.tail.foldLeft(when(sub === lit(cases.head._1), cases.head._2)) {
+      case (acc, (s, cc)) => acc.when(sub === lit(s), cc)
+    }
+  }
+
   /** Collected codebooks: books(sub)(code) = centroid floats. Bounded by
-    * construction (<= 4096 rows — the index artifact, not data). */
+    * construction (<= 1024 rows — the index artifact, not data). Rejects
+    * non-dense codes: the ADC lookup layout is positional, so a pruned/
+    * relabeled book would silently score against the wrong centroids. */
   private def collectBooks(codebooks: DataFrame): Array[Array[Array[Float]]] =
     codebooks.select("sub", "code", "centv").collect()
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)
-      .map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray) }
+      .map { case (sub, rs) =>
+        val sorted = rs.sortBy(_.getInt(1))
+        require(sorted.map(_.getInt(1)).toSeq == (0 until sorted.length),
+          s"codebook sub=$sub: codes must be dense 0..${sorted.length - 1} " +
+            "(pqCodebooks output satisfies this)")
+        sorted.map(_.getSeq[Float](2).toArray)
+      }
+
+  /** First-row dim check: a corpus/query whose vectors don't match the
+    * trained dim would otherwise be silently truncated by the dot kernel's
+    * min-length loop; per-row malformed data remains the caller's contract. */
+  private def requireDim(df: DataFrame, vecCol: String,
+      books: Array[Array[Array[Float]]], what: String): Unit = {
+    val dim = books.length * books.head.head.length
+    df.select(size(col(vecCol)).as("d")).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"$what vector dim ${r.getInt(0)} != codebook dim $dim")
+    }
+  }
 
   /**
    * PQ-encode a corpus: (item_id, codes ARRAY<INT> length m) — nearest
-   * centroid per slice by INNER PRODUCT (the ADC measure; encode-argmax and
-   * lookup-table scoring must agree or ranking guarantees break). A narrow
-   * literal expression per subspace — zero shuffle, whole-stage codegen.
+   * centroid per slice by squared L2 via the dot identity (the measure
+   * training and ADC lookup share; encode-argmin and lookup-table scoring
+   * must agree or ranking guarantees break). A narrow literal expression per
+   * subspace — zero shuffle, whole-stage codegen.
    */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
-    pqEncodeWith(corpus, collectBooks(codebooks), idCol, vecCol)
+      idCol: String, vecCol: String): DataFrame = {
+    val books = collectBooks(codebooks)
+    requireDim(corpus, vecCol, books, "corpus")
+    pqEncodeWith(corpus, books, idCol, vecCol)
+  }
 
   private def pqEncodeWith(corpus: DataFrame, books: Array[Array[Array[Float]]],
       idCol: String, vecCol: String): DataFrame = {
     val subDim = books.head.head.length
     val codeCols = books.toSeq.zipWithIndex.map { case (cents, sub) =>
-      val sv = slice(col(vecCol), sub * subDim + 1, subDim)
-      val structs = cents.toSeq.zipWithIndex.map { case (v, code) =>
-        struct(dot_product(sv, typedLit(v.toSeq)).as("sim"), lit(code).as("code"))
-      }
-      (if (structs.size == 1) structs.head else greatest(structs: _*))
-        .getField("code")
+      bestCode(slice(col(vecCol), sub * subDim + 1, subDim), cents)
     }
     corpus.select(col(idCol).as("item_id"), array(codeCols: _*).as("codes"))
   }
 
-  /** Per-query ADC lookup table: the m*k subspace inner products, flattened
+  /** Per-query ADC lookup table: the m*k per-subspace scores
+    * (q_sub.c - ||c||^2/2 — descending total == ascending squared L2, which
+    * on L2-normalized corpus vectors ranks identically to cosine), flattened
     * subspace-major — built ONCE per query as a narrow literal expression,
     * then every candidate costs m array lookups + adds instead of a
     * dim-length float dot (compute and memory traffic both drop by ~dim/m). */
@@ -336,37 +431,39 @@ object Ann {
     val subDim = books.head.head.length
     val lutCols = books.toSeq.zipWithIndex.flatMap { case (cents, sub) =>
       val sv = slice(col("qv"), sub * subDim + 1, subDim)
-      cents.toSeq.map(v => dot_product(sv, typedLit(v.toSeq)))
+      cents.toSeq.map(v => dot_product(sv, typedLit(v.toSeq)) - lit(normHalf(v)))
     }
     q.withColumn("lut", array(lutCols: _*))
   }
 
-  /** Sum of m LUT lookups: codes zip with per-subspace LUT offsets. */
+  /** Sum of m LUT lookups per candidate — the codegen'd [[AdcLookup]]
+    * kernel with the per-subspace offsets baked in (the zip_with/aggregate
+    * HOF formulation evaluates its lambdas interpreted, outside whole-stage
+    * codegen — measured ~10x slower on the q50 cross-score). */
   private def adcScore(books: Array[Array[Array[Float]]]): org.apache.spark.sql.Column = {
     val offsets = books.map(_.length).scanLeft(0)(_ + _).init
-    aggregate(
-      zip_with(col("codes"), typedLit(offsets.toSeq),
-        (c, off) => element_at(col("lut"), (off + c + lit(1)).cast("int"))),
-      lit(0.0), (acc, x) => acc + x)
+    adc_lookup(col("codes"), col("lut"), offsets.toSeq)
   }
 
   /**
-   * ADC top-k over a PQ-compressed corpus. The corpus streams as m-code
-   * rows; queries (the small side by design) broadcast with their lookup
-   * tables. Composing with an IVF cell restriction ([[ivfTopKWith]]'s cell
-   * join on the candidate side, then [[pqScorePairs]] on the survivors) is
-   * the full IVFADC — this flat variant is the `IndexPQ` shape.
+   * ADC top-k over a PQ-compressed corpus. Pairs are generated id-only and
+   * the codes/lookup tables attach via equi-joins whose BUILD sides
+   * materialize the encode/LUT projections once per row ([[pqScorePairs]]).
+   * The "obvious" formulation — encoded corpus crossJoin
+   * broadcast(queries-with-lut) — looks equivalent but is a performance
+   * trap: whole-stage codegen DEFERS the stream side's projection into the
+   * nested-loop's inner loop, so the m*k-dot-product encode expression
+   * re-evaluates per PAIR (measured 107 s vs 1.8 s on a 2000 x 2000 cross
+   * score at m = 4, k = 16). Composing an IVF cell restriction
+   * ([[ivfCandidates]] -> [[pqScorePairs]]) is the full IVFADC
+   * ([[ivfPqTopK]]) — this flat variant is the `IndexPQ` shape.
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val books = collectBooks(codebooks)
-    val q = withLut(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), books)
-      .select("query_id", "lut")
-    pqEncodeWith(corpus, books, idCol, vecCol)
-      .crossJoin(broadcast(q))
+    val allPairs = corpus.select(col(idCol).as("item_id"))
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"))))
       .where(col("query_id") =!= col("item_id"))
-      .withColumn("adc", adcScore(books))
+    pqScorePairs(allPairs, corpus, queries, codebooks, idCol, vecCol)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adc").desc, col("item_id"))))
@@ -378,11 +475,15 @@ object Ann {
    * ADC scores for an explicit (query_id, item_id) candidate-pair set — the
    * scoring primitive a cell-restricted IVFPQ composes with: candidates come
    * from a coarse-cell equi-join, scores from the compressed codes, and only
-   * the final top-k ever touches full vectors (if at all).
+   * the final top-k ever touches full vectors (if at all). The encoded
+   * corpus and the per-query LUTs ride the joined (build/shuffled) sides, so
+   * their projections evaluate once per row, never per pair.
    */
   def pqScorePairs(pairs: DataFrame, corpus: DataFrame, queries: DataFrame,
       codebooks: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val books = collectBooks(codebooks)
+    requireDim(corpus, vecCol, books, "corpus")
+    requireDim(queries, vecCol, books, "query")
     val q = withLut(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), books)
       .select("query_id", "lut")

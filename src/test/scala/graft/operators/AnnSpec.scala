@@ -139,8 +139,8 @@ class AnnSpec extends SparkSpec {
   }
 
   test("pq: ADC scores are exact when items sit on orthogonal unit centroids") {
-    // with per-subspace argmax-dot encoding and these unit codebooks the
-    // reconstructed item equals the item, so ADC == exact inner product
+    // items reconstruct exactly from these unit codebooks, so ADC equals the
+    // exact per-slice score q.c - ||c||^2/2 (= exact dot minus 1/2 per slice)
     val books = Seq(
       (0, 0, Seq(1f, 0f)), (0, 1, Seq(0f, 1f)),
       (1, 0, Seq(1f, 0f)), (1, 1, Seq(0f, 1f)))
@@ -153,9 +153,26 @@ class AnnSpec extends SparkSpec {
     val got = Ann.pqTopK(corpus, queries, books, "vec_id", "embedding", k = 2)
       .select("item_id", "adc", "rank").as[(Long, Double, Int)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(math.abs(got(1L)._1 - 4.0) < 1e-9) // 1*1 + 3*1
-    assert(math.abs(got(2L)._1 - 6.0) < 1e-9) // 2*1 + 4*1
+    assert(math.abs(got(1L)._1 - 3.0) < 1e-9) // (1 - .5) + (3 - .5)
+    assert(math.abs(got(2L)._1 - 5.0) < 1e-9) // (2 - .5) + (4 - .5)
     assert(got(2L)._2 == 1 && got(1L)._2 == 2)
+  }
+
+  test("pq: dim-mismatched inputs and non-dense codebooks are rejected") {
+    val books = Seq(
+      (0, 0, Seq(1f, 0f)), (0, 1, Seq(0f, 1f)),
+      (1, 0, Seq(1f, 0f)), (1, 1, Seq(0f, 1f)))
+      .toDF("sub", "code", "centv")
+    val short = Seq((1L, Array(1f, 0f, 1f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Ann.pqEncode(short, books, "vec_id", "embedding").collect()
+    }
+    val sparse = Seq((0, 0, Seq(1f, 0f)), (0, 2, Seq(0f, 1f)))
+      .toDF("sub", "code", "centv")
+    val ok = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Ann.pqEncode(ok, sparse, "vec_id", "embedding").collect()
+    }
   }
 
   test("pq: identical vectors encode identically, codes dense and bounded") {
