@@ -241,7 +241,7 @@ object Bench {
          |
          || query | sec |
          ||---|---|
-         |${queryTimes.map { case (k, v) => s"| $k | ${"%.3f".format(v)} |" }.mkString("\n")}
+         |${queryTimes.map { case (k, v) => s"| $k | ${"%.3f".format(v)} |" }.mkString("\n|")}
          |
          |## North-rule scaling probe (same job, same input, two parallelism levels)
          |
@@ -281,8 +281,10 @@ object Bench {
          || pair | t$loCpus sec | t$hiCpus sec | ratio (ideal ${"%.0f".format(ideal)}) |
          ||---|---|---|---|
          |${probePairs.zipWithIndex.map { case ((a, b, r), i) =>
+             // joined with "\n|": stripMargin eats one leading pipe per line,
+             // so continuation rows need the extra margin pipe to stay tables
              s"| ${i + 1} | ${"%.2f".format(a)} | ${"%.2f".format(b)} | ${"%.2f".format(r)} |"
-           }.mkString("\n")}
+           }.mkString("\n|")}
          |
          || parallelism | wall sec (median) | images/sec | images/sec/core |
          ||---|---|---|---|
