@@ -127,6 +127,13 @@ object GraftExtensions {
       arity("graft_fingerprint", args, 1, 2)
       RollingFingerprint(args.head, seedArg("graft_fingerprint", args, 1))
     },
+    reg("graft_winnow_anchors",
+        "graft_winnow_anchors(s, k, w[, seed]) - winnowed k-gram anchor hashes") { args =>
+      arity("graft_winnow_anchors", args, 3, 4)
+      WinnowAnchors(args.head, intOf(args(1), "graft_winnow_anchors", "k"),
+        intOf(args(2), "graft_winnow_anchors", "w"),
+        seedArg("graft_winnow_anchors", args, 3))
+    },
     reg("graft_fast_align",
         "graft_fast_align(tokensA, tokensB[, gamma[, alpha]]) - FaST positional alignment score") { args =>
       arity("graft_fast_align", args, 2, 4)

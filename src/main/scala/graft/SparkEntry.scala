@@ -688,6 +688,33 @@ object SparkEntry {
       top1.join(own, "query_id")
         .select(col("query_id"), (col("own_adc") >= col("adc")).as("hit"))
         .orderBy("query_id")
+    }),
+
+    "q51_long_match_pairs" -> ((s, d) => {
+      // winnowed-anchor exact long-match (Dedup.longMatchPairs — the
+      // north-rule suffix-array substring pass, distributed): plant
+      // junk+orig+junk variants whose 60 unique junk tokens push set
+      // similarity far below any banding regime — unlike q40's detector,
+      // recall here is GUARANTEED by the shared run alone (winnowing: any
+      // pair sharing an exact >= minLen-char run shares an anchor), and the
+      // emitted LCS has the closed form len(orig) (orig is contiguous in its
+      // variant, and no common substring can exceed the shorter side)
+      val docs = t(s, d, "documents")
+        .where(col("doc_id") < 40 && col("n_chars").between(120, 1000))
+        .select("doc_id", "text")
+      def junk(tag: String) = concat_ws(" ",
+        transform(sequence(lit(1), lit(30)),
+          i => concat(lit(tag), col("doc_id"), lit("_"), i)))
+      val variants = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(junk("u"), lit(" "), col("text"), lit(" "), junk("x")).as("text"))
+      val corpus = docs.unionByName(variants)
+      // same enumerability restriction as q40: the corpus also carries
+      // genuine cross-doc long matches (built-in near-dup docs) that no
+      // closed-form oracle can list
+      Dedup.longMatchPairs(corpus, "doc_id", "text", minLen = 64, k = 16)
+        .where(col("b") - col("a") === 100000)
+        .select("a", "b", "lcs")
+        .orderBy("a")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -1100,6 +1127,15 @@ object SparkEntry {
     "q50_pq_adc_guarantee" ->
       """SELECT vec_id + 100000 AS query_id, CAST(1 AS BOOLEAN) AS hit
          FROM embeddings WHERE vec_id < 500 ORDER BY query_id""",
+
+    "q51_long_match_pairs" ->
+      // every planted (orig, junk+orig+junk) pair must fire, with the
+      // closed-form LCS = len(orig): orig is contiguous in its variant and
+      // no common substring can exceed the shorter side (n_chars ==
+      // length(text) in this corpus — all-ASCII)
+      """SELECT doc_id AS a, doc_id + 100000 AS b, n_chars AS lcs
+         FROM documents WHERE doc_id < 40 AND n_chars BETWEEN 120 AND 1000
+         ORDER BY a""",
 
     "q40_lcs_verify" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents

@@ -19,6 +19,11 @@ package graft.config
  * @param jaccardMin    exact-Jaccard verify threshold on shingle sets
  * @param lcsMin        min longest-common-substring length for the exact
  *                      long-match pass (0 disables)
+ * @param anchorK       char-gram width for the winnowed-anchor candidate
+ *                      family that feeds the long-match pass (Schleimer et
+ *                      al. SIGMOD'03); active when lcsMin > anchorK, with
+ *                      window w = lcsMin - anchorK + 1 so any pair sharing
+ *                      an exact >= lcsMin-char run is a guaranteed candidate
  * @param forgetDays    candidate retention window in days (reference
  *                      `forget_days`, ea/sim/main/data/buckets/issues_selector.py:17-48);
  *                      None = unlimited
@@ -39,6 +44,7 @@ final case class DedupConfig(
     hammingMax: Int = 3,
     jaccardMin: Double = 0.5,
     lcsMin: Int = 0,
+    anchorK: Int = 16,
     forgetDays: Option[Int] = None,
     dupAttach: Boolean = true,
     maxBucketSize: Int = 4096,

@@ -187,6 +187,24 @@ case class SrpBucket(child: Expression, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** string -> array<long> winnowed k-gram anchors (Schleimer et al.
+  * SIGMOD'03): any two strings sharing an exact substring of length
+  * >= w + k - 1 share at least one anchor — see
+  * [[HashKernels.winnowAnchorsFromChars]]. */
+case class WinnowAnchors(child: Expression, k: Int, w: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_anchors"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.winnowAnchors(input.asInstanceOf[UTF8String], k, w, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.winnowAnchors($c, $k, $w, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
+    copy(child = newChild)
+}
+
 /** long phash -> array<long> positional byte-gram tokens (SimHash input). */
 case class PhashTokens(child: Expression)
     extends UnaryExpression {

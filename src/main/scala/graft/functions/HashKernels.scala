@@ -393,4 +393,84 @@ object HashKernels {
     }
     mix64(h)
   }
+
+  /**
+   * Winnowed k-gram anchor set of a string (Schleimer/Wilkerson/Aiken,
+   * SIGMOD'03 "Winnowing: local algorithms for document fingerprinting"):
+   * hash every k-char gram, slide a window of `w` consecutive gram hashes,
+   * select each window's minimum (rightmost on ties — the tie rule is a
+   * pure function of window CONTENT, which the guarantee below needs), and
+   * return the distinct selected hashes value-sorted.
+   *
+   * GUARANTEE: two strings sharing an exact substring of length >=
+   * w + k - 1 share at least one anchor — the shared run contains one full
+   * window of identical gram hashes, and both sides select the same minimum
+   * from it. Expected density ~= 2/(w+1) anchors per char, so the feature
+   * set stays small regardless of document length — the distributed
+   * replacement for a suffix-array substring pass.
+   *
+   * Strings shorter than w + k - 1 (but >= k) emit the minimum over all
+   * their grams: irrelevant to the guarantee (a shared run of the
+   * qualifying length cannot fit in them) but it gives short documents an
+   * anchor to collide on. Strings shorter than k emit no anchors.
+   */
+  def winnowAnchorsFromChars(s: String, k: Int, w: Int, seed: Long): Array[Long] = {
+    if (s == null || s.length < k) return Array.emptyLongArray
+    val m = s.length - k + 1 // gram count
+    val g = new Array[Long](m)
+    // O(n*k) direct gram hashing: k is small (<= ~32) and each char's hash
+    // mixes through mix64, avoiding the weak-high-bits trap of an
+    // un-finalized polynomial rolling hash
+    var i = 0
+    while (i < m) {
+      var h = seed ^ GOLDEN
+      var j = 0
+      while (j < k) {
+        h = mix64(h * 0x100000001B3L ^ s.charAt(i + j).toLong)
+        j += 1
+      }
+      g(i) = h
+      i += 1
+    }
+    val sel = new Array[Long](m)
+    var nSel = 0
+    if (m <= w) {
+      var min = g(0)
+      i = 1
+      while (i < m) { if (g(i) <= min) min = g(i); i += 1 }
+      sel(0) = min; nSel = 1
+    } else {
+      // standard winnowing scan: keep the rightmost-min index of the
+      // current window, re-scan only when it falls out (amortized O(m))
+      var minIdx = -1
+      var end = w - 1
+      while (end < m) {
+        val start = end - w + 1
+        if (minIdx < start) {
+          minIdx = start
+          var t = start + 1
+          while (t <= end) { if (g(t) <= g(minIdx)) minIdx = t; t += 1 }
+          sel(nSel) = g(minIdx); nSel += 1
+        } else if (g(end) <= g(minIdx)) {
+          minIdx = end
+          sel(nSel) = g(minIdx); nSel += 1
+        }
+        end += 1
+      }
+    }
+    val out = java.util.Arrays.copyOf(sel, nSel)
+    java.util.Arrays.sort(out)
+    // in-place unique on the sorted prefix
+    var u = 0
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(u)) { u += 1; out(u) = out(i) }
+      i += 1
+    }
+    if (out.isEmpty) out else java.util.Arrays.copyOf(out, u + 1)
+  }
+
+  def winnowAnchors(s: UTF8String, k: Int, w: Int, seed: Long): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      winnowAnchorsFromChars(if (s == null) null else s.toString, k, w, seed))
 }

@@ -53,6 +53,11 @@ package object functions {
   def rolling_fingerprint(s: Column, seed: Long = 42L): Column =
     column(RollingFingerprint(expression(s), seed))
 
+  /** Winnowed k-gram anchors: strings sharing an exact run of length
+    * >= w + k - 1 chars are guaranteed >= 1 common anchor. */
+  def winnow_anchors(s: Column, k: Int, w: Int, seed: Long = 42L): Column =
+    column(WinnowAnchors(expression(s), k, w, seed))
+
   /** Hamming distance between two 64-bit hashes — pure built-ins (codegen'd). */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 

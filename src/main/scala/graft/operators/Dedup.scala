@@ -221,6 +221,56 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /**
+   * Exact long-match (shared-substring) pair detection at corpus scale —
+   * the distributed replacement for the north rule's suffix-array substring
+   * pass. Winnowed k-gram anchors ([[graft.functions.HashKernels
+   * .winnowAnchorsFromChars]], Schleimer et al. SIGMOD'03) bucket-join
+   * candidate pairs with GUARANTEED recall for any pair sharing an exact
+   * character run of length >= minLen (the window is sized w = minLen - k + 1
+   * so the winnowing guarantee kicks in exactly at minLen); an LCS verify
+   * then keeps precisely the pairs whose true longest common substring
+   * reaches minLen. Net effect: equal to the brute-force all-pairs LCS
+   * filter (property-spec'd) without the O(n^2) pair scan.
+   *
+   * Unlike the LSH-gated LCS detector (`hammingMax = -1, lcsMin > 0` through
+   * [[VerifyStage]]), recall here does not depend on a MinHash band
+   * collision — a pair sharing one long run inside otherwise-disjoint text
+   * is still found.
+   *
+   * Scale shape: anchors are ~2/(w+1) per char, the candidate join shuffles
+   * (id, anchor) rows only, and text attaches exactly once per distinct
+   * candidate pair. Two caps trade exactness for worst-case bounds, both
+   * off by default semantics-wise: `maxBucketSize` degrades an anchor shared
+   * by more than that many docs (web boilerplate) to sorted-neighborhood
+   * pairing, and `lcsCap` clamps the verify DP to the first lcsCap chars of
+   * each side (runs that only occur past the clamp are not matched; raise it
+   * for long-document corpora — cost is O(lcsCap^2) per candidate).
+   */
+  def longMatchPairs(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, k: Int = 16, seed: Long = 42L,
+      maxBucketSize: Int = 4096, lcsCap: Int = 2000,
+      persistFeatures: Boolean = true): DataFrame = {
+    require(k >= 2 && minLen >= k + 1,
+      s"minLen($minLen) must exceed k($k): the winnowing window w = minLen - k + 1 needs w >= 2")
+    require(lcsCap >= minLen, s"lcsCap($lcsCap) below minLen($minLen) can never verify a pair")
+    val w = minLen - k + 1
+    val baseDf = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val base =
+      if (persistFeatures)
+        baseDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else baseDf
+    val buckets = base.select(col("id"),
+      explode(winnow_anchors(col("text"), k, w, seed)).as("key"))
+    val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize)
+    val fa = base.select(col("id").as("a"), col("text").as("ta"))
+    val fb = base.select(col("id").as("b"), col("text").as("tb"))
+    pairs.join(fa, "a").join(fb, "b")
+      .withColumn("lcs", lcs_length(col("ta"), col("tb"), lcsCap))
+      .where(col("lcs") >= minLen)
+      .select("a", "b", "lcs")
+  }
+
   /** Embedding-cosine near-dup pairs via sign-random-projection buckets.
     * `persistFeatures`: see [[minhashLshPairs]]. */
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,

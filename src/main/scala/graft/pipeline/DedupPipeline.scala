@@ -17,7 +17,9 @@ import org.apache.spark.storage.StorageLevel
  * candidate generation -> pairwise similarity -> per-cluster aggregation,
  * with every neural scorer replaced by the classical signature trio
  * (MinHash/Jaccard over caption shingles, SimHash/Hamming over phash-derived
- * image tokens, optional LCS for exact long matches).
+ * image tokens, optional LCS for exact long matches — fed by its own
+ * winnowed-anchor candidate family when enabled, so long-match recall does
+ * not depend on a band collision).
  *
  * Scale design:
  *  - "Dedup before compute" (the reference's unique=True hash dedup,
@@ -108,8 +110,23 @@ object DedupPipeline {
       capReps.where(size(col("shingles")) > 0), "nid", "band_keys")
     val chunkBuckets = CandidateGen.simhashChunkBuckets(
       phReps, "nid", "simhash", cfg.hammingMax, nFeat)
-    val candidates = CandidateGen.pairsFromBuckets(
-      capBuckets.union(chunkBuckets), cfg.maxBucketSize)
+    // third candidate family (north-rule suffix-array substring pass,
+    // distributed as winnowed anchors): active with the LCS detector, it
+    // guarantees any rep pair sharing an exact run of >= lcsMin chars in
+    // norm_text reaches verify — without it the LCS rule only ever sees
+    // pairs that happened to collide in a MinHash band or SimHash chunk.
+    // Caption reps are the right carrier: members of a collapsed group share
+    // the exact norm_text, so rep-level recall implies member-level recall
+    // through the star edges. Cross-family key collisions (band vs chunk vs
+    // anchor longs) only add candidates the verify stage re-checks.
+    val buckets =
+      if (cfg.lcsMin > cfg.anchorK) {
+        val anchorBuckets = capReps.select(col("nid").as("id"),
+          explode(winnow_anchors(col("norm_text"), cfg.anchorK,
+            cfg.lcsMin - cfg.anchorK + 1, cfg.seed)).as("key"))
+        capBuckets.union(chunkBuckets).union(anchorBuckets)
+      } else capBuckets.union(chunkBuckets)
+    val candidates = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize)
 
     // --- verify (full OR rule on every candidate) ---------------------------
     val featByNid = feat.select(col("nid").as("id"),

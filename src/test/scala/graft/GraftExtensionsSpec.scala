@@ -20,7 +20,8 @@ class GraftExtensionsSpec extends SparkSpec {
            graft_simhash64(array(5L, 6L))                           AS sim,
            size(graft_phash_tokens(81985529216486895L))             AS ph_n,
            graft_fingerprint('abc')                                 AS fp,
-           graft_srp_bucket(array(0.5F, -0.5F), 8)                  AS srp
+           graft_srp_bucket(array(0.5F, -0.5F), 8)                  AS srp,
+           size(graft_winnow_anchors('abcdefghijklmnop', 4, 8))     AS wa_n
         """).head()
     assert(row.getAs[Double]("jac") === 0.5)
     assert(row.getAs[Double]("cos") === 1.0)
@@ -31,6 +32,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("sh_n") === 2)
     assert(row.getAs[Int]("ph_n") === 8)
     assert(row.getAs[Long]("fp") !== 0L)
+    // 16 chars, k=4 -> 13 grams <= w=8? no: m=13 > w=8 -> winnowed scan;
+    // density bound only — exact content equality vs the Column API:
+    val wa = row.getAs[Int]("wa_n")
+    assert(wa >= 1 && wa <= 13)
+    val sqlAnchors = spark.sql(
+      "SELECT graft_winnow_anchors('abcdefghijklmnop', 4, 8) AS a")
+      .head().getSeq[Long](0)
+    val colAnchors = spark.range(1).select(graft.functions.winnow_anchors(
+        org.apache.spark.sql.functions.lit("abcdefghijklmnop"), 4, 8).as("a"))
+      .head().getSeq[Long](0)
+    assert(sqlAnchors === colAnchors)
   }
 
   test("SQL results agree with the Column API on real captions") {

@@ -74,6 +74,12 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
   }
 
+  test("q51: long-match anchor join plans equi-joins, never a nested loop") {
+    val p = planOf(SparkEntry.queries("q51_long_match_pairs")(spark, dir))
+    assert(!p.contains("CartesianProduct"), "cartesian product in long-match plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in long-match plan")
+  }
+
   test("q47: ivf assignment and probe selection are narrow (no cross join)") {
     // centroids ride into the plan as literals: cell assignment and probe
     // selection must be per-row expressions — no cartesian/nested-loop join,

@@ -127,4 +127,24 @@ class ImagePipelineSpec extends SparkSpec {
     assert(intra.count(_ <= cfg.hammingMax) >= intra.size / 2,
       "too few variant pairs within Hamming threshold")
   }
+
+  test("winnowed anchors surface long-match pairs no band or chunk catches") {
+    // one shared ~100-char caption run inside otherwise disjoint junk:
+    // trigram-shingle Jaccard ~ 0.1 (below the 0.5 verify gate) and
+    // maximally distant phashes — only the anchor family can connect them
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    def junk(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val df = Seq(
+      ("img_a", junk("qa") + " " + run, 0L),
+      ("img_b", run + " " + junk("zb"), -1L))
+      .toDF("image_id", "caption", "phash")
+    val without = DedupPipeline.run(spark, df, cfg) // lcsMin = 0
+      .assignments.as[(String, Long)].collect().toMap
+    assert(without("img_a") != without("img_b"),
+      "pair must not cluster without the LCS detector — fixture broken")
+    val withAnchors = DedupPipeline.run(spark, df, cfg.copy(lcsMin = 64))
+      .assignments.as[(String, Long)].collect().toMap
+    assert(withAnchors("img_a") == withAnchors("img_b"),
+      "anchor candidate family failed to reach the LCS verify rule")
+  }
 }
