@@ -190,7 +190,13 @@ object Bench {
     runPipeline(warm, inputDir) // untimed warm-up: JIT + page cache
     warm.stop()
     val t32 = timedLeg(32, inputDir) // whole-machine context leg
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_PROBE_PAIRS", "3").toInt
+    // 5 pairs: a multi-minute steal window that lands INSIDE one leg (shorter
+    // than the leg, so pairing cannot cancel it) corrupts that pair's ratio
+    // in either direction; the median of 5 tolerates two corrupted pairs
+    // where a median of 3 tolerates one (observed: a 3-pair run measured
+    // ratios 4.36/2.71/3.13 in a noisy window — dispersion that wide is the
+    // windows, not the engine, whose quiet-window pairs repeat within 2%)
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_PROBE_PAIRS", "5").toInt
     val probePairs = (1 to nPairs).map { i =>
       val (a, b) =
         if (i % 2 == 1) (timedLeg(loCpus, inputDir), timedLeg(hiCpus, inputDir))
@@ -202,6 +208,11 @@ object Bench {
     val ratio = median(probePairs.map(_._3))
     val ideal = hiCpus.toDouble / loCpus
     val efficiency = ratio / ideal
+    // cross-check estimator: ratio of per-leg minima. Each leg's min over
+    // nPairs rounds approaches its steal-free time (quiet-window legs repeat
+    // within 2%), so this diagnoses whether a low median-pair ratio is
+    // window corruption (minRatio healthy) or real (both estimators agree).
+    val minLegRatio = probePairs.map(_._1).min / probePairs.map(_._2).min
 
     val thr = Map(32 -> nImages / t32, hiCpus -> nImages / tHi, loCpus -> nImages / tLo)
 
@@ -220,6 +231,7 @@ object Bench {
       s""""images_per_sec_32":${"%.1f".format(thr(32))},""" +
       s""""images_per_sec_per_core_$hiCpus":${"%.1f".format(thr(hiCpus) / hiCpus)},""" +
       s""""estimator":"median-paired-ratio","pairs":$pairsJson,""" +
+      s""""min_leg_ratio":${"%.3f".format(minLegRatio)},""" +
       s""""speedup_${loCpus}_to_$hiCpus":${"%.2f".format(ratio)},"efficiency":${"%.3f".format(efficiency)}}"""
 
     val jsonLine = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
@@ -296,6 +308,14 @@ object Bench {
          |ideal ${"%.0f".format(ideal)}x ->
          |**scaling efficiency ${"%.3f".format(efficiency)}** (target >= 0.8,
          |BASELINE.json north_rule).
+         |
+         |Cross-check (ratio of per-leg minima, each min approaching the
+         |leg's steal-free time): ${"%.2f".format(minLegRatio)}x. A window
+         |shorter than a leg lands inside it and corrupts that pair's ratio
+         |in either direction — pairing cancels only windows spanning both
+         |legs — so the median runs over $nPairs pairs (tolerates
+         |${(nPairs - 1) / 2} corrupted) with the min-ratio as the
+         |window-free diagnostic.
          |""".stripMargin
     Files.writeString(Paths.get("BENCH.md"), md)
 
