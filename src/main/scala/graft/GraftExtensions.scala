@@ -114,6 +114,10 @@ object GraftExtensions {
       arity("graft_dot", args, 2, 2)
       DotProduct(args.head, args(1))
     },
+    reg("graft_vec_sub", "graft_vec_sub(a, b) - elementwise float-vector difference") { args =>
+      arity("graft_vec_sub", args, 2, 2)
+      VecSub(args.head, args(1))
+    },
     reg("graft_srp_bucket", "graft_srp_bucket(vec, bits[, seed]) - sign-random-projection bucket") { args =>
       arity("graft_srp_bucket", args, 2, 3)
       SrpBucket(args.head, intOf(args(1), "graft_srp_bucket", "bits"),

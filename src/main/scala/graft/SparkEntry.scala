@@ -690,6 +690,36 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "q52_ivfpq_residual_guarantee" -> ((s, d) => {
+      // Residual IVFADC invariant (Ann.ivfPqResidualTopK — the FAISS
+      // IndexIVFPQ default, where q50 covers the flat-codes variant): a
+      // query copying a corpus vector is assigned the copy's cell
+      // (deterministic tie-break), probes exactly that cell at nProbe = 1,
+      // and every same-cell candidate shares its lookup table — the copy's
+      // codes are the per-subspace argmax of that table, so no candidate
+      // ADC-scores strictly above the query's own original. Exercises
+      // coarse training, residual codebook training, cell assignment,
+      // probe selection, residual encode and the per-(query, cell) LUT +
+      // cross-cell adjustment end to end with an enumerable oracle.
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val queriesDf = emb.where(col("vec_id") < 500).select(
+        (col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding",
+        nlist = 16, iters = 1)
+      val books = Ann.pqResidualCodebooks(emb, cents, "vec_id", "embedding",
+        m = 4, k = 16, iters = 1)
+      val top1 = Ann.ivfPqResidualTopK(emb, queriesDf, cents, books,
+        "vec_id", "embedding", k = 1, nProbe = 1)
+      val own = Ann.pqResidualScorePairs(
+        queriesDf.select(col("vec_id").as("query_id"),
+          (col("vec_id") - 100000).as("item_id")),
+        emb, queriesDf, cents, books, "vec_id", "embedding")
+        .select(col("query_id"), col("adc").as("own_adc"))
+      top1.join(own, "query_id")
+        .select(col("query_id"), (col("own_adc") >= col("adc")).as("hit"))
+        .orderBy("query_id")
+    }),
+
     "q51_long_match_pairs" -> ((s, d) => {
       // winnowed-anchor exact long-match (Dedup.longMatchPairs — the
       // north-rule suffix-array substring pass, distributed): plant
@@ -1125,6 +1155,10 @@ object SparkEntry {
          FROM embeddings ORDER BY query_id""",
 
     "q50_pq_adc_guarantee" ->
+      """SELECT vec_id + 100000 AS query_id, CAST(1 AS BOOLEAN) AS hit
+         FROM embeddings WHERE vec_id < 500 ORDER BY query_id""",
+
+    "q52_ivfpq_residual_guarantee" ->
       """SELECT vec_id + 100000 AS query_id, CAST(1 AS BOOLEAN) AS hit
          FROM embeddings WHERE vec_id < 500 ORDER BY query_id""",
 

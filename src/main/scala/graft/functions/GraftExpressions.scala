@@ -136,6 +136,22 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** (array<float>, array<float>) -> array<float> elementwise difference
+  * (IVFADC residuals; the zip_with HOF equivalent evaluates its lambda
+  * interpreted, outside whole-stage codegen). */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_sub"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.subData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.subData($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSub =
+    copy(left = l, right = r)
+}
+
 /** (array<float>, array<float>) -> double inner product (PQ/ADC measure). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

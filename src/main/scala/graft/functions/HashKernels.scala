@@ -298,6 +298,19 @@ object HashKernels {
   def dotData(a: ArrayData, b: ArrayData): Double =
     dot(a.toFloatArray(), b.toFloatArray())
 
+  /** Elementwise float-vector subtraction (residual computation for IVFADC:
+    * r = x - centroid). Truncates to the shorter input, matching the dot
+    * kernel's min-length contract. */
+  def subData(a: ArrayData, b: ArrayData): ArrayData = {
+    val av = a.toFloatArray()
+    val bv = b.toFloatArray()
+    val n = math.min(av.length, bv.length)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = av(i) - bv(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** ADC sum: per-subspace lookup-table reads for a PQ-coded item —
     * sum over i of lut[offsets(i) + codes(i)]. The tight loop the
     * interpreted zip_with/aggregate higher-order functions cannot give

@@ -41,6 +41,9 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
 
+  def vec_sub(a: Column, b: Column): Column =
+    column(VecSub(expression(a), expression(b)))
+
   def adc_lookup(codes: Column, lut: Column, offsets: Seq[Int]): Column =
     column(AdcLookup(expression(codes), expression(lut), offsets))
 

@@ -413,12 +413,18 @@ object Ann {
   }
 
   private def pqEncodeWith(corpus: DataFrame, books: Array[Array[Array[Float]]],
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("item_id"),
+      codesCol(books, col(vecCol)).as("codes"))
+
+  /** The m-code PQ encoding of one vector column — per-subspace argmin by
+    * the shared L2-via-dot measure, as a narrow literal expression. */
+  private def codesCol(books: Array[Array[Array[Float]]],
+      vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val subDim = books.head.head.length
-    val codeCols = books.toSeq.zipWithIndex.map { case (cents, sub) =>
-      bestCode(slice(col(vecCol), sub * subDim + 1, subDim), cents)
-    }
-    corpus.select(col(idCol).as("item_id"), array(codeCols: _*).as("codes"))
+    array(books.toSeq.zipWithIndex.map { case (cents, sub) =>
+      bestCode(slice(vecCol, sub * subDim + 1, subDim), cents)
+    }: _*)
   }
 
   /** Per-query ADC lookup table: the m*k per-subspace scores
@@ -493,6 +499,109 @@ object Ann {
       .withColumn("adc", adcScore(books))
       .select("query_id", "item_id", "adc")
   }
+
+  // --- residual IVFPQ (IVFADC with residual encoding) --------------------
+
+  /** (item_id, cell, rv = cv - centroid(cell)) for every corpus row — the
+    * residual domain FAISS's `IndexIVFPQ` quantizes. One broadcast equi-join
+    * on the nlist-row centroid table; the subtraction is the codegen'd
+    * [[graft.functions.VecSub]] kernel. */
+  private def residualFrame(c: DataFrame, localCents: DataFrame,
+      nlist: Long): DataFrame =
+    assignCellsAuto(c, localCents, nlist)
+      .join(broadcast(localCents.select(col("cent_id").as("cell"), col("centv"))),
+        "cell")
+      .select(col("item_id"), col("cell"),
+        vec_sub(col("cv"), col("centv")).as("rv"))
+
+  /** Re-root a centroid table on its collected rows (nlist rows — the index
+    * artifact, one job), so the several consumers below do not re-execute a
+    * possibly corpus-sized centroid PLAN each ([[sampleCentroids]] is a
+    * corpus-wide TakeOrdered). */
+  private def localizeCentroids(centroids: DataFrame): (DataFrame, Long) = {
+    val proj = centroids.select("cent_id", "centv")
+    val rows = proj.collect()
+    val spark = centroids.sparkSession
+    (spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), proj.schema),
+      rows.length.toLong)
+  }
+
+  /**
+   * Train PQ codebooks on coarse-cell RESIDUALS r = x - centroid(cell(x)) —
+   * FAISS `IndexIVFPQ`'s encoding domain. Residuals concentrate near the
+   * origin regardless of which cell a vector lives in, so the m codebooks
+   * spend their k codewords on local displacement instead of global
+   * position — at equal (m, k) the quantization error drops vs flat-vector
+   * PQ on clustered data. Same artifact contract as [[pqCodebooks]]
+   * (value-sorted dense codes); persist it together with the centroids —
+   * codes are meaningless without the exact centroid table they offset.
+   */
+  def pqResidualCodebooks(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
+    val (localCents, nlist) = localizeCentroids(centroids)
+    pqCodebooks(residualFrame(c, localCents, nlist), "item_id", "rv",
+      m, k, iters)
+  }
+
+  /**
+   * ADC scores for explicit (query_id, item_id) pairs in the RESIDUAL
+   * domain: each pair scores against the ITEM's cell — the lookup table is
+   * built from q - centroid(cell) once per (query, cell) actually present,
+   * codes from x - centroid(cell) once per item. The returned score is
+   * -(estimated squared L2)/2 = adc_sum - ||q - centroid||^2/2: by the
+   * shift identity ||q - x|| = ||(q-c) - (x-c)|| it is comparable ACROSS
+   * cells, which the raw adc sum alone is not (its implicit ||q-c||^2 bias
+   * differs per cell — subtracting it is what makes cross-cell top-k
+   * well-defined).
+   */
+  def pqResidualScorePairs(pairs: DataFrame, corpus: DataFrame,
+      queries: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val books = collectBooks(codebooks)
+    requireDim(corpus, vecCol, books, "corpus")
+    requireDim(queries, vecCol, books, "query")
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val (localCents, nlist) = localizeCentroids(centroids)
+    val codes = residualFrame(c, localCents, nlist)
+      .select(col("item_id"), col("cell"), codesCol(books, col("rv")).as("codes"))
+    val withCells = pairs.select("query_id", "item_id").join(codes, "item_id")
+    // the query residual rides the "qv" column so withLut's contract applies
+    val qres = withCells.select("query_id", "cell").distinct()
+      .join(q, "query_id")
+      .join(broadcast(localCents.select(col("cent_id").as("cell"), col("centv"))),
+        "cell")
+      .select(col("query_id"), col("cell"),
+        vec_sub(col("qv"), col("centv")).as("qv"))
+    val luts = withLut(qres, books)
+      .withColumn("qn", dot_product(col("qv"), col("qv")) / 2)
+      .select("query_id", "cell", "lut", "qn")
+    withCells.join(luts, Seq("query_id", "cell"))
+      .withColumn("adc", adcScore(books) - col("qn"))
+      .select("query_id", "item_id", "adc")
+  }
+
+  /**
+   * Residual IVFADC top-k — [[ivfCandidates]]'s coarse cell restriction
+   * composed with residual-domain ADC scoring: the FAISS `IndexIVFPQ`
+   * default, where [[ivfPqTopK]] is the raw-vector-codes variant. Same
+   * sandbox note as there: this re-derives (item_id, cell, codes) inside
+   * the plan; a production run persists that table once and joins it.
+   */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
+    pqResidualScorePairs(
+      ivfCandidates(corpus, queries, centroids, idCol, vecCol, nProbe),
+      corpus, queries, centroids, codebooks, idCol, vecCol)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc").desc, col("item_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "item_id", "adc", "rank")
 
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -80,6 +80,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in long-match plan")
   }
 
+  test("q52: residual ivfadc plans equi-joins, never a nested loop") {
+    val p = planOf(SparkEntry.queries("q52_ivfpq_residual_guarantee")(spark, dir))
+    assert(!p.contains("CartesianProduct"), "cartesian product in residual-ivfadc plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in residual-ivfadc plan")
+  }
+
   test("q47: ivf assignment and probe selection are narrow (no cross join)") {
     // centroids ride into the plan as literals: cell assignment and probe
     // selection must be per-row expressions — no cartesian/nested-loop join,

@@ -242,6 +242,100 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("residual ivfpq: exact L2 ranking when item residuals reconstruct exactly") {
+    // Two well-separated cells; every ITEM is centroid + an exactly
+    // representable residual codeword pair, so x_res-hat == x_res and the
+    // score -(d-hat^2)/2 equals the true -||q - x||^2/2 for ARBITRARY
+    // queries (only the item side is quantized; the shift identity
+    // ||q - x|| = ||(q-c) - (x-c)|| is exact). Queries are placed so true
+    // neighbors straddle both cells: a missing per-(query, cell)
+    // ||q - centroid||^2/2 adjustment would mis-rank across cells.
+    val cents = Seq((0L, Seq(10f, 0f, 0f, 0f)), (1L, Seq(0f, 10f, 0f, 0f)))
+      .toDF("cent_id", "centv")
+    val books = Seq(
+      (0, 0, Seq(0f, 0f)), (0, 1, Seq(1f, 0f)), (0, 2, Seq(0f, 2f)),
+      (1, 0, Seq(0f, 0f)), (1, 1, Seq(0f, 1f)), (1, 2, Seq(3f, 0f)))
+      .toDF("sub", "code", "centv")
+    val r0s = Seq(Array(0f, 0f), Array(1f, 0f), Array(0f, 2f))
+    val r1s = Seq(Array(0f, 0f), Array(0f, 1f), Array(3f, 0f))
+    val cvecs = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f))
+    val items = (for {
+      (c, ci) <- cvecs.zipWithIndex; (r0, i) <- r0s.zipWithIndex
+      (r1, j) <- r1s.zipWithIndex
+    } yield ((ci * 9 + i * 3 + j).toLong,
+      Array(c(0) + r0(0), c(1) + r0(1), c(2) + r1(0), c(3) + r1(1))))
+    val corpus = items.toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Array(9f, 1f, 1f, 0f)), (101L, Array(1f, 9f, 0f, 1f)),
+      (102L, Array(5f, 5f, 2f, 1f))).toDF("vec_id", "embedding")
+    val got = Ann.ivfPqResidualTopK(corpus, queries, cents, books,
+        "vec_id", "embedding", k = items.size, nProbe = 2)
+      .select("query_id", "item_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val qs = Map(100L -> Array(9f, 1f, 1f, 0f), 101L -> Array(1f, 9f, 0f, 1f),
+      102L -> Array(5f, 5f, 2f, 1f))
+    qs.foreach { case (qid, qv) =>
+      val expect = items.map { case (id, v) => (id, d2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.map(_._1)
+      val mine = got.filter(_._1 == qid).sortBy(_._4)
+      assert(mine.map(_._2).toSeq == expect, s"query $qid ranking")
+      // integer coordinates: the score must be EXACTLY -d^2/2
+      mine.foreach { case (_, id, adc, _) =>
+        val d = d2(qv, items.find(_._1 == id).get._2)
+        assert(adc == -d / 2, s"query $qid item $id: adc=$adc d2=$d")
+      }
+    }
+  }
+
+  test("residual ivfpq: no item outscores the query's own original at nProbe=1") {
+    // the q52 driver invariant: a query that copies a corpus vector lands in
+    // the same cell (deterministic tie-break), probes exactly that cell at
+    // nProbe=1, and within one cell every candidate shares the lookup table
+    // — the copy's codes are the per-subspace argmax of it, so no candidate
+    // scores strictly higher
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val cents = Ann.kmeansCentroids(df, "vec_id", "embedding", nlist = 8, iters = 1)
+    val books = Ann.pqResidualCodebooks(df, cents, "vec_id", "embedding",
+      m = 4, k = 16, iters = 1)
+    val top1 = Ann.ivfPqResidualTopK(df, queries, cents, books,
+      "vec_id", "embedding", k = 1, nProbe = 1)
+    val own = Ann.pqResidualScorePairs(
+      queries.select($"vec_id".as("query_id"), ($"vec_id" - 1000L).as("item_id")),
+      df, queries, cents, books, "vec_id", "embedding")
+      .select($"query_id", $"adc".as("own_adc"))
+    val joined = top1.join(own, "query_id")
+    assert(joined.count() == 200L)
+    assert(joined.where($"own_adc" < $"adc").count() == 0L,
+      "an item out-scored the query's own vector under residual ADC")
+  }
+
+  test("residual codebooks beat flat codebooks at equal (m, k) on clustered data") {
+    // the reason IndexIVFPQ encodes residuals: displacement-local codewords.
+    // Same coarse structure, same (m, k) budget — full-probe recall@10 must
+    // not be worse than the flat-vector codes variant on clustered vectors.
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" < 20)
+    val exact = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", 10)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val cents = Ann.kmeansCentroids(df, "vec_id", "embedding", nlist = 8, iters = 1)
+    val flatBooks = Ann.pqCodebooks(df, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val resBooks = Ann.pqResidualCodebooks(df, cents, "vec_id", "embedding",
+      m = 4, k = 16, iters = 2)
+    def recallOf(top: org.apache.spark.sql.DataFrame): Double = {
+      val s = top.select("query_id", "item_id").as[(Long, Long)].collect().toSet
+      (exact intersect s).size.toDouble / exact.size
+    }
+    val flat = recallOf(Ann.ivfPqTopK(df, queries, cents, flatBooks,
+      "vec_id", "embedding", k = 10, nProbe = 8))
+    val res = recallOf(Ann.ivfPqResidualTopK(df, queries, cents, resBooks,
+      "vec_id", "embedding", k = 10, nProbe = 8))
+    assert(res >= flat, s"residual recall $res < flat recall $flat")
+    assert(res >= 0.6, s"residual recall too low: $res")
+  }
+
   test("lsh top-k achieves decent recall@10 vs exact") {
     val df = vecs.toDF("vec_id", "embedding")
     val queries = df.where($"vec_id" < 20)
