@@ -181,6 +181,8 @@ class DedupSpec extends SparkSpec {
       persistFeatures = false).count()
     Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", cosineMin = 0.99,
       persistFeatures = false).count()
+    Dedup.longMatchPairs(docs, "doc_id", "text", minLen = 24, k = 8,
+      persistFeatures = false).count()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"cache entries leaked: $leaked")
   }
