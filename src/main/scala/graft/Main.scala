@@ -76,7 +76,7 @@ object Main {
   private[graft] def configOf(sets: Map[String, String]): DedupConfig = {
     val base = DedupConfig.default
     val known = Set("shingleK", "numHashes", "bands", "rowsPerBand",
-      "hammingMax", "jaccardMin", "lcsMin", "anchorK", "maxBucketSize", "seed",
+      "hammingMax", "jaccardMin", "lcsMin", "anchorK", "lcsCap", "maxBucketSize", "seed",
       "forgetDays", "dupAttach")
     sets.keys.find(!known(_)).foreach(k =>
       throw new IllegalArgumentException(s"unknown --set key: $k (known: ${known.mkString(", ")})"))
@@ -90,6 +90,7 @@ object Main {
       jaccardMin = sets.get("jaccardMin").map(_.toDouble).getOrElse(base.jaccardMin),
       lcsMin = i("lcsMin", base.lcsMin),
       anchorK = i("anchorK", base.anchorK),
+      lcsCap = i("lcsCap", base.lcsCap),
       maxBucketSize = i("maxBucketSize", base.maxBucketSize),
       seed = sets.get("seed").map(_.toLong).getOrElse(base.seed),
       forgetDays = sets.get("forgetDays").map(_.toInt).orElse(base.forgetDays),

@@ -21,9 +21,17 @@ package graft.config
  *                      long-match pass (0 disables)
  * @param anchorK       char-gram width for the winnowed-anchor candidate
  *                      family that feeds the long-match pass (Schleimer et
- *                      al. SIGMOD'03); active when lcsMin > anchorK, with
- *                      window w = lcsMin - anchorK + 1 so any pair sharing
- *                      an exact >= lcsMin-char run is a guaranteed candidate
+ *                      al. SIGMOD'03); with window w = lcsMin - anchorK + 1
+ *                      any pair sharing an exact >= lcsMin-char run is a
+ *                      guaranteed candidate. Enforced anchorK < lcsMin
+ *                      whenever the LCS detector is on — a config where the
+ *                      detector fires but the anchor family is inert would
+ *                      silently demote the advertised recall guarantee to
+ *                      band/chunk-collision-gated
+ * @param lcsCap        LCS verify reads at most this many leading chars of
+ *                      each side (the DP is O(lcsCap^2) per pair); runs that
+ *                      only occur past the cap are not matched — raise it
+ *                      for long-document corpora
  * @param forgetDays    candidate retention window in days (reference
  *                      `forget_days`, ea/sim/main/data/buckets/issues_selector.py:17-48);
  *                      None = unlimited
@@ -45,6 +53,7 @@ final case class DedupConfig(
     jaccardMin: Double = 0.5,
     lcsMin: Int = 0,
     anchorK: Int = 16,
+    lcsCap: Int = 2000,
     forgetDays: Option[Int] = None,
     dupAttach: Boolean = true,
     maxBucketSize: Int = 4096,
@@ -52,6 +61,12 @@ final case class DedupConfig(
   require(bands * rowsPerBand == numHashes,
     s"bands($bands) * rowsPerBand($rowsPerBand) must equal numHashes($numHashes)")
   require(simhashBits > 0 && simhashBits <= 64, "simhashBits must be in (0, 64]")
+  require(lcsMin == 0 || lcsMin > anchorK,
+    s"lcsMin($lcsMin) must exceed anchorK($anchorK) when the LCS detector is on" +
+      " — lower anchorK so the winnowed-anchor candidate family stays active" +
+      " (it is what guarantees long-match recall)")
+  require(lcsCap >= math.max(lcsMin, 1),
+    s"lcsCap($lcsCap) below lcsMin($lcsMin) can never verify a long match")
 }
 
 object DedupConfig {

@@ -209,6 +209,10 @@ case class SrpBucket(child: Expression, bits: Int, seed: Long)
   * [[HashKernels.winnowAnchorsFromChars]]. */
 case class WinnowAnchors(child: Expression, k: Int, w: Int, seed: Long)
     extends UnaryExpression {
+  // construction-time (= SQL resolution-time) validation: the kernel's scan
+  // indexes g(end - w + 1 .. end) and would AIOOBE per row on w < 1
+  require(k >= 1 && w >= 1,
+    s"winnow_anchors: k($k) and w($w) must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "winnow_anchors"

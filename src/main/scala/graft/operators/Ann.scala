@@ -220,11 +220,8 @@ object Ann {
     // exactly ONCE and re-root both the assignment and probe sides on the
     // collected rows — a count + two separate collects would execute that
     // corpus-sample job three times per search.
-    val rows = centroids.collect()
+    val (localCents, rows) = localizeCentroids(centroids)
     val nlist = rows.length.toLong
-    val localCents = centroids.sparkSession.createDataFrame(
-      centroids.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1),
-      centroids.schema).select(col("cent_id"), col("centv"))
     val cents = rows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
     val assigned =
       if (nlist <= literalCentroidMax) assignCells(c, cents)
@@ -517,14 +514,19 @@ object Ann {
   /** Re-root a centroid table on its collected rows (nlist rows — the index
     * artifact, one job), so the several consumers below do not re-execute a
     * possibly corpus-sized centroid PLAN each ([[sampleCentroids]] is a
-    * corpus-wide TakeOrdered). */
-  private def localizeCentroids(centroids: DataFrame): (DataFrame, Long) = {
+    * corpus-wide TakeOrdered). Re-localizing an already-local frame costs
+    * one trivial job over the parallelized rows, so composed searches can
+    * localize once up front and pass the result down. Returns the collected
+    * rows too — [[coarsePairs]] derives its literal-path centroid array from
+    * them without a second collect. */
+  private def localizeCentroids(centroids: DataFrame)
+      : (DataFrame, Array[org.apache.spark.sql.Row]) = {
     val proj = centroids.select("cent_id", "centv")
     val rows = proj.collect()
     val spark = centroids.sparkSession
     (spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), proj.schema),
-      rows.length.toLong)
+      rows)
   }
 
   /**
@@ -541,8 +543,8 @@ object Ann {
       idCol: String, vecCol: String, m: Int, k: Int = 16,
       iters: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
-    val (localCents, nlist) = localizeCentroids(centroids)
-    pqCodebooks(residualFrame(c, localCents, nlist), "item_id", "rv",
+    val (localCents, rows) = localizeCentroids(centroids)
+    pqCodebooks(residualFrame(c, localCents, rows.length.toLong), "item_id", "rv",
       m, k, iters)
   }
 
@@ -565,8 +567,8 @@ object Ann {
     requireDim(queries, vecCol, books, "query")
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val (localCents, nlist) = localizeCentroids(centroids)
-    val codes = residualFrame(c, localCents, nlist)
+    val (localCents, cRows) = localizeCentroids(centroids)
+    val codes = residualFrame(c, localCents, cRows.length.toLong)
       .select(col("item_id"), col("cell"), codesCol(books, col("rv")).as("codes"))
     val withCells = pairs.select("query_id", "item_id").join(codes, "item_id")
     // the query residual rides the "qv" column so withLut's contract applies
@@ -593,15 +595,21 @@ object Ann {
    */
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, codebooks: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    // localize once: the coarse stage and the residual scorer each collect
+    // their centroid input, and a non-local centroid PLAN (a corpus-wide
+    // sample) must not execute twice per search — downstream collects then
+    // hit the parallelized nlist rows only
+    val (localCents, _) = localizeCentroids(centroids)
     pqResidualScorePairs(
-      ivfCandidates(corpus, queries, centroids, idCol, vecCol, nProbe),
-      corpus, queries, centroids, codebooks, idCol, vecCol)
+      ivfCandidates(corpus, queries, localCents, idCol, vecCol, nProbe),
+      corpus, queries, localCents, codebooks, idCol, vecCol)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adc").desc, col("item_id"))))
       .where(col("rank") <= k)
       .select("query_id", "item_id", "adc", "rank")
+  }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -42,7 +42,7 @@ object VerifyStage {
         joined.withColumn("lcs",
           when(col("jaccard") >= cfg.jaccardMin || col("hamming") <= cfg.hammingMax,
             lit(0))
-            .otherwise(lcs_length(col("txt_a"), col("txt_b"))))
+            .otherwise(lcs_length(col("txt_a"), col("txt_b"), cfg.lcsCap)))
       else joined.withColumn("lcs", lit(0))
 
     withLcs

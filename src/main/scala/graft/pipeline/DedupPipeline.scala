@@ -111,10 +111,15 @@ object DedupPipeline {
     val chunkBuckets = CandidateGen.simhashChunkBuckets(
       phReps, "nid", "simhash", cfg.hammingMax, nFeat)
     // third candidate family (north-rule suffix-array substring pass,
-    // distributed as winnowed anchors): active with the LCS detector, it
+    // distributed as winnowed anchors): active with the LCS detector
+    // (DedupConfig requires anchorK < lcsMin whenever lcsMin > 0), it
     // guarantees any rep pair sharing an exact run of >= lcsMin chars in
     // norm_text reaches verify — without it the LCS rule only ever sees
     // pairs that happened to collide in a MinHash band or SimHash chunk.
+    // The verify side reads at most cfg.lcsCap chars per text, so runs
+    // that only occur past the cap still drop there — size lcsCap to the
+    // corpus (the candidate side has no such limit: anchors cover the
+    // full text).
     // Caption reps are the right carrier: members of a collapsed group share
     // the exact norm_text, so rep-level recall implies member-level recall
     // through the star edges. Cross-family key collisions (band vs chunk vs

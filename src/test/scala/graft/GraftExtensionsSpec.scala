@@ -36,6 +36,10 @@ class GraftExtensionsSpec extends SparkSpec {
     // density bound only — exact content equality vs the Column API:
     val wa = row.getAs[Int]("wa_n")
     assert(wa >= 1 && wa <= 13)
+    // out-of-range window must fail at resolution, not AIOOBE per row
+    intercept[Exception] {
+      spark.sql("SELECT graft_winnow_anchors('abcdef', 4, 0)").collect()
+    }
     val sqlAnchors = spark.sql(
       "SELECT graft_winnow_anchors('abcdefghijklmnop', 4, 8) AS a")
       .head().getSeq[Long](0)

@@ -48,5 +48,15 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Main.configOf(Map("notAKey" -> "1"))
     }
+    // an LCS detector whose anchor family would be inert is a config error,
+    // not a silent recall downgrade
+    intercept[IllegalArgumentException] {
+      Main.configOf(Map("lcsMin" -> "12"))
+    }
+    assert(Main.configOf(Map("lcsMin" -> "12", "anchorK" -> "8")).anchorK == 8)
+    // a verify cap below the detector threshold can never fire
+    intercept[IllegalArgumentException] {
+      Main.configOf(Map("lcsMin" -> "64", "lcsCap" -> "32"))
+    }
   }
 }
