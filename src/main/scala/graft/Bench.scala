@@ -141,10 +141,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // 100k bases (~203k images): a 1-core leg is ~300 s — far above fixed
     // overhead (~5 s session+planning, so the ratio measures data work) yet
-    // small enough that 3 paired rounds fit the bench budget; per-work cpu-s
-    // on this input show no sustained-load decay at <= 4 threads (wall still
-    // varies with steal windows — hence the paired-ratio estimator)
+    // small enough that 5 interleaved rounds fit the bench budget; per-work
+    // cpu-s on this input show no sustained-load decay at <= 4 threads (wall
+    // still varies with steal windows — hence the min-leg estimator)
     val benchBases = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASES", "100000").toLong
+    // validated BEFORE the (long) query suite runs: a bad probe config must
+    // fail in the first second, not after 40 minutes of phase 1
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_PROBE_PAIRS", "5").toInt
+    require(nPairs >= 1, s"SPARK_GRAFT_PROBE_PAIRS must be >= 1, got $nPairs")
     val smallDir = "/root/testdata/sf0.001"
     val seed = 42L
 
@@ -190,6 +194,8 @@ object Bench {
     // three measured guest limits that rule out 8+-thread legs.
     val loCpus = sys.env.getOrElse("SPARK_GRAFT_PROBE_LO", "1").toInt
     val hiCpus = sys.env.getOrElse("SPARK_GRAFT_PROBE_HI", "4").toInt
+    require(loCpus >= 1 && hiCpus > loCpus,
+      s"probe legs must satisfy 1 <= lo($loCpus) < hi($hiCpus)")
     val warm = probeSession(8)
     runPipeline(warm, inputDir) // untimed warm-up: JIT + page cache
     warm.stop()
@@ -200,7 +206,6 @@ object Bench {
     // where a median of 3 tolerates one (observed: a 3-pair run measured
     // ratios 4.36/2.71/3.13 in a noisy window — dispersion that wide is the
     // windows, not the engine, whose quiet-window pairs repeat within 2%)
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_PROBE_PAIRS", "5").toInt
     val probePairs = (1 to nPairs).map { i =>
       val (a, b) =
         if (i % 2 == 1) (timedLeg(loCpus, inputDir), timedLeg(hiCpus, inputDir))

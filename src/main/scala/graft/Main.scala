@@ -42,7 +42,7 @@ import org.apache.spark.sql.SparkSession
  */
 object Main {
 
-  private case class Args(
+  private[graft] case class Args(
       input: String = null,
       output: String = null,
       checkpoint: Option[String] = None,
@@ -50,20 +50,27 @@ object Main {
       partitions: Int = 0,
       sets: Map[String, String] = Map.empty)
 
-  private def parse(argv: List[String], acc: Args): Args = argv match {
+  /** A value flag's argument must not itself look like a flag — otherwise
+    * `--checkpoint --run-id x` silently binds "--run-id" as the checkpoint
+    * path instead of erroring on the missing value. */
+  private def value(v: String): Boolean = !v.startsWith("--")
+
+  private[graft] def parse(argv: List[String], acc: Args): Args = argv match {
     case Nil => acc
-    case "--input" :: v :: rest => parse(rest, acc.copy(input = v))
-    case "--output" :: v :: rest => parse(rest, acc.copy(output = v))
-    case "--checkpoint" :: v :: rest => parse(rest, acc.copy(checkpoint = Some(v)))
-    case "--run-id" :: v :: rest => parse(rest, acc.copy(runId = v))
-    case "--partitions" :: v :: rest => parse(rest, acc.copy(partitions = v.toInt))
-    case "--set" :: kv :: rest =>
+    case "--input" :: v :: rest if value(v) => parse(rest, acc.copy(input = v))
+    case "--output" :: v :: rest if value(v) => parse(rest, acc.copy(output = v))
+    case "--checkpoint" :: v :: rest if value(v) =>
+      parse(rest, acc.copy(checkpoint = Some(v)))
+    case "--run-id" :: v :: rest if value(v) => parse(rest, acc.copy(runId = v))
+    case "--partitions" :: v :: rest if value(v) =>
+      parse(rest, acc.copy(partitions = v.toInt))
+    case "--set" :: kv :: rest if value(kv) =>
       kv.split("=", 2) match {
         case Array(k, v) => parse(rest, acc.copy(sets = acc.sets + (k -> v)))
         case _ => throw new IllegalArgumentException(
           s"--set expects key=value, got: $kv")
       }
-    case flag :: Nil if valueFlags(flag) =>
+    case flag :: _ if valueFlags(flag) =>
       throw new IllegalArgumentException(s"missing value for $flag")
     case other :: _ =>
       throw new IllegalArgumentException(s"unknown argument: $other")

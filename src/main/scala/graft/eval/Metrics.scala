@@ -73,8 +73,8 @@ object Metrics {
    */
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): Double = {
     // Tie groups are aggregated FIRST (distributed groupBy); the cumulative
-    // rank offsets then come from OrderedScan.cumSum — range-partitioned
-    // per-partition windows stitched with O(partitions) boundary offsets,
+    // rank offsets then come from OrderedScan.cumSum — value-bucketed
+    // per-bucket windows stitched with O(buckets) boundary offsets,
     // never a single-partition global window (for continuous double scores
     // distinct ~ N, so the old Window.orderBy funneled the whole dataset
     // through one task).
@@ -145,7 +145,7 @@ object Metrics {
     // candidate thresholds = distinct scores: aggregate tie groups first
     // (distributed), then cumulate with OrderedScan.cumSums — for continuous
     // double scores distinct ~ N, so the cumulation itself must be
-    // distributed too (range-partitioned windows + boundary offsets), never
+    // distributed too (value-bucketed windows + boundary offsets), never
     // a single-partition global window
     // coalesce: sum() over zero rows is null — an empty frame must yield an
     // empty sweep, not a driver NPE

@@ -193,22 +193,42 @@ object Ann {
    * restricts each query's candidates to its `nProbe` cells, the PQ codes
    * score the survivors in the compressed domain, and only (id, id, score)
    * rows reach the final rank — at 10^9+ vectors neither the candidate
-   * shuffle nor the scoring ever carries a full float vector. (This sandbox
-   * variant re-derives codes from the corpus inside the plan; a production
-   * run persists the encoded (item_id, cell, codes) table once — [[pqEncode]]
+   * shuffle nor the scoring ever carries a full float vector. The corpus is
+   * touched exactly ONCE per search: cell assignment and PQ encode are fused
+   * into a single pass whose (cell, codes) output feeds the candidate join
+   * directly — composing [[ivfCandidates]] with [[pqScorePairs]] would scan
+   * the corpus twice for identical results. (Sandbox note: a production run
+   * persists the encoded (item_id, cell, codes) table once — [[pqEncode]]
    * output — and joins that instead.)
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int): DataFrame =
-    pqScorePairs(
-      ivfCandidates(corpus, queries, centroids, idCol, vecCol, nProbe),
-      corpus, queries, codebooks, idCol, vecCol)
+      nProbe: Int): DataFrame = {
+    val books = collectBooks(codebooks)
+    requireDim(corpus, vecCol, books, "corpus")
+    requireDim(queries, vecCol, books, "query")
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val (localCents, rows) = localizeCentroids(centroids)
+    val cents = rows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    val assigned =
+      if (rows.length <= literalCentroidMax) assignCells(c, cents)
+      else assignCellsBig(c, localCents)
+    // the single corpus pass: assignment + encode, fused
+    val codes = assigned.select(col("item_id"), col("cell"),
+      codesCol(books, col("cv")).as("codes"))
+    val cand = probeCells(q, localCents, cents, nProbe)
+      .select("query_id", "cell").join(codes, "cell")
+      .where(col("query_id") =!= col("item_id"))
+    val qlut = withLut(q, books).select("query_id", "lut")
+    cand.join(qlut, "query_id")
+      .withColumn("adc", adcScore(books))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adc").desc, col("item_id"))))
       .where(col("rank") <= k)
       .select("query_id", "item_id", "adc", "rank")
+  }
 
   /** (query_id, qv, item_id, cv) pairs sharing a probed cell — the shared
     * candidate stage of [[ivfSearch]]/[[ivfCandidates]]. */
@@ -221,36 +241,37 @@ object Ann {
     // collected rows — a count + two separate collects would execute that
     // corpus-sample job three times per search.
     val (localCents, rows) = localizeCentroids(centroids)
-    val nlist = rows.length.toLong
     val cents = rows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
     val assigned =
-      if (nlist <= literalCentroidMax) assignCells(c, cents)
+      if (rows.length <= literalCentroidMax) assignCells(c, cents)
       else assignCellsBig(c, localCents)
-    // per-query probe cells: descending (sim, cent_id) order — the SAME
-    // tie-break as cell assignment, so an item's assigned cell is always
-    // reachable by a query with the same vector (sim-tied centroids would
-    // otherwise send assignment to the max cent_id and the probes to the
-    // min). Small nlist: narrow expression, no window, no shuffle. Large
-    // nlist: broadcast join + per-query window (the window shuffles only
-    // query rows — the small dimension by design).
-    val probes =
-      if (nlist <= literalCentroidMax) {
-        q.withColumn("probe", explode(
-            slice(reverse(array_sort(array(centSimStructs(col("qv"), cents): _*))),
-              1, math.min(nProbe, cents.length))))
-          .select(col("query_id"), col("qv"), col("probe.cent_id").as("cell"))
-      } else {
-        q.crossJoin(broadcast(localCents))
-          .withColumn("sim", cosine_sim(col("qv"), col("centv")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("query_id")
-              .orderBy(struct(col("sim"), col("cent_id")).desc)))
-          .where(col("rn") <= nProbe)
-          .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
-      }
-    probes.join(assigned, "cell")
+    probeCells(q, localCents, cents, nProbe).join(assigned, "cell")
       .where(col("query_id") =!= col("item_id"))
   }
+
+  /** Per-query probe cells (query_id, qv, cell): descending (sim, cent_id)
+    * order — the SAME tie-break as cell assignment, so an item's assigned
+    * cell is always reachable by a query with the same vector (sim-tied
+    * centroids would otherwise send assignment to the max cent_id and the
+    * probes to the min). Small nlist: narrow expression, no window, no
+    * shuffle. Large nlist: broadcast join + per-query window (the window
+    * shuffles only query rows — the small dimension by design). */
+  private def probeCells(q: DataFrame, localCents: DataFrame,
+      cents: Array[(Any, Array[Float])], nProbe: Int): DataFrame =
+    if (cents.length <= literalCentroidMax) {
+      q.withColumn("probe", explode(
+          slice(reverse(array_sort(array(centSimStructs(col("qv"), cents): _*))),
+            1, math.min(nProbe, cents.length))))
+        .select(col("query_id"), col("qv"), col("probe.cent_id").as("cell"))
+    } else {
+      q.crossJoin(broadcast(localCents))
+        .withColumn("sim", cosine_sim(col("qv"), col("centv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(struct(col("sim"), col("cent_id")).desc)))
+        .where(col("rn") <= nProbe)
+        .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    }
 
   // --- product quantization (PQ / ADC) ---------------------------------
 
@@ -587,23 +608,49 @@ object Ann {
   }
 
   /**
-   * Residual IVFADC top-k — [[ivfCandidates]]'s coarse cell restriction
-   * composed with residual-domain ADC scoring: the FAISS `IndexIVFPQ`
-   * default, where [[ivfPqTopK]] is the raw-vector-codes variant. Same
-   * sandbox note as there: this re-derives (item_id, cell, codes) inside
-   * the plan; a production run persists that table once and joins it.
+   * Residual IVFADC top-k — the FAISS `IndexIVFPQ` default, where
+   * [[ivfPqTopK]] is the raw-vector-codes variant. The corpus is touched
+   * exactly ONCE per search: the same nearest-centroid pass yields the cell
+   * (the candidate join key) AND the residual codes, and the candidate join
+   * ships the m small codes directly — composing [[ivfCandidates]] with
+   * [[pqResidualScorePairs]] would run the nlist-way assignment scan over
+   * the full corpus twice. Scores match that composition exactly (same
+   * pairs, same per-(query, cell) LUT, same cross-cell bias subtraction).
+   * Sandbox note: this still derives (item_id, cell, codes) inside the
+   * plan; a production run persists that table once ([[pqEncode]]'s
+   * residual analogue) and joins it instead.
    */
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    // localize once: the coarse stage and the residual scorer each collect
-    // their centroid input, and a non-local centroid PLAN (a corpus-wide
-    // sample) must not execute twice per search — downstream collects then
-    // hit the parallelized nlist rows only
-    val (localCents, _) = localizeCentroids(centroids)
-    pqResidualScorePairs(
-      ivfCandidates(corpus, queries, localCents, idCol, vecCol, nProbe),
-      corpus, queries, localCents, codebooks, idCol, vecCol)
+    val books = collectBooks(codebooks)
+    requireDim(corpus, vecCol, books, "corpus")
+    requireDim(queries, vecCol, books, "query")
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // localize once: a non-local centroid PLAN (a corpus-wide sample) must
+    // not execute once per downstream consumer
+    val (localCents, rows) = localizeCentroids(centroids)
+    val cents = rows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    // the single corpus pass: cell assignment + residual encode, fused
+    val codes = residualFrame(c, localCents, rows.length.toLong)
+      .select(col("item_id"), col("cell"), codesCol(books, col("rv")).as("codes"))
+    val probes = probeCells(q, localCents, cents, nProbe)
+    val cand = probes.select("query_id", "cell").join(codes, "cell")
+      .where(col("query_id") =!= col("item_id"))
+    // per-(query, probed cell) residual LUT + the ||q - c||^2/2 bias that
+    // makes the emitted score comparable across cells (pqResidualScorePairs
+    // documents the shift identity)
+    val qres = probes
+      .join(broadcast(localCents.select(col("cent_id").as("cell"), col("centv"))),
+        "cell")
+      .select(col("query_id"), col("cell"),
+        vec_sub(col("qv"), col("centv")).as("qv"))
+    val luts = withLut(qres, books)
+      .withColumn("qn", dot_product(col("qv"), col("qv")) / 2)
+      .select("query_id", "cell", "lut", "qn")
+    cand.join(luts, Seq("query_id", "cell"))
+      .withColumn("adc", adcScore(books) - col("qn"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adc").desc, col("item_id"))))

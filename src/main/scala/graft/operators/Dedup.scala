@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** The pair operators' shared persist gate: cache the multiply-consumed
+    * feature frame on bounded corpora, skip at web scale (see the
+    * `persistFeatures` doc on [[minhashLshPairs]]). One definition so the
+    * StorageLevel cannot silently diverge across the family. */
+  private def maybePersist(df: DataFrame, on: Boolean): DataFrame =
+    if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /**
    * Exact dedup by full-text hash: one shuffle (hash groupBy via window min),
    * keeps the smallest id per identical text.
@@ -60,11 +68,8 @@ object Dedup {
     *        [[embeddingNearDupPairs]], [[ngramJaccardPairs]]. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig, persistFeatures: Boolean = true): DataFrame = {
-    val featBase = textFeatures(docs, idCol, textCol, cfg)
-    val feat =
-      if (persistFeatures)
-        featBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else featBase
+    val feat = maybePersist(textFeatures(docs, idCol, textCol, cfg),
+      persistFeatures)
     val buckets = CandidateGen.explodeBands(
       feat.where(size(col("shingles")) > 0), "id", "band_keys")
     val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize)
@@ -84,12 +89,9 @@ object Dedup {
     * the count and takes the conservative scale-safe scheme. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig, persistFeatures: Boolean = true): DataFrame = {
-    val featBase = textFeatures(docs, idCol, textCol, cfg)
-      .select("id", "simhash")
-    val feat =
-      if (persistFeatures)
-        featBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else featBase
+    val feat = maybePersist(
+      textFeatures(docs, idCol, textCol, cfg).select("id", "simhash"),
+      persistFeatures)
     val nRows = if (persistFeatures) feat.count() else 0L
     val buckets = CandidateGen.simhashChunkBuckets(
       feat, "id", "simhash", cfg.hammingMax, nRows)
@@ -140,10 +142,7 @@ object Dedup {
         array_sort(array_distinct(
           shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed))).as("sh"))
       .where(size(col("sh")) > 0)
-    val feat =
-      if (persistFeatures)
-        featBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else featBase
+    val feat = maybePersist(featBase, persistFeatures)
     // EPS guards the exact-in-real-arithmetic thresholds against double
     // rounding: e.g. 100 * 0.07 = 7.000000000000001, whose un-guarded ceil
     // (8, not 7) would shorten the prefix / tighten the filters and drop a
@@ -256,10 +255,7 @@ object Dedup {
     require(lcsCap >= minLen, s"lcsCap($lcsCap) below minLen($minLen) can never verify a pair")
     val w = minLen - k + 1
     val baseDf = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val base =
-      if (persistFeatures)
-        baseDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else baseDf
+    val base = maybePersist(baseDf, persistFeatures)
     val buckets = base.select(col("id"),
       explode(winnow_anchors(col("text"), k, w, seed)).as("key"))
     val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize)
@@ -278,10 +274,7 @@ object Dedup {
       seed: Long = 42L, maxBucketSize: Int = 4096,
       persistFeatures: Boolean = true): DataFrame = {
     val baseDf = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val base =
-      if (persistFeatures)
-        baseDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else baseDf
+    val base = maybePersist(baseDf, persistFeatures)
     val buckets = CandidateGen.srpBuckets(base, "id", "vec", srpBits, tables, seed)
     val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize)
     val fa = base.select(col("id").as("a"), col("vec").as("va"))

@@ -1,10 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.{DecimalType, NumericType}
 
 /**
  * Distributed globally-ordered scans — the scale-safe replacement for
@@ -12,18 +11,58 @@ import org.apache.spark.storage.StorageLevel
  * input through ONE task; the round-1 `WindowExec: No Partition Defined`
  * warnings all came from that pattern).
  *
- * Shape: range-repartition on the order column (equal keys always land in
- * one partition — Spark's RangePartitioner assigns by value comparison), run
- * the window PER PARTITION in parallel, then stitch partitions together with
- * per-partition boundary values. The boundary set has at most
- * `spark.sql.shuffle.partitions` rows — a config-bounded scalar-scale
- * driver action, independent of data size — so collecting it is the same
- * class of driver action as a global `count()`.
+ * Shape: split the order-column's VALUE range into ~`spark.sql.shuffle
+ * .partitions` buckets at approximate quantiles (one sketch pass — the
+ * sketch never collects data rows), tag every row with its bucket via a
+ * pure literal when-chain, run the window PER BUCKET in parallel, then
+ * stitch buckets together with per-bucket boundary aggregates joined back
+ * broadcast-side. The boundary frames have at most `buckets` rows — a
+ * config-bounded size independent of data scale.
  *
- * Works on any input size: 10^12 rows cost two parallel passes + one
- * O(partitions) collect, vs. the single-task O(n) sort the naive window pays.
+ * Because the bucket id is a deterministic function of the ROW VALUE (not
+ * of physical partition placement), every branch of the plan that
+ * recomputes the input agrees on bucket membership by construction — no
+ * cache, no collected offsets, no dependence on exchange reuse. (The
+ * previous design keyed the stitch on `spark_partition_id()` after a
+ * `repartitionByRange`, which is only consistent across the two passes if
+ * the exact same shuffle is reused — so it had to persist the full frame
+ * and leaked a MEMORY_AND_DISK entry per call; at 100 TB that cache IS the
+ * bottleneck.)
+ *
+ * Order column must be numeric (all engine callers order on scores, counts
+ * or ids). Works on any input size: 10^12 rows cost one sketch pass + two
+ * parallel passes, vs. the single-task O(n) sort the naive window pays.
  */
 object OrderedScan {
+
+  /** Order-preserving bucket id (0..bounds.length) for `orderCol`: index of
+    * the first bound >= the value, as a literal when-chain — a pure per-row
+    * expression, so re-executions of any plan branch agree on membership.
+    * Monotone even when the comparison widens a long to double: a
+    * non-strict monotone cast keeps v1 <= v2 => bucket(v1) <= bucket(v2),
+    * and the within-bucket window still sorts on the original column. */
+  private def bucketCol(orderCol: String, bounds: Array[Double]): Column =
+    bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), acc) => when(col(orderCol) <= lit(b), lit(i)).otherwise(acc)
+    }
+
+  /** Approximate-quantile bucket bounds for ~`nPart` equal-occupancy
+    * buckets — one deterministic sketch job at call time (the sketch result
+    * is a <= nPart-1 element array of doubles, never data rows). Callers'
+    * tie contract (one row per distinct order value) keeps occupancy sane:
+    * a heavy tie cannot straddle a bound because equal values share a
+    * bucket by construction. */
+  private def rangeBounds(df: DataFrame, orderCol: String, nPart: Int): Array[Double] = {
+    require(df.schema(orderCol).dataType.isInstanceOf[NumericType],
+      s"OrderedScan: order column '$orderCol' must be numeric, " +
+        s"got ${df.schema(orderCol).dataType.simpleString}")
+    if (nPart <= 1) Array.empty
+    else df.stat.approxQuantile(orderCol,
+      (1 until nPart).map(_.toDouble / nPart).toArray, 0.001).distinct.sorted
+  }
+
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   /**
    * Cumulative sums over a global ordering, fully distributed.
@@ -31,89 +70,74 @@ object OrderedScan {
    * For each `(valueCol -> outCol)` adds `outCol` = sum of `valueCol` over
    * all rows with `orderCol` <= this row's (rows-between semantics within
    * ties: callers must pre-aggregate tie groups to one row per distinct
-   * `orderCol` — the same contract the reference sweep has).
+   * `orderCol` — the same contract the reference sweep has). Earlier-bucket
+   * offsets accumulate in decimal, so the stitched result does not depend
+   * on float summation order across buckets.
    */
   def cumSums(df: DataFrame, orderCol: String,
       sums: Seq[(String, String)]): DataFrame = {
-    val spark = df.sparkSession
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = df.repartitionByRange(nPart, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bounds = rangeBounds(df, orderCol, shufflePartitions(df))
+    val bucketed = df.withColumn("__bk", bucketCol(orderCol, bounds))
 
-    // per-partition totals: <= nPart rows, safe to bring to the driver
-    val totalAggs = sums.map { case (v, _) => sum(col(v)).as(s"__t_$v") }
-    val totals = parted.groupBy("__pid").agg(totalAggs.head, totalAggs.tail: _*)
-      .collect()
-      .map(r => r.getInt(0) -> sums.indices.map(i =>
-        Option(r.get(i + 1)).map(x => BigDecimal(x.toString)).getOrElse(BigDecimal(0))))
-      .sortBy(_._1)
-
-    // running offset per partition = sum of all earlier partitions' totals
-    var acc = sums.map(_ => BigDecimal(0))
-    val offsetRows = totals.map { case (pid, ts) =>
-      val row = Row.fromSeq(pid +: acc.map(_.toDouble))
-      acc = acc.zip(ts).map { case (a, t) => a + t }
-      row
-    }
-    val offSchema = StructType(StructField("__pid", IntegerType, nullable = false) +:
-      sums.map { case (v, _) =>
-        StructField(s"__off_$v", org.apache.spark.sql.types.DoubleType, nullable = false)
-      })
-    val offsets = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsetRows.toSeq, 1), offSchema)
-
-    val w = Window.partitionBy("__pid").orderBy(col(orderCol))
+    // per-bucket running sums — the window shuffles on the bucket key and
+    // sorts each bucket in parallel
+    val w = Window.partitionBy("__bk").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = sums.foldLeft(parted) { case (d, (v, out)) =>
+    val withLocal = sums.foldLeft(bucketed) { case (d, (v, out)) =>
       d.withColumn(out, sum(col(v)).over(w))
     }
-    val joined = withLocal.join(broadcast(offsets), "__pid")
-    val stitched = sums.foldLeft(joined) { case (d, (v, out)) =>
-      d.withColumn(out, col(out) + col(s"__off_$v"))
+
+    // per-bucket totals (<= buckets rows) -> earlier-bucket offsets via a
+    // triangular self-join over that TINY frame — no driver action, no cache
+    val totalAggs = sums.map { case (v, _) =>
+      sum(col(v).cast(DecimalType(38, 9))).as(s"__t_$v")
     }
-    stitched.drop("__pid" +: sums.map { case (v, _) => s"__off_$v" }: _*)
+    val totals = bucketed.groupBy(col("__bk")).agg(totalAggs.head, totalAggs.tail: _*)
+    val offAggs = sums.map { case (v, _) =>
+      coalesce(sum(col(s"b.__t_$v")), lit(0).cast(DecimalType(38, 9)))
+        .cast("double").as(s"__off_$v")
+    }
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__bk") < col("a.__bk"), "left")
+      .groupBy(col("a.__bk"))
+      .agg(offAggs.head, offAggs.tail: _*)
+
+    val stitched = withLocal.join(broadcast(offsets), "__bk")
+    sums.foldLeft(stitched) { case (d, (v, out)) =>
+      d.withColumn(out, col(out) + col(s"__off_$v"))
+    }.drop("__bk" +: sums.map { case (v, _) => s"__off_$v" }: _*)
   }
 
   /**
    * Cyclic global successor: adds `outCol` = the next distinct-row value of
    * `orderCol` in ascending order; the globally-largest row wraps around to
-   * the globally-smallest value. Distributed via the same range-partition +
-   * per-partition `lead` + boundary-stitch shape as [[cumSums]].
+   * the globally-smallest value. Distributed via the same value-bucket +
+   * per-bucket `lead` + boundary-stitch shape as [[cumSums]]: a bucket's
+   * last row leads into the minimum of the next non-empty bucket (buckets
+   * are value-ordered, so that is the min over all later buckets), and the
+   * wraparound target is the global minimum — both <= buckets-row frames.
    */
   def cyclicLead(df: DataFrame, orderCol: String, outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = df.repartitionByRange(nPart, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bounds = rangeBounds(df, orderCol, shufflePartitions(df))
+    val bucketed = df.withColumn("__bk", bucketCol(orderCol, bounds))
 
-    // per-partition minima (<= nPart rows): partition i's last row leads
-    // into the min of the next non-empty partition; the last wraps to the
-    // global min
-    val minsRaw = parted.groupBy("__pid").agg(min(col(orderCol)).as("__mn")).collect()
-    if (minsRaw.isEmpty) return df.withColumn(outCol, lit(null))
-    val mins = minsRaw.map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
-    val globalMin = mins.head._2
-    val nextOf: Map[Int, Any] = mins.indices.map { i =>
-      val next = if (i + 1 < mins.length) mins(i + 1)._2 else globalMin
-      mins(i)._1 -> next
-    }.toMap
+    val w = Window.partitionBy("__bk").orderBy(col(orderCol))
+    val withLead = bucketed.withColumn(outCol, lead(col(orderCol), 1).over(w))
 
-    val orderField = df.schema(orderCol)
-    val nextSchema = StructType(Seq(
-      StructField("__pid", IntegerType, nullable = false),
-      StructField("__next", orderField.dataType, nullable = true)))
-    val nextDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        nextOf.toSeq.map { case (p, v) => Row(p, v) }, 1), nextSchema)
+    val mins = bucketed.groupBy(col("__bk")).agg(min(col(orderCol)).as("__mn"))
+    val nexts = mins.as("a")
+      .join(mins.as("b"), col("b.__bk") > col("a.__bk"), "left")
+      .groupBy(col("a.__bk"))
+      .agg(min(col("b.__mn")).as("__next"))
+    // wraparound folded in at the tiny-frame level (1-row cross join over
+    // <= buckets rows), so the data-sized side sees one broadcast hash join
+    val nextsWithWrap = nexts
+      .crossJoin(broadcast(mins.agg(min(col("__mn")).as("__gmn"))))
+      .select(col("__bk"), coalesce(col("__next"), col("__gmn")).as("__next"))
 
-    val w = Window.partitionBy("__pid").orderBy(col(orderCol))
-    parted
-      .withColumn(outCol, lead(col(orderCol), 1).over(w))
-      .join(broadcast(nextDf), "__pid")
+    withLead.join(broadcast(nextsWithWrap), "__bk")
       .withColumn(outCol, coalesce(col(outCol), col("__next")))
-      .drop("__pid", "__next")
+      .drop("__bk", "__next")
   }
 
   /** Convenience: single cumulative sum. */

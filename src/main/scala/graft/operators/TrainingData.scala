@@ -55,7 +55,7 @@ object TrainingData {
     val reps = x.groupBy("c").agg(min("id").as("rep"))
     // cyclic successor of each cluster's rep in global rep order — at web
     // scale cluster count ~ row count, so this runs through
-    // OrderedScan.cyclicLead (range-partitioned lead + boundary stitch),
+    // OrderedScan.cyclicLead (value-bucketed lead + boundary stitch),
     // never an unpartitioned global window
     val nextRep = OrderedScan.cyclicLead(reps, "rep", "neg")
       .select(col("c").as("cluster_id"), col("neg"))

@@ -59,4 +59,18 @@ class MainSpec extends SparkSpec {
       Main.configOf(Map("lcsMin" -> "64", "lcsCap" -> "32"))
     }
   }
+
+  test("parse rejects a flag where a value is expected") {
+    val ok = Main.parse(List("--input", "/a", "--output", "/b",
+      "--checkpoint", "/c", "--run-id", "x"), Main.Args())
+    assert(ok.input == "/a" && ok.checkpoint.contains("/c") && ok.runId == "x")
+    // a following flag must read as a MISSING value, not as the value itself
+    val e = intercept[IllegalArgumentException] {
+      Main.parse(List("--input", "/a", "--checkpoint", "--run-id", "x"), Main.Args())
+    }
+    assert(e.getMessage.contains("missing value for --checkpoint"))
+    intercept[IllegalArgumentException] {
+      Main.parse(List("--input"), Main.Args())
+    }
+  }
 }

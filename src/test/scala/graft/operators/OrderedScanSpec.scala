@@ -50,4 +50,23 @@ class OrderedScanSpec extends SparkSpec {
       .select("rep", "neg").as[(Long, Long)].collect()
     assert(got.toSeq == Seq((9L, 9L)))
   }
+
+  test("ordered scans leave no lingering cached RDDs") {
+    // the value-bucketed stitch is consistency-by-construction (bucket id is
+    // a pure function of the row value), so no pass needs a persisted frame
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = (1 to 300).map(i => (i.toDouble, (i % 5).toLong)).toDF("s", "v")
+    OrderedScan.cumSum(df, "s", "v", "c").count()
+    OrderedScan.cyclicLead((1 to 50).map(_.toLong * 3).toDF("rep"), "rep", "neg").count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"cache entries leaked: $leaked")
+  }
+
+  test("cumSums rejects a non-numeric order column") {
+    val df = Seq(("a", 1L)).toDF("s", "v")
+    val e = intercept[IllegalArgumentException] {
+      OrderedScan.cumSum(df, "s", "v", "c")
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
 }
