@@ -720,6 +720,26 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "q53_cluster_agreement" -> ((s, d) => {
+      // Partition-level agreement (Metrics.clusterAgreement: ARI + NMI)
+      // between two portable assignment rules over a copy-augmented corpus:
+      // A groups exact text (one pair-cluster per doc + its copy), B groups
+      // a 12-char text prefix — coarser, since prefixes collide across
+      // distinct docs — so both scores land strictly inside (0, 1) and the
+      // oracle recomputes them from first principles. Labels are the raw
+      // grouping keys: agreement metrics see only co-membership, so no
+      // engine-specific hashing is involved.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val aAsg = corpus.select(col("doc_id").as("id"), col("text").as("c"))
+      val bAsg = corpus.select(col("doc_id").as("id"),
+        substring(col("text"), 1, 12).as("c"))
+      Metrics.clusterAgreement(aAsg, bAsg, "id", "c")
+        .select(col("n"), col("clusters_a"), col("clusters_b"),
+          round(col("ari"), 6).as("ari"), round(col("nmi"), 6).as("nmi"))
+    }),
+
     "q51_long_match_pairs" -> ((s, d) => {
       // winnowed-anchor exact long-match (Dedup.longMatchPairs — the
       // north-rule suffix-array substring pass, distributed): plant
@@ -1161,6 +1181,35 @@ object SparkEntry {
     "q52_ivfpq_residual_guarantee" ->
       """SELECT vec_id + 100000 AS query_id, CAST(1 AS BOOLEAN) AS hit
          FROM embeddings WHERE vec_id < 500 ORDER BY query_id""",
+
+    "q53_cluster_agreement" ->
+      // ARI from first principles (pair counting over the contingency table;
+      // all counts are integers in doubles, so the statistic is exact in both
+      // engines); NMI's entropy sums are floats — rounded to 6 on both sides
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents),
+         asg AS (SELECT doc_id AS id, text AS ca,
+             substr(text, 1, 12) AS cb FROM corpus),
+         cont AS (SELECT ca, cb, CAST(count(*) AS DOUBLE) AS nij
+           FROM asg GROUP BY 1, 2),
+         am AS (SELECT ca, sum(nij) AS ai FROM cont GROUP BY 1),
+         bm AS (SELECT cb, sum(nij) AS bj FROM cont GROUP BY 1),
+         nrow AS (SELECT sum(nij) AS n, sum(nij*(nij-1)/2) AS sumij FROM cont),
+         arow AS (SELECT sum(ai*(ai-1)/2) AS suma, count(*) AS clusters_a FROM am),
+         brow AS (SELECT sum(bj*(bj-1)/2) AS sumb, count(*) AS clusters_b FROM bm),
+         mirow AS (SELECT sum(nij / n * ln(n * nij / (ai * bj))) AS mi
+           FROM cont JOIN am USING (ca) JOIN bm USING (cb), nrow),
+         harow AS (SELECT -sum(ai / n * ln(ai / n)) AS ha FROM am, nrow),
+         hbrow AS (SELECT -sum(bj / n * ln(bj / n)) AS hb FROM bm, nrow),
+         x AS (SELECT *,
+             suma * sumb / (n * (n - 1) / 2) AS expected,
+             (suma + sumb) / 2 AS maxi
+           FROM nrow, arow, brow, mirow, harow, hbrow)
+         SELECT CAST(n AS BIGINT) AS n, clusters_a, clusters_b,
+           round((sumij - expected) / (maxi - expected), 6) AS ari,
+           round(mi / sqrt(ha * hb), 6) AS nmi
+         FROM x""",
 
     "q51_long_match_pairs" ->
       // every planted (orig, junk+orig+junk) pair must fire, with the

@@ -56,6 +56,76 @@ object Metrics {
       .toDF("recall", "precision", "oracle_pairs", "predicted_pairs", "matched_pairs")
   }
 
+  /**
+   * Cluster-agreement between two assignments of the same id universe —
+   * Adjusted Rand Index (pair-counting, chance-corrected: Hubert & Arabie
+   * 1985) and Normalized Mutual Information (sqrt normalization), fully
+   * distributed: one equi-join on id, a contingency groupBy, two marginal
+   * groupBys, and 1-row combinations — no driver collect, no windows, so the
+   * plan holds at any assignment-table size. The partition-level counterpart
+   * of [[pairRecallPrecision]]: recall/precision score a predicted pair SET;
+   * ARI/NMI score whole partitions against each other — the standard
+   * "matches the reference's cluster assignments" measures. Cluster LABELS
+   * are irrelevant (any equatable type); only co-membership matters.
+   *
+   * ARI is exact: every pair/marginal count is an integer carried in a
+   * double (exact to 2^53), so both the statistic and a replicated oracle
+   * compute bit-identical values. NMI's entropy sums are floating-point
+   * (last-ulp summation-order drift — round before hashing).
+   *
+   * Degenerate-edge conventions (sklearn-compatible): ARI = 1 when the
+   * chance-corrected denominator is 0 (both partitions pair-wise trivial and
+   * identical); NMI = 1 when both entropies are 0, 0 when exactly one is.
+   *
+   * @param a (idCol, clusterCol) assignment; inner-joined with `b` on id —
+   *          ids outside the intersection are ignored (align upstream)
+   * @return one row: n, clusters_a, clusters_b, ari, nmi
+   */
+  def clusterAgreement(a: DataFrame, b: DataFrame, idCol: String,
+      clusterCol: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val pa = a.select(col(idCol).as("id"), col(clusterCol).as("ca"))
+    val pb = b.select(col(idCol).as("id"), col(clusterCol).as("cb"))
+    val cont = pa.join(pb, "id")
+      .groupBy("ca", "cb").agg(count(lit(1)).cast("double").as("nij"))
+    val am = cont.groupBy("ca").agg(sum("nij").as("ai"))
+    val bm = cont.groupBy("cb").agg(sum("nij").as("bj"))
+    def c2(x: Column): Column = x * (x - 1) / 2
+    val nRow = cont.agg(coalesce(sum("nij"), lit(0.0)).as("n"),
+      coalesce(sum(c2(col("nij"))), lit(0.0)).as("sumIJ"))
+    val aRow = am.agg(coalesce(sum(c2(col("ai"))), lit(0.0)).as("sumA"),
+      count(lit(1)).as("clusters_a"))
+    val bRow = bm.agg(coalesce(sum(c2(col("bj"))), lit(0.0)).as("sumB"),
+      count(lit(1)).as("clusters_b"))
+    // the MI/entropy terms need n alongside every row: n rides a broadcast
+    // 1-row frame (all inputs here are strictly positive, so log is safe)
+    val miRow = cont.join(am, "ca").join(bm, "cb").crossJoin(broadcast(nRow))
+      .agg(coalesce(sum(col("nij") / col("n") *
+        log(col("n") * col("nij") / (col("ai") * col("bj")))), lit(0.0)).as("mi"))
+    val haRow = am.crossJoin(broadcast(nRow))
+      .agg(coalesce(-sum(col("ai") / col("n") * log(col("ai") / col("n"))),
+        lit(0.0)).as("ha"))
+    val hbRow = bm.crossJoin(broadcast(nRow))
+      .agg(coalesce(-sum(col("bj") / col("n") * log(col("bj") / col("n"))),
+        lit(0.0)).as("hb"))
+    nRow.crossJoin(aRow).crossJoin(bRow)
+      .crossJoin(miRow).crossJoin(haRow).crossJoin(hbRow)
+      .withColumn("expected",
+        when(col("n") < 2, lit(0.0))
+          .otherwise(col("sumA") * col("sumB") / c2(col("n"))))
+      .withColumn("maxI", (col("sumA") + col("sumB")) / 2)
+      .withColumn("ari",
+        when(col("maxI") === col("expected"), lit(1.0))
+          .otherwise((col("sumIJ") - col("expected")) /
+            (col("maxI") - col("expected"))))
+      .withColumn("nmi",
+        when(col("ha") === 0 && col("hb") === 0, lit(1.0))
+          .when(col("ha") === 0 || col("hb") === 0, lit(0.0))
+          .otherwise(col("mi") / sqrt(col("ha") * col("hb"))))
+      .select(col("n").cast("long").as("n"),
+        col("clusters_a"), col("clusters_b"), col("ari"), col("nmi"))
+  }
+
   /** Cluster-level pair recall: pairs implied by co-membership in predicted
     * clusters vs pairs implied by truth clusters (assignment-level parity
     * with the reference's cluster semantics). */

@@ -103,6 +103,43 @@ class MetricsSpec extends SparkSpec {
       empty, "score", "is_new", "is_hit", beta = 1.0).count() == 0)
   }
 
+  test("clusterAgreement: hand-computed ARI and NMI") {
+    // a = {1,2},{3,4}; b = {1,2},{3},{4}: contingency (a1,b1)=2, (a2,b2)=1,
+    // (a2,b3)=1 -> sumIJ=1, sumA=2, sumB=1, C2n=6
+    //   ARI = (1 - 2*1/6) / ((2+1)/2 - 2*1/6) = (2/3)/(7/6) = 4/7
+    //   MI  = .5 ln2 + .25 ln2 + .25 ln2 = ln2; Ha = ln2; Hb = 1.5 ln2
+    //   NMI = ln2 / sqrt(1.5 ln2^2) = 1/sqrt(1.5)
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y")).toDF("id", "c")
+    val b = Seq((1L, "p"), (2L, "p"), (3L, "q"), (4L, "r")).toDF("id", "c")
+    val r = Metrics.clusterAgreement(a, b, "id", "c").head()
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Long]("clusters_a") == 2 && r.getAs[Long]("clusters_b") == 3)
+    assert(math.abs(r.getAs[Double]("ari") - 4.0 / 7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("nmi") - 1.0 / math.sqrt(1.5)) < 1e-12)
+  }
+
+  test("clusterAgreement: identical partitions score 1 under any labels") {
+    val a = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L)).toDF("id", "c")
+    val b = Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, 5L)).toDF("id", "c")
+    val r = Metrics.clusterAgreement(a, b, "id", "c").head()
+    assert(math.abs(r.getAs[Double]("ari") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("nmi") - 1.0) < 1e-12)
+  }
+
+  test("clusterAgreement degenerate edges follow the documented convention") {
+    // both trivial (single cluster each): ARI = NMI = 1
+    val one = Seq((1L, 0L), (2L, 0L)).toDF("id", "c")
+    val r1 = Metrics.clusterAgreement(one, one, "id", "c").head()
+    assert(r1.getAs[Double]("ari") == 1.0 && r1.getAs[Double]("nmi") == 1.0)
+    // one trivial, one not: NMI = 0
+    val split = Seq((1L, 1L), (2L, 2L)).toDF("id", "c")
+    val r2 = Metrics.clusterAgreement(one, split, "id", "c").head()
+    assert(r2.getAs[Double]("nmi") == 0.0)
+    // empty intersection
+    val r3 = Metrics.clusterAgreement(one.limit(0), split, "id", "c").head()
+    assert(r3.getAs[Long]("n") == 0)
+  }
+
   test("clusterPairs emits all intra-cluster pairs") {
     val asg = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 2L)).toDF("id", "cluster")
     val pairs = Metrics.clusterPairs(asg, "id", "cluster")
