@@ -145,10 +145,15 @@ object Bench {
     // cpu-s on this input show no sustained-load decay at <= 4 threads (wall
     // still varies with steal windows — hence the min-leg estimator)
     val benchBases = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASES", "100000").toLong
-    // validated BEFORE the (long) query suite runs: a bad probe config must
-    // fail in the first second, not after 40 minutes of phase 1
+    // the ENTIRE probe config parses and validates BEFORE the (long) query
+    // suite runs: a bad env var must fail in the first second, not after 40
+    // minutes of phase 1
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_PROBE_PAIRS", "5").toInt
     require(nPairs >= 1, s"SPARK_GRAFT_PROBE_PAIRS must be >= 1, got $nPairs")
+    val loCpus = sys.env.getOrElse("SPARK_GRAFT_PROBE_LO", "1").toInt
+    val hiCpus = sys.env.getOrElse("SPARK_GRAFT_PROBE_HI", "4").toInt
+    require(loCpus >= 1 && hiCpus > loCpus,
+      s"probe legs must satisfy 1 <= lo($loCpus) < hi($hiCpus)")
     val smallDir = "/root/testdata/sf0.001"
     val seed = 42L
 
@@ -192,10 +197,6 @@ object Bench {
     // order alternates across pairs so slow drift cannot bias one side.
     // Legs are local[1] (N) vs local[4] (4N) — see the class doc for the
     // three measured guest limits that rule out 8+-thread legs.
-    val loCpus = sys.env.getOrElse("SPARK_GRAFT_PROBE_LO", "1").toInt
-    val hiCpus = sys.env.getOrElse("SPARK_GRAFT_PROBE_HI", "4").toInt
-    require(loCpus >= 1 && hiCpus > loCpus,
-      s"probe legs must satisfy 1 <= lo($loCpus) < hi($hiCpus)")
     val warm = probeSession(8)
     runPipeline(warm, inputDir) // untimed warm-up: JIT + page cache
     warm.stop()

@@ -728,8 +728,11 @@ object SparkEntry {
       // distinct docs — so both scores land strictly inside (0, 1) and the
       // oracle recomputes them from first principles. Labels are the raw
       // grouping keys: agreement metrics see only co-membership, so no
-      // engine-specific hashing is involved.
+      // engine-specific hashing is involved. doc_id < 100000 keeps the copy
+      // ids disjoint from original ids at EVERY scale factor (a collision
+      // would fan the engine's id join out where the oracle reads row-wise).
       val docs = t(s, d, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 100000)
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
       val aAsg = corpus.select(col("doc_id").as("id"), col("text").as("c"))
@@ -1186,9 +1189,10 @@ object SparkEntry {
       // ARI from first principles (pair counting over the contingency table;
       // all counts are integers in doubles, so the statistic is exact in both
       // engines); NMI's entropy sums are floats — rounded to 6 on both sides
-      """WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text FROM documents),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100000),
+         corpus AS (
+           SELECT doc_id, text FROM d
+           UNION ALL SELECT doc_id + 100000, text FROM d),
          asg AS (SELECT doc_id AS id, text AS ca,
              substr(text, 1, 12) AS cb FROM corpus),
          cont AS (SELECT ca, cb, CAST(count(*) AS DOUBLE) AS nij

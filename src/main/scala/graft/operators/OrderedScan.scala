@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, NumericType}
+import org.apache.spark.sql.types.NumericType
 
 /**
  * Distributed globally-ordered scans — the scale-safe replacement for
@@ -35,16 +35,30 @@ import org.apache.spark.sql.types.{DecimalType, NumericType}
  */
 object OrderedScan {
 
-  /** Order-preserving bucket id (0..bounds.length) for `orderCol`: index of
-    * the first bound >= the value, as a literal when-chain — a pure per-row
-    * expression, so re-executions of any plan branch agree on membership.
-    * Monotone even when the comparison widens a long to double: a
-    * non-strict monotone cast keeps v1 <= v2 => bucket(v1) <= bucket(v2),
-    * and the within-bucket window still sorts on the original column. */
-  private def bucketCol(orderCol: String, bounds: Array[Double]): Column =
-    bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
-      case ((b, i), acc) => when(col(orderCol) <= lit(b), lit(i)).otherwise(acc)
-    }
+  /** Order-preserving bucket id (-1..bounds.length) for `orderCol`: index of
+    * the first bound >= the value (bounds.length past the last; NULL keys
+    * get bucket -1, matching their nulls-first sort position so the stitch
+    * stays aligned with the window order). A pure per-row expression, so
+    * re-executions of any plan branch agree on membership; built as a
+    * BALANCED binary-search tree of whens — log2(buckets) comparisons per
+    * row and log-depth Catalyst nesting, where a linear when-chain would
+    * evaluate O(buckets) branches per row and nest that deep (stack-hostile
+    * past a few thousand shuffle partitions). Monotone even when the
+    * comparison widens a long to double: a non-strict monotone cast keeps
+    * v1 <= v2 => bucket(v1) <= bucket(v2), and the within-bucket window
+    * still sorts on the original column. */
+  private def bucketCol(orderCol: String, bounds: Array[Double]): Column = {
+    // smallest i in [lo, hi] with value <= bounds(i); leaf hi == bounds.length
+    // is the catch-all last bucket
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(col(orderCol) <= lit(bounds(mid)), search(lo, mid))
+          .otherwise(search(mid + 1, hi))
+      }
+    when(col(orderCol).isNull, lit(-1)).otherwise(search(0, bounds.length))
+  }
 
   /** Approximate-quantile bucket bounds for ~`nPart` equal-occupancy
     * buckets — one deterministic sketch job at call time (the sketch result
@@ -70,9 +84,10 @@ object OrderedScan {
    * For each `(valueCol -> outCol)` adds `outCol` = sum of `valueCol` over
    * all rows with `orderCol` <= this row's (rows-between semantics within
    * ties: callers must pre-aggregate tie groups to one row per distinct
-   * `orderCol` — the same contract the reference sweep has). Earlier-bucket
-   * offsets accumulate in decimal, so the stitched result does not depend
-   * on float summation order across buckets.
+   * `orderCol` — the same contract the reference sweep has). Integer-valued
+   * doubles (counts — every engine caller) sum exactly at any magnitude up
+   * to 2^53; general float values carry the standard distributed-sum
+   * last-ulp order drift, here and in any Spark `sum`.
    */
   def cumSums(df: DataFrame, orderCol: String,
       sums: Seq[(String, String)]): DataFrame = {
@@ -90,12 +105,11 @@ object OrderedScan {
     // per-bucket totals (<= buckets rows) -> earlier-bucket offsets via a
     // triangular self-join over that TINY frame — no driver action, no cache
     val totalAggs = sums.map { case (v, _) =>
-      sum(col(v).cast(DecimalType(38, 9))).as(s"__t_$v")
+      sum(col(v)).cast("double").as(s"__t_$v")
     }
     val totals = bucketed.groupBy(col("__bk")).agg(totalAggs.head, totalAggs.tail: _*)
     val offAggs = sums.map { case (v, _) =>
-      coalesce(sum(col(s"b.__t_$v")), lit(0).cast(DecimalType(38, 9)))
-        .cast("double").as(s"__off_$v")
+      coalesce(sum(col(s"b.__t_$v")), lit(0.0)).as(s"__off_$v")
     }
     val offsets = totals.as("a")
       .join(totals.as("b"), col("b.__bk") < col("a.__bk"), "left")

@@ -62,6 +62,15 @@ class OrderedScanSpec extends SparkSpec {
     assert(leaked.isEmpty, s"cache entries leaked: $leaked")
   }
 
+  test("cumSums places a null order key first (nulls-first window parity)") {
+    val df = Seq((Some(1.0), 2L), (None, 5L), (Some(3.0), 1L)).toDF("s", "v")
+    val got = OrderedScan.cumSum(df, "s", "v", "c")
+      .select("v", "c").as[(Long, Double)].collect().toMap
+    assert(got(5L) == 5.0, "the null-key row must carry no earlier offset")
+    assert(got(2L) == 7.0 && got(1L) == 8.0,
+      "non-null rows must include the null-key row in their prefix")
+  }
+
   test("cumSums rejects a non-numeric order column") {
     val df = Seq(("a", 1L)).toDF("s", "v")
     val e = intercept[IllegalArgumentException] {
