@@ -90,6 +90,15 @@ package object functions {
   def token_count(c: Column): Column =
     F.size(F.array_remove(F.split(c, " "), ""))
 
+  /** BPE-ish subword token count: one codegen'd regexp_count of the GPT-2
+    * pre-tokenizer's class structure — letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one piece (the merges table is the
+    * trained half BPE adds; the class split alone already tracks a trained
+    * tokenizer's counts far closer than whitespace splitting on punctuation-
+    * dense / code / URL text, where token_count undercounts badly). */
+  def subword_count(c: Column): Column =
+    F.regexp_count(c, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+
   private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
 

@@ -101,4 +101,17 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getString(2) == "en")
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
+
+  test("subword_count: BPE-ish class split vs whitespace count") {
+    // "don't stop!!" -> don | ' | t | stop | ! | ! = 6 pieces, 2 ws tokens;
+    // "x2=y_3;" -> x | 2 | = | y | _ | 3 | ; = 7 pieces, 1 ws token
+    val r = Seq(("don't stop!!", "x2=y_3;", ""))
+      .toDF("a", "b", "c")
+      .select(subword_count($"a").as("sa"), token_count($"a").as("ta"),
+        subword_count($"b").as("sb"), subword_count($"c").as("sc"))
+      .head()
+    assert(r.getInt(0) == 6 && r.getInt(1) == 2)
+    assert(r.getInt(2) == 7)
+    assert(r.getInt(3) == 0)
+  }
 }
