@@ -853,7 +853,7 @@ object SparkEntry {
     "q13_token_stats" ->
       """SELECT doc_id,
          len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_tokens,
-         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS n_subwords,
          length(text) AS text_chars
          FROM documents ORDER BY doc_id""",
 

@@ -95,9 +95,12 @@ package object functions {
     * non-alphanumeric marks each count as one piece (the merges table is the
     * trained half BPE adds; the class split alone already tracks a trained
     * tokenizer's counts far closer than whitespace splitting on punctuation-
-    * dense / code / URL text, where token_count undercounts badly). */
+    * dense / code / URL text, where token_count undercounts badly).
+    * Whitespace is spelled as an explicit class, not \s: Java regex counts
+    * vertical tab (\x0B) as \s while RE2 (the DuckDB oracle engine) does
+    * not, and an oracle must not diverge from the engine on any input. */
   def subword_count(c: Column): Column =
-    F.regexp_count(c, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+    F.regexp_count(c, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"))
 
   private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")

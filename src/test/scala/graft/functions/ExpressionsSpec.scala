@@ -113,5 +113,11 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getInt(0) == 6 && r.getInt(1) == 2)
     assert(r.getInt(2) == 7)
     assert(r.getInt(3) == 0)
+    // vertical tab is whitespace in the explicit class on BOTH engines (Java
+    // \s includes \x0B, RE2's does not — the class is spelled out so the
+    // oracle can never diverge): "a<VT>b" -> a | b = 2 pieces
+    val vt = Seq(("a\u000Bb")).toDF("a")
+      .select(subword_count($"a").as("s")).head()
+    assert(vt.getInt(0) == 2)
   }
 }
