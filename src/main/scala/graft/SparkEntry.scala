@@ -744,6 +744,27 @@ object SparkEntry {
           round(col("ari"), 6).as("ari"), round(col("nmi"), 6).as("nmi"))
     }),
 
+    "q54_salted_band_pairs" -> ((s, d) => {
+      // Triangular band-key salting (CandidateGen.saltedAllPairs): EXACT
+      // intra-bucket all-pairs when a bucket blows past the skew cap — the
+      // north-rule "band-key salting" device, as a first-class query. Keys
+      // are portable group keys (lang, source) so the oracle can enumerate
+      // the identical pair set with a plain self-join: the handful of lang
+      // buckets (~100-200 rows each) exceed the cap of 32 and take the
+      // salted grid, the 20 source buckets (25 rows) stay on the
+      // small-bucket all-pairs join, and the final distinct merges pairs
+      // that share both keys. Salting reshapes only the physical plan —
+      // membership is key-derived — so the oracle is exact, not
+      // approximate.
+      val docs = t(s, d, "documents").select("doc_id", "lang", "source")
+      val keyed = docs.select(col("doc_id").as("id"),
+        explode(array(xxhash64(lit("lang"), col("lang")),
+          xxhash64(lit("source"), col("source")))).as("key"))
+      CandidateGen.pairsFromBuckets(keyed, maxBucketSize = 32,
+          saltOversized = true)
+        .orderBy("a", "b")
+    }),
+
     "q51_long_match_pairs" -> ((s, d) => {
       // winnowed-anchor exact long-match (Dedup.longMatchPairs — the
       // north-rule suffix-array substring pass, distributed): plant
@@ -1216,6 +1237,15 @@ object SparkEntry {
            round((sumij - expected) / (maxi - expected), 6) AS ari,
            round(mi / sqrt(ha * hb), 6) AS nmi
          FROM x""",
+
+    "q54_salted_band_pairs" ->
+      // same-lang OR same-source pairs; the engine's salting must not add,
+      // drop, or duplicate a single pair vs this enumeration
+      """SELECT DISTINCT d1.doc_id AS a, d2.doc_id AS b
+         FROM documents d1 JOIN documents d2
+           ON (d1.lang = d2.lang OR d1.source = d2.source)
+          AND d1.doc_id < d2.doc_id
+         ORDER BY a, b""",
 
     "q51_long_match_pairs" ->
       // every planted (orig, junk+orig+junk) pair must fire, with the

@@ -38,8 +38,16 @@ package graft.config
  * @param dupAttach     if false, events whose content hash was already seen are
  *                      not admitted (reference `with_dup_attach`,
  *                      ea/sim/main/data/buckets/event_state_model.py:94-101)
- * @param maxBucketSize LSH band buckets larger than this fall back to
- *                      sorted-neighborhood pairing (skew guard, SURVEY.md section 4)
+ * @param maxBucketSize LSH band buckets larger than this leave the all-pairs
+ *                      self-join (skew guard, SURVEY.md section 4)
+ * @param saltOversized what oversized buckets degrade to: false (default) =
+ *                      sorted-neighborhood pairing (bounded work; preserves
+ *                      group connectivity for CC but not pair-level recall —
+ *                      right when oversize means degenerate boilerplate
+ *                      keys); true = triangular band-key salting
+ *                      ([[graft.operators.CandidateGen.saltedAllPairs]]) —
+ *                      EXACT pair semantics at O(m^2) output, spread so no
+ *                      task holds a whole bucket
  * @param seed          global RNG / hash seed (reference random_seed=42,
  *                      ea/sim/dev/scripts/data/dataset/nb/main.py:12)
  */
@@ -57,6 +65,7 @@ final case class DedupConfig(
     forgetDays: Option[Int] = None,
     dupAttach: Boolean = true,
     maxBucketSize: Int = 4096,
+    saltOversized: Boolean = false,
     seed: Long = 42L) {
   require(bands * rowsPerBand == numHashes,
     s"bands($bands) * rowsPerBand($rowsPerBand) must equal numHashes($numHashes)")

@@ -22,13 +22,21 @@ import org.apache.spark.sql.functions._
 object CandidateGen {
 
   /**
-   * @param keyed   DataFrame with columns (`id`: any orderable type, `key`: Long)
-   *                — one row per (row, bucket-key); callers produce it by
-   *                exploding band keys or simhash chunks.
+   * @param keyed         DataFrame with columns (`id`: any orderable type,
+   *                      `key`: Long) — one row per (row, bucket-key); callers
+   *                      produce it by exploding band keys or simhash chunks.
+   * @param saltOversized if true, oversized buckets keep EXACT all-pairs
+   *                      semantics via triangular band-key salting
+   *                      ([[saltedAllPairs]]) instead of the bounded-work
+   *                      sorted-neighborhood fallback. Use when pair-level
+   *                      recall must survive legitimate giant duplicate
+   *                      clusters; leave off when oversized buckets mean
+   *                      degenerate keys (boilerplate) whose exact pair set
+   *                      is O(m^2) garbage.
    * @return distinct candidate pairs (`a`, `b`) with a < b.
    */
   def pairsFromBuckets(keyed: DataFrame, maxBucketSize: Int = 4096,
-      neighborhood: Int = 8): DataFrame = {
+      neighborhood: Int = 8, saltOversized: Boolean = false): DataFrame = {
     val counts = keyed.groupBy("key").agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > 1) // singleton buckets generate nothing
 
@@ -41,15 +49,65 @@ object CandidateGen {
       .select(col("x.id").as("a"), col("y.id").as("b"))
 
     val big = sized.where(col("bucket_n") > maxBucketSize)
-      .select(col("key"), col("id"))
-    val rn = big.withColumn("rn",
-      row_number().over(Window.partitionBy("key").orderBy("id")))
-    val neighborPairs = rn.as("x").join(rn.as("y"),
-        col("x.key") === col("y.key") &&
-        col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + neighborhood)
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val bigPairs =
+      if (saltOversized) saltedAllPairs(big, maxBucketSize)
+      else {
+        val rn = big.select(col("key"), col("id")).withColumn("rn",
+          row_number().over(Window.partitionBy("key").orderBy("id")))
+        rn.as("x").join(rn.as("y"),
+            col("x.key") === col("y.key") &&
+            col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + neighborhood)
+          .select(col("x.id").as("a"), col("y.id").as("b"))
+      }
 
-    allPairs.union(neighborPairs).distinct()
+    allPairs.union(bigPairs).distinct()
+  }
+
+  /**
+   * EXACT all intra-bucket pairs for oversized buckets via triangular
+   * band-key salting — the north-rule skew device: no single task ever holds
+   * a whole bucket, yet no pair is lost.
+   *
+   * Each member of a bucket of size m gets a hash-derived salt
+   * `s = xxhash64(id) mod g` with `g = ceil(m / groupSize)` sub-groups. An
+   * unordered pair {u, v} lives in exactly one grid cell (i, j) = (min(s_u,
+   * s_v), max(s_u, s_v)); the left side replicates each member to cells
+   * (s, j >= s) and the right side to cells (i <= s, s), so the equi-join on
+   * the hashed cell key meets every pair exactly once, in a task whose build
+   * side is one sub-group (~groupSize rows expected) rather than the whole
+   * bucket. Cross-group cells take every (x, y); the diagonal keeps x.id <
+   * y.id; ids are canonicalized to a < b on output.
+   *
+   * Cost (inherent to EXACT semantics, not to the salting): replicated input
+   * O(m * g) = O(m^2 / groupSize) rows per bucket and the full O(m^2 / 2)
+   * output pairs, now spread over g(g+1)/2 independent cells instead of one
+   * straggler task. Residual imbalance (hash unluck) is AQE-split like any
+   * equi-join skew.
+   *
+   * @param sized DataFrame with (`key`: Long, `id`, `bucket_n`: Long) rows —
+   *              [[pairsFromBuckets]] passes its oversized slice.
+   */
+  def saltedAllPairs(sized: DataFrame, groupSize: Int): DataFrame = {
+    require(groupSize > 0, s"groupSize($groupSize) must be positive")
+    val salted = sized
+      .withColumn("g", (floor((col("bucket_n") - 1) / lit(groupSize)) + 1).cast("int"))
+      .withColumn("s", pmod(xxhash64(col("id")), col("g")).cast("int"))
+    // cell (i, j): the left leg carries (s, j >= s), the right (i <= s, s);
+    // the composite equi-join key (key, i, j) is exact — no hashed-cell
+    // collisions can smuggle members of unrelated buckets into a cell
+    val xs = salted
+      .select(col("key"), col("id").as("xid"), col("s").as("xs"),
+        explode(sequence(col("s"), col("g") - 1)).as("xj"))
+    val ys = salted
+      .select(col("key").as("ykey"), col("id").as("yid"),
+        explode(sequence(lit(0), col("s"))).as("yi"), col("s").as("ys"))
+    xs.join(ys,
+        col("key") === col("ykey") && col("xs") === col("yi") &&
+        col("xj") === col("ys") &&
+        (col("xs") < col("ys") ||
+          (col("xs") === col("ys") && col("xid") < col("yid"))))
+      .select(least(col("xid"), col("yid")).as("a"),
+        greatest(col("xid"), col("yid")).as("b"))
   }
 
   /**

@@ -72,7 +72,8 @@ object Dedup {
       persistFeatures)
     val buckets = CandidateGen.explodeBands(
       feat.where(size(col("shingles")) > 0), "id", "band_keys")
-    val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize)
+    val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize,
+      saltOversized = cfg.saltOversized)
     val fa = feat.select(col("id").as("a"), col("shingles").as("sh_a"))
     val fb = feat.select(col("id").as("b"), col("shingles").as("sh_b"))
     pairs.join(fa, "a").join(fb, "b")
@@ -95,7 +96,8 @@ object Dedup {
     val nRows = if (persistFeatures) feat.count() else 0L
     val buckets = CandidateGen.simhashChunkBuckets(
       feat, "id", "simhash", cfg.hammingMax, nRows)
-    val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize)
+    val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize,
+      saltOversized = cfg.saltOversized)
     val fa = feat.select(col("id").as("a"), col("simhash").as("sim_a"))
     val fb = feat.select(col("id").as("b"), col("simhash").as("sim_b"))
     pairs.join(fa, "a").join(fb, "b")
@@ -249,7 +251,7 @@ object Dedup {
   def longMatchPairs(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int, k: Int = 16, seed: Long = 42L,
       maxBucketSize: Int = 4096, lcsCap: Int = 2000,
-      persistFeatures: Boolean = true): DataFrame = {
+      persistFeatures: Boolean = true, saltOversized: Boolean = false): DataFrame = {
     require(k >= 2 && minLen >= k + 1,
       s"minLen($minLen) must exceed k($k): the winnowing window w = minLen - k + 1 needs w >= 2")
     require(lcsCap >= minLen, s"lcsCap($lcsCap) below minLen($minLen) can never verify a pair")
@@ -258,7 +260,8 @@ object Dedup {
     val base = maybePersist(baseDf, persistFeatures)
     val buckets = base.select(col("id"),
       explode(winnow_anchors(col("text"), k, w, seed)).as("key"))
-    val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize)
+    val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize,
+      saltOversized = saltOversized)
     val fa = base.select(col("id").as("a"), col("text").as("ta"))
     val fb = base.select(col("id").as("b"), col("text").as("tb"))
     pairs.join(fa, "a").join(fb, "b")
@@ -272,11 +275,12 @@ object Dedup {
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       cosineMin: Double, srpBits: Int = 12, tables: Int = 4,
       seed: Long = 42L, maxBucketSize: Int = 4096,
-      persistFeatures: Boolean = true): DataFrame = {
+      persistFeatures: Boolean = true, saltOversized: Boolean = false): DataFrame = {
     val baseDf = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val base = maybePersist(baseDf, persistFeatures)
     val buckets = CandidateGen.srpBuckets(base, "id", "vec", srpBits, tables, seed)
-    val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize)
+    val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize,
+      saltOversized = saltOversized)
     val fa = base.select(col("id").as("a"), col("vec").as("va"))
     val fb = base.select(col("id").as("b"), col("vec").as("vb"))
     pairs.join(fa, "a").join(fb, "b")

@@ -131,7 +131,8 @@ object DedupPipeline {
             cfg.lcsMin - cfg.anchorK + 1, cfg.seed)).as("key"))
         capBuckets.union(chunkBuckets).union(anchorBuckets)
       } else capBuckets.union(chunkBuckets)
-    val candidates = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize)
+    val candidates = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize,
+      saltOversized = cfg.saltOversized)
 
     // --- verify (full OR rule on every candidate) ---------------------------
     val featByNid = feat.select(col("nid").as("id"),

@@ -36,6 +36,12 @@ class PlanSpec extends SparkSpec {
       scan.take(2000))
   }
 
+  test("q54: salted oversized buckets join on the grid key, never a nested loop") {
+    val p = planOf(SparkEntry.queries("q54_salted_band_pairs")(spark, dir))
+    assert(!p.contains("CartesianProduct"), "cartesian product in salted-band plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in salted-band plan")
+  }
+
   test("q37: the as-of harness plans equi-joins, never a nested loop") {
     val p = planOf(SparkEntry.queries("q37_event_ranking")(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in as-of plan")

@@ -33,6 +33,33 @@ class CandidateGenSpec extends SparkSpec {
     assert(cc == 1L)
   }
 
+  test("salted oversized buckets produce EXACTLY the brute-force pair set") {
+    // mixed sizes: one bucket far over the cap, one at the boundary, one
+    // under, plus ids shared across buckets (the final distinct must dedup)
+    val rng = new scala.util.Random(7)
+    val keyed = ((0L until 97L).map(i => (i, 11L)) ++        // 97 > cap
+      (0L until 10L).map(i => (i, 22L)) ++                   // 10 = cap
+      (200L until 203L).map(i => (i, 33L)) ++                // under cap
+      (0L until 50L).map(_ => (rng.nextInt(97).toLong, 11L)) // dup bucket rows
+      ).toDF("id", "key")
+    val got = CandidateGen.pairsFromBuckets(keyed, maxBucketSize = 10,
+      saltOversized = true).as[(Long, Long)].collect().toSet
+    val rows = keyed.as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (a, k1) <- rows; (b, k2) <- rows if k1 == k2 && a < b
+    } yield (a, b)).toSet
+    assert(got == brute)
+  }
+
+  test("salted pairs survive string ids and a group size of 1") {
+    val keyed = Seq("d", "a", "c", "b", "e").map((_, 5L)).toDF("id", "key")
+    val got = CandidateGen.pairsFromBuckets(keyed, maxBucketSize = 1,
+      saltOversized = true).as[(String, String)].collect().toSet
+    val ids = Seq("a", "b", "c", "d", "e")
+    val brute = (for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    assert(got == brute)
+  }
+
   test("simhash subset buckets guarantee a candidate at hamming <= hammingMax") {
     val df = Seq((1L, 0x0123456789ABCDEFL),
       (2L, 0x0123456789ABCDEFL ^ (1L << 3) ^ (1L << 20) ^ (1L << 63)))
