@@ -33,7 +33,9 @@ import org.apache.spark.sql.SparkSession
  *  - `assignments` — (image_id, cluster_id)
  *  - `dup_pairs`   — (a, b, jaccard, hamming) evidence pairs
  *  - `validation`  — one-row per-payload validation report
- *  - `metrics`     — per-stage lineage rows (with `--checkpoint`)
+ *  - `metrics`     — per-stage rows/wall-time rows (with `--checkpoint`)
+ *  - `lineage`     — per-output-file (partition) rows/bytes of each
+ *                    checkpointed stage (with `--checkpoint`)
  *
  * With `--checkpoint <dir>`, the verified-pairs stage is staged through
  * [[CheckpointStore]] under `--run-id` (default "run"): re-submitting the
@@ -137,6 +139,7 @@ object Main {
     outIo.write(result.assignments, "assignments")
     outIo.write(result.dupPairs, "dup_pairs")
     store.foreach(s => outIo.write(s.metrics(), "metrics"))
+    store.foreach(s => outIo.write(s.lineage(), "lineage"))
     feat.unpersist()
   }
 }

@@ -1,24 +1,36 @@
 package graft.io
 
-import graft.model.StageMetric
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, udf}
+import graft.model.{FileLineage, StageMetric}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.udf
 
 /**
- * Per-stage checkpointing with a lineage/metrics side table — the Spark
+ * Per-stage checkpointing with lineage + metrics side tables — the Spark
  * analogue of the reference's day-granular state snapshots + tail replay
  * (reference: ea/sim/main/data/buckets/bucket_data.py:49-69) and its
  * retrieval/scoring caches (ea/sim/main/methods/retrieval_model.py:39-47).
  *
  * A stage is resumable iff its directory exists with a _SUCCESS marker:
- * `stage(name)(compute)` either reads the checkpoint or computes, writes,
- * and records a StageMetric row (run id, stage, rows, wall ms) to the
- * `_metrics` table — mirroring time_info.json
- * (ea/sim/dev/scripts/training/evaluating/eval_fast.py:112-120).
+ * `stage(name)(compute)` either reads the checkpoint or computes, writes, and
+ * records
  *
- * Storage goes through [[TableIO]] (parquet fallback here; Iceberg snapshots
- * on a catalog-configured cluster). Row counts come from an accumulator fed
- * during the write itself — never a second read of the stage output.
+ *  - one `StageMetric` row (run id, stage, rows, wall ms) in `_metrics` —
+ *    mirroring time_info.json
+ *    (ea/sim/dev/scripts/training/evaluating/eval_fast.py:112-120), and
+ *  - one `FileLineage` row PER OUTPUT FILE (run id, stage, file, bytes, rows)
+ *    in `_lineage` — the per-partition lineage that lets a resumed run audit
+ *    exactly which partition produced what without re-scanning the stage.
+ *
+ * On the parquet backend both come from the written files' FOOTERS: a
+ * driver-side metadata read (O(files), the same listing Spark does to plan a
+ * scan), exact row counts with zero per-row work and no task-retry
+ * double-count risk. A non-parquet [[TableIO]] (Iceberg) falls back to an
+ * accumulator riding the write itself — Iceberg's own snapshot summary
+ * already carries per-file stats, so no `_lineage` rows are duplicated for
+ * it.
  */
 final class CheckpointStore(spark: SparkSession, root: String, runId: String,
     io: TableIO = null) {
@@ -28,9 +40,10 @@ final class CheckpointStore(spark: SparkSession, root: String, runId: String,
 
   private def path(stage: String) = s"$root/$runId/$stage"
   private def metricsPath = s"$root/$runId/_metrics"
+  private def lineagePath = s"$root/$runId/_lineage"
 
   def exists(stage: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(stage), "_SUCCESS")
+    val p = new Path(path(stage), "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -38,25 +51,59 @@ final class CheckpointStore(spark: SparkSession, root: String, runId: String,
     if (exists(name)) {
       tio.read(path(name))
     } else {
-      val t0 = System.nanoTime()
-      // row count rides the write as an accumulator behind an always-true
-      // non-deterministic filter — counting during the single pass instead
-      // of re-scanning the written table afterwards
-      val acc = spark.sparkContext.longAccumulator(s"graft.stage.$name.rows")
-      val tick = udf { () => acc.add(1L); true }.asNondeterministic()
-      tio.write(compute.filter(tick()), path(name))
-      val ms = (System.nanoTime() - t0) / 1000000
       import spark.implicits._
-      Seq(StageMetric(runId, name, acc.value, ms)).toDS().write
-        .mode(org.apache.spark.sql.SaveMode.Append).parquet(metricsPath)
+      val t0 = System.nanoTime()
+      val rows: Long = tio match {
+        case _: ParquetTableIO =>
+          // pure write — the plan stays whole-stage codegen end to end;
+          // row counts come from the footers afterwards
+          tio.write(compute, path(name))
+          val files = fileLineage(name)
+          files.toDS().write.mode(SaveMode.Append).parquet(lineagePath)
+          files.map(_.rows).sum
+        case _ =>
+          // catalog-table backend: no listable directory — count during the
+          // single write pass (accumulator; task retries can overcount, the
+          // backend's own snapshot metadata is the authoritative figure)
+          val acc = spark.sparkContext.longAccumulator(s"graft.stage.$name.rows")
+          val tick = udf { () => acc.add(1L); true }.asNondeterministic()
+          tio.write(compute.filter(tick()), path(name))
+          acc.value
+      }
+      val ms = (System.nanoTime() - t0) / 1000000
+      Seq(StageMetric(runId, name, rows, ms)).toDS().write
+        .mode(SaveMode.Append).parquet(metricsPath)
       tio.read(path(name))
     }
   }
 
-  def metrics(): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(metricsPath)
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      spark.read.parquet(metricsPath)
-    else spark.emptyDataset(org.apache.spark.sql.Encoders.product[StageMetric]).toDF()
+  /** Per-file lineage of a just-written parquet stage, from footers only. */
+  private def fileLineage(stage: String): Seq[FileLineage] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path(stage))
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+        val n = try reader.getRecordCount finally reader.close()
+        FileLineage(runId, stage, f.getPath.getName, f.getLen, n)
+      }
+  }
+
+  def metrics(): DataFrame = sideTable(metricsPath,
+    org.apache.spark.sql.Encoders.product[StageMetric].schema)
+
+  /** The `_lineage` table: one row per (stage, output file). */
+  def lineage(): DataFrame = sideTable(lineagePath,
+    org.apache.spark.sql.Encoders.product[FileLineage].schema)
+
+  private def sideTable(p: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val hp = new Path(p)
+    if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+      spark.read.parquet(p)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 }

@@ -52,3 +52,13 @@ final case class StageMetric(
     stage: String,
     rows: Long,
     wall_ms: Long)
+
+/** Per-output-file (= per write partition) lineage of a checkpointed stage:
+  * which file holds how many rows and bytes — read from parquet footers, not
+  * a data scan. */
+final case class FileLineage(
+    run_id: String,
+    stage: String,
+    file: String,
+    bytes: Long,
+    rows: Long)

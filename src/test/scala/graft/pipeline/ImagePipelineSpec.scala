@@ -103,9 +103,21 @@ class ImagePipelineSpec extends SparkSpec {
       .assignments.as[(String, Long)].collect().toMap
     // cluster labels are content-derived, so full equality holds
     assert(r1 == r2)
-    // lineage table recorded the computed stage with wall time
+    // metrics recorded the computed stage with wall time
     val m = store1.metrics().select("stage").as[String].collect()
     assert(m.contains("verified_pairs"))
+    // per-partition lineage: one row per output file, footer row counts sum
+    // to the stage's metric row count, and every file has real bytes
+    val lin = store1.lineage()
+      .filter($"stage" === "verified_pairs")
+      .select("file", "bytes", "rows").as[(String, Long, Long)].collect()
+    assert(lin.nonEmpty)
+    assert(lin.forall(_._2 > 0))
+    val metricRows = store1.metrics().filter($"stage" === "verified_pairs")
+      .select("rows").as[Long].head()
+    assert(lin.map(_._3).sum == metricRows)
+    // resume (store2) read the checkpoint: no second lineage batch appended
+    assert(store2.lineage().filter($"stage" === "verified_pairs").count() == lin.length)
   }
 
   test("phash: variants stay close, unrelated bases far (hamming histogram)") {
