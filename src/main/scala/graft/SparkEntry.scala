@@ -765,6 +765,21 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "q55_skew_stats" -> ((s, d) => {
+      // The measurement half of q54's salting: SkewStats.bucketHistogram
+      // over the same portable (lang, source) bucket keys — per
+      // power-of-two size class (bit length of the bucket size: exact
+      // integer arithmetic, no float-log edge cases), how many buckets,
+      // member rows, the class max, and the all-pairs workload the class
+      // would emit. This is the one-shuffle profile a 100 TB run reads
+      // BEFORE picking maxBucketSize / saltOversized.
+      val docs = t(s, d, "documents").select("doc_id", "lang", "source")
+      val keyed = docs.select(col("doc_id").as("id"),
+        explode(array(xxhash64(lit("lang"), col("lang")),
+          xxhash64(lit("source"), col("source")))).as("key"))
+      SkewStats.bucketHistogram(keyed)
+    }),
+
     "q51_long_match_pairs" -> ((s, d) => {
       // winnowed-anchor exact long-match (Dedup.longMatchPairs — the
       // north-rule suffix-array substring pass, distributed): plant
@@ -1246,6 +1261,20 @@ object SparkEntry {
            ON (d1.lang = d2.lang OR d1.source = d2.source)
           AND d1.doc_id < d2.doc_id
          ORDER BY a, b""",
+
+    "q55_skew_stats" ->
+      // bucket sizes are key-derived (lang groups + source groups), so the
+      // histogram is enumerable without reproducing the engine's hash keys
+      """WITH buckets AS (
+           SELECT count(*) AS bucket_n FROM documents GROUP BY lang
+           UNION ALL
+           SELECT count(*) AS bucket_n FROM documents GROUP BY source)
+         SELECT length(bin(bucket_n)) AS size_class,
+                count(*) AS n_buckets,
+                sum(bucket_n) AS n_rows,
+                max(bucket_n) AS max_bucket,
+                CAST(sum(bucket_n * (bucket_n - 1) / 2) AS BIGINT) AS n_pairs
+         FROM buckets GROUP BY 1 ORDER BY 1""",
 
     "q51_long_match_pairs" ->
       // every planted (orig, junk+orig+junk) pair must fire, with the

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew diagnostics for bucket-keyed frames — the measurement half of the
+ * band-key skew story (SURVEY.md section 4): before choosing `maxBucketSize`
+ * or flipping [[CandidateGen.pairsFromBuckets]] to salted-exact mode on a new
+ * corpus, run these over a sample and read the occupancy profile, instead of
+ * discovering a straggler task three hours into a 100 TB job.
+ *
+ * Both are single-aggregation plans (one shuffle on `key`, then a tiny
+ * second aggregation / filter), so they run at full corpus scale too. The
+ * reference's analogue is implicit — its FAISS index is rebuilt per bucket
+ * and never sees cross-bucket skew (ea/sim/main/methods/index/faiss.py) —
+ * whereas a shared-nothing shuffle must plan for it.
+ */
+object SkewStats {
+
+  /**
+   * Power-of-two bucket-size histogram of a (`id`, `key`) frame: one row per
+   * size class `size_class = floor(log2(bucket_n)) + 1` (the bit length of
+   * the bucket size — exact integer arithmetic, no float log edge cases at
+   * powers of two) with the number of buckets, total member rows, the class
+   * max, and the all-pairs workload the class would emit
+   * (sum of n*(n-1)/2 — the number that actually decides whether exact
+   * semantics are affordable).
+   */
+  def bucketHistogram(keyed: DataFrame): DataFrame =
+    keyed.groupBy("key").agg(count(lit(1)).as("bucket_n"))
+      .groupBy(length(bin(col("bucket_n"))).as("size_class"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum("bucket_n").as("n_rows"),
+        max("bucket_n").as("max_bucket"),
+        sum(col("bucket_n") * (col("bucket_n") - 1) / lit(2)).cast("long")
+          .as("n_pairs"))
+      .orderBy("size_class")
+
+  /**
+   * Keys whose buckets exceed `cap`, with the salted-grid shape they would
+   * get: `groups = ceil(bucket_n / cap)` sub-groups and `cells =
+   * groups * (groups + 1) / 2` independent join cells
+   * ([[CandidateGen.saltedAllPairs]]'s plan, announced before running it).
+   */
+  def heavyKeys(keyed: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, s"cap($cap) must be positive")
+    keyed.groupBy("key").agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > cap)
+      .withColumn("groups",
+        (floor((col("bucket_n") - 1) / lit(cap)) + 1).cast("long"))
+      .withColumn("cells",
+        (col("groups") * (col("groups") + 1) / lit(2)).cast("long"))
+      .orderBy(desc("bucket_n"), asc("key"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keyed = (
+    (0L until 100L).map(i => (i, 1L)) ++   // size 100 -> class 7
+      (0L until 8L).map(i => (i, 2L)) ++   // size 8   -> class 4
+      (0L until 8L).map(i => (i, 3L)) ++   // size 8   -> class 4
+      Seq((42L, 4L))                       // singleton -> class 1
+    ).toDF("id", "key")
+
+  test("bucketHistogram: classes, counts, rows, pairs are exact") {
+    val h = keyed.transform(SkewStats.bucketHistogram)
+      .as[(Int, Long, Long, Long, Long)].collect().toList
+    assert(h == List(
+      (1, 1L, 1L, 1L, 0L),
+      (4, 2L, 16L, 8L, 56L),       // 2 * C(8,2)
+      (7, 1L, 100L, 100L, 4950L))) // C(100,2)
+    // conservation: histogram rows sum to the keyed frame size
+    assert(h.map(_._3).sum == keyed.count())
+  }
+
+  test("heavyKeys: only over-cap keys, with the announced grid shape") {
+    val hk = SkewStats.heavyKeys(keyed, cap = 8)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // only the size-100 bucket exceeds cap 8: g = ceil(100/8) = 13 groups,
+    // 13 * 14 / 2 = 91 grid cells
+    assert(hk == List((1L, 100L, 13L, 91L)))
+    // the announced shape matches what saltedAllPairs actually does: the
+    // pair count of the salted plan equals the exact all-pairs count
+    val sized = keyed.where($"key" === 1L)
+      .withColumn("bucket_n", lit(100L))
+    assert(CandidateGen.saltedAllPairs(sized, 8).count() == 4950L)
+  }
+
+  test("heavyKeys rejects a non-positive cap") {
+    intercept[IllegalArgumentException] {
+      SkewStats.heavyKeys(keyed, 0)
+    }
+  }
+}
