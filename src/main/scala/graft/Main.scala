@@ -86,7 +86,7 @@ object Main {
     val base = DedupConfig.default
     val known = Set("shingleK", "numHashes", "bands", "rowsPerBand",
       "hammingMax", "jaccardMin", "lcsMin", "anchorK", "lcsCap", "maxBucketSize", "seed",
-      "forgetDays", "dupAttach")
+      "forgetDays", "dupAttach", "saltOversized")
     sets.keys.find(!known(_)).foreach(k =>
       throw new IllegalArgumentException(s"unknown --set key: $k (known: ${known.mkString(", ")})"))
     def i(k: String, d: Int) = sets.get(k).map(_.toInt).getOrElse(d)
@@ -103,7 +103,9 @@ object Main {
       maxBucketSize = i("maxBucketSize", base.maxBucketSize),
       seed = sets.get("seed").map(_.toLong).getOrElse(base.seed),
       forgetDays = sets.get("forgetDays").map(_.toInt).orElse(base.forgetDays),
-      dupAttach = sets.get("dupAttach").map(_.toBoolean).getOrElse(base.dupAttach))
+      dupAttach = sets.get("dupAttach").map(_.toBoolean).getOrElse(base.dupAttach),
+      saltOversized = sets.get("saltOversized").map(_.toBoolean)
+        .getOrElse(base.saltOversized))
   }
 
   def main(argv: Array[String]): Unit = {

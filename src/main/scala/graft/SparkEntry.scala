@@ -756,7 +756,11 @@ object SparkEntry {
       // that share both keys. Salting reshapes only the physical plan —
       // membership is key-derived — so the oracle is exact, not
       // approximate.
+      // NULL keys are excluded up front: xxhash64 skips NULL inputs (all
+      // NULL-lang docs would share one bucket) while the oracle's equality
+      // join never matches NULLs — the filter pins one semantic for both
       val docs = t(s, d, "documents").select("doc_id", "lang", "source")
+        .where(col("lang").isNotNull && col("source").isNotNull)
       val keyed = docs.select(col("doc_id").as("id"),
         explode(array(xxhash64(lit("lang"), col("lang")),
           xxhash64(lit("source"), col("source")))).as("key"))
@@ -773,7 +777,10 @@ object SparkEntry {
       // member rows, the class max, and the all-pairs workload the class
       // would emit. This is the one-shuffle profile a 100 TB run reads
       // BEFORE picking maxBucketSize / saltOversized.
+      // same NULL-key exclusion as q54 (oracle GROUP BY would make a
+      // NULL bucket; the engine's hashed keys would fold it differently)
       val docs = t(s, d, "documents").select("doc_id", "lang", "source")
+        .where(col("lang").isNotNull && col("source").isNotNull)
       val keyed = docs.select(col("doc_id").as("id"),
         explode(array(xxhash64(lit("lang"), col("lang")),
           xxhash64(lit("source"), col("source")))).as("key"))
@@ -1256,8 +1263,10 @@ object SparkEntry {
     "q54_salted_band_pairs" ->
       // same-lang OR same-source pairs; the engine's salting must not add,
       // drop, or duplicate a single pair vs this enumeration
-      """SELECT DISTINCT d1.doc_id AS a, d2.doc_id AS b
-         FROM documents d1 JOIN documents d2
+      """WITH d AS (SELECT doc_id, lang, source FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL)
+         SELECT DISTINCT d1.doc_id AS a, d2.doc_id AS b
+         FROM d d1 JOIN d d2
            ON (d1.lang = d2.lang OR d1.source = d2.source)
           AND d1.doc_id < d2.doc_id
          ORDER BY a, b""",
@@ -1265,15 +1274,17 @@ object SparkEntry {
     "q55_skew_stats" ->
       // bucket sizes are key-derived (lang groups + source groups), so the
       // histogram is enumerable without reproducing the engine's hash keys
-      """WITH buckets AS (
-           SELECT count(*) AS bucket_n FROM documents GROUP BY lang
+      """WITH d AS (SELECT lang, source FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL),
+         buckets AS (
+           SELECT count(*) AS bucket_n FROM d GROUP BY lang
            UNION ALL
-           SELECT count(*) AS bucket_n FROM documents GROUP BY source)
+           SELECT count(*) AS bucket_n FROM d GROUP BY source)
          SELECT length(bin(bucket_n)) AS size_class,
                 count(*) AS n_buckets,
                 sum(bucket_n) AS n_rows,
                 max(bucket_n) AS max_bucket,
-                CAST(sum(bucket_n * (bucket_n - 1) / 2) AS BIGINT) AS n_pairs
+                CAST(sum(bucket_n * (bucket_n - 1) // 2) AS BIGINT) AS n_pairs
          FROM buckets GROUP BY 1 ORDER BY 1""",
 
     "q51_long_match_pairs" ->

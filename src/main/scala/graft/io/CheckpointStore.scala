@@ -53,14 +53,18 @@ final class CheckpointStore(spark: SparkSession, root: String, runId: String,
     } else {
       import spark.implicits._
       val t0 = System.nanoTime()
-      val rows: Long = tio match {
+      // wall_ms covers compute + write only — lineage bookkeeping (the
+      // driver-side footer reads and the _lineage append) is timed out of
+      // it, so stage timings stay comparable across backends and runs
+      val (rows, ms) = tio match {
         case _: ParquetTableIO =>
           // pure write — the plan stays whole-stage codegen end to end;
           // row counts come from the footers afterwards
           tio.write(compute, path(name))
+          val wall = (System.nanoTime() - t0) / 1000000
           val files = fileLineage(name)
           files.toDS().write.mode(SaveMode.Append).parquet(lineagePath)
-          files.map(_.rows).sum
+          (files.map(_.rows).sum, wall)
         case _ =>
           // catalog-table backend: no listable directory — count during the
           // single write pass (accumulator; task retries can overcount, the
@@ -68,9 +72,8 @@ final class CheckpointStore(spark: SparkSession, root: String, runId: String,
           val acc = spark.sparkContext.longAccumulator(s"graft.stage.$name.rows")
           val tick = udf { () => acc.add(1L); true }.asNondeterministic()
           tio.write(compute.filter(tick()), path(name))
-          acc.value
+          (acc.value.toLong, (System.nanoTime() - t0) / 1000000)
       }
-      val ms = (System.nanoTime() - t0) / 1000000
       Seq(StageMetric(runId, name, rows, ms)).toDS().write
         .mode(SaveMode.Append).parquet(metricsPath)
       tio.read(path(name))

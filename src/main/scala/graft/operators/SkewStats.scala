@@ -26,23 +26,36 @@ object SkewStats {
    * max, and the all-pairs workload the class would emit
    * (sum of n*(n-1)/2 — the number that actually decides whether exact
    * semantics are affordable).
+   *
+   * n_pairs stays INTEGER-exact at any size: n*(n-1)/2 halves whichever
+   * factor is even before the (long) multiply — no double division — and
+   * accumulates as decimal(38,0), so neither 2^53 float precision nor ANSI
+   * long-sum overflow can shave counts off exactly the giant buckets the
+   * profile exists to expose. (The final long cast bounds the column at
+   * 2^63 pairs — past any physical corpus.)
    */
-  def bucketHistogram(keyed: DataFrame): DataFrame =
+  def bucketHistogram(keyed: DataFrame): DataFrame = {
+    val n = col("bucket_n")
+    val pairs = when(n.bitwiseAND(lit(1L)) === 0L,
+      shiftright(n, 1) * (n - 1)).otherwise(n * shiftright(n - 1, 1))
     keyed.groupBy("key").agg(count(lit(1)).as("bucket_n"))
       .groupBy(length(bin(col("bucket_n"))).as("size_class"))
       .agg(
         count(lit(1)).as("n_buckets"),
         sum("bucket_n").as("n_rows"),
         max("bucket_n").as("max_bucket"),
-        sum(col("bucket_n") * (col("bucket_n") - 1) / lit(2)).cast("long")
-          .as("n_pairs"))
+        sum(pairs.cast("decimal(38,0)")).cast("long").as("n_pairs"))
       .orderBy("size_class")
+  }
 
   /**
    * Keys whose buckets exceed `cap`, with the salted-grid shape they would
    * get: `groups = ceil(bucket_n / cap)` sub-groups and `cells =
    * groups * (groups + 1) / 2` independent join cells
    * ([[CandidateGen.saltedAllPairs]]'s plan, announced before running it).
+   * `groups` uses floor over a double quotient — exact while bucket_n stays
+   * below 2^52 (IEEE correctly-rounded division keeps floor truthful until
+   * the quotient's ulp exceeds 1/cap), i.e. for any physical bucket.
    */
   def heavyKeys(keyed: DataFrame, cap: Int): DataFrame = {
     require(cap > 0, s"cap($cap) must be positive")

@@ -3,7 +3,11 @@ package graft.tools
 import org.apache.spark.scheduler._
 import org.apache.spark.sql.SparkSession
 
-/** Stage-wall diagnosis of the probe job (fused ingest + dedup):
+/** Stage-wall diagnosis of the probe job (fused ingest + dedup), with the
+  * full metric split — cpu / run / deserialize / gc / shuffle fetch wait /
+  * shuffle write / result serialization — so scheduler-concurrency artifacts
+  * (parallel stage submission sharing the core pool inflates per-stage wall)
+  * are distinguishable from real engine waste.
   * `runMain graft.tools.ProbeDiag <cpus> <inputDir> [rounds=2]`. */
 object ProbeDiag {
   def main(args: Array[String]): Unit = {
@@ -26,7 +30,12 @@ object ProbeDiag {
         if (wall > 0.3)
           println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d wall=$wall%6.2f s " +
             f"cpu=${m.executorCpuTime / 1e9}%7.1f run=${m.executorRunTime / 1000.0}%7.1f " +
-            f"gc=${m.jvmGCTime / 1000.0}%5.1f ${i.name.take(50)}")
+            f"deser=${m.executorDeserializeTime / 1000.0}%5.1f " +
+            f"gc=${m.jvmGCTime / 1000.0}%5.1f " +
+            f"fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1000.0}%5.1f " +
+            f"shWrite=${m.shuffleWriteMetrics.writeTime / 1e9}%5.1f " +
+            f"resSer=${m.resultSerializationTime / 1000.0}%5.1f " +
+            f"${i.name.take(50)}")
       }
     })
     for (r <- 1 to rounds) {
