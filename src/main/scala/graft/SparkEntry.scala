@@ -787,6 +787,22 @@ object SparkEntry {
       SkewStats.bucketHistogram(keyed)
     }),
 
+    "q56_heavy_keys" -> ((s, d) => {
+      // SkewStats.heavyKeys: the over-cap keys q54's salting would split,
+      // with the announced grid shape (groups = ceil(n/cap), cells =
+      // g(g+1)/2). The hashed key itself is engine-internal, so the query
+      // projects the portable shape columns; at cap=32 exactly the lang
+      // buckets qualify and the 25-row source buckets do not.
+      val docs = t(s, d, "documents").select("doc_id", "lang", "source")
+        .where(col("lang").isNotNull && col("source").isNotNull)
+      val keyed = docs.select(col("doc_id").as("id"),
+        explode(array(xxhash64(lit("lang"), col("lang")),
+          xxhash64(lit("source"), col("source")))).as("key"))
+      SkewStats.heavyKeys(keyed, cap = 32)
+        .select("bucket_n", "groups", "cells")
+        .orderBy(desc("bucket_n"))
+    }),
+
     "q51_long_match_pairs" -> ((s, d) => {
       // winnowed-anchor exact long-match (Dedup.longMatchPairs — the
       // north-rule suffix-array substring pass, distributed): plant
@@ -1286,6 +1302,20 @@ object SparkEntry {
                 max(bucket_n) AS max_bucket,
                 CAST(sum(bucket_n * (bucket_n - 1) // 2) AS BIGINT) AS n_pairs
          FROM buckets GROUP BY 1 ORDER BY 1""",
+
+    "q56_heavy_keys" ->
+      """WITH d AS (SELECT lang, source FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL),
+         buckets AS (
+           SELECT count(*) AS bucket_n FROM d GROUP BY lang
+           UNION ALL
+           SELECT count(*) AS bucket_n FROM d GROUP BY source)
+         SELECT bucket_n,
+                (bucket_n - 1) // 32 + 1 AS groups,
+                ((bucket_n - 1) // 32 + 1) * ((bucket_n - 1) // 32 + 2) // 2
+                  AS cells
+         FROM buckets WHERE bucket_n > 32
+         ORDER BY bucket_n DESC""",
 
     "q51_long_match_pairs" ->
       // every planted (orig, junk+orig+junk) pair must fire, with the

@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.config.DedupConfig
 import graft.functions._
 import graft.io.CheckpointStore
-import graft.operators.{CandidateGen, ConnectedComponents, VerifyStage}
+import graft.operators.{CandidateGen, ConnectedComponents, SkewStats, VerifyStage}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -131,6 +131,13 @@ object DedupPipeline {
             cfg.lcsMin - cfg.anchorK + 1, cfg.seed)).as("key"))
         capBuckets.union(chunkBuckets).union(anchorBuckets)
       } else capBuckets.union(chunkBuckets)
+    // checkpointed runs persist the bucket-occupancy profile (one extra
+    // aggregation over the bucket rows, resumable like any stage): the
+    // artifact an operator reads to re-judge maxBucketSize / saltOversized
+    // for the NEXT run of a corpus whose skew just surprised this one
+    checkpoint.foreach(_.stage("bucket_histogram") {
+      SkewStats.bucketHistogram(buckets)
+    })
     val candidates = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize,
       saltOversized = cfg.saltOversized)
 

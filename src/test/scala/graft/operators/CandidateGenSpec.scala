@@ -51,6 +51,23 @@ class CandidateGenSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("salted exact pairs match brute force on a randomized skewed keyspace") {
+    // zipf-ish key mass (floor(sqrt(uniform)) puts ~10% of all rows on the
+    // heaviest key) — every bucket size regime from singleton to ~12x cap
+    val rng = new scala.util.Random(99)
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, math.floor(math.sqrt(rng.nextInt(400).toDouble)).toLong)
+    }
+    val got = CandidateGen.pairsFromBuckets(rows.toDF("id", "key"),
+      maxBucketSize = 25, saltOversized = true)
+      .as[(Long, Long)].collect().toSet
+    val brute = rows.groupBy(_._2).values.flatMap { g =>
+      val ids = g.map(_._1)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(got == brute)
+  }
+
   test("salted pairs survive string ids and a group size of 1") {
     val keyed = Seq("d", "a", "c", "b", "e").map((_, 5L)).toDF("id", "key")
     val got = CandidateGen.pairsFromBuckets(keyed, maxBucketSize = 1,

@@ -118,6 +118,12 @@ class ImagePipelineSpec extends SparkSpec {
     assert(lin.map(_._3).sum == metricRows)
     // resume (store2) read the checkpoint: no second lineage batch appended
     assert(store2.lineage().filter($"stage" === "verified_pairs").count() == lin.length)
+    // checkpointed runs persist the bucket-occupancy profile as a stage,
+    // with the invariants of any histogram: rows conserved, classes sane
+    assert(store1.exists("bucket_histogram"))
+    val hist = spark.read.parquet(s"$dir/run1/bucket_histogram")
+    assert(hist.count() > 0)
+    assert(hist.select("n_rows").as[Long].collect().sum > 0)
   }
 
   test("phash: variants stay close, unrelated bases far (hamming histogram)") {
