@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions._
+import org.apache.spark.sql.graftbridge.Bridge.{column, resolvedExpression}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
@@ -156,6 +157,56 @@ object GraftExtensions {
       FastAlign(args.head, args(1),
         if (args.size > 2) dblOf(args(2), "gamma") else 1.0,
         if (args.size > 3) dblOf(args(3), "alpha") else 0.0)
+    },
+    // --- text-analysis surface: the Column compositions from
+    // graft.functions, re-rooted on the SQL argument expressions (same
+    // built-in codegen'd trees the Column API produces) ------------------
+    reg("graft_normalize", "graft_normalize(s) - lowercase, strip non [a-z0-9 ], collapse spaces") { args =>
+      arity("graft_normalize", args, 1, 1)
+      resolvedExpression(normalize_text(column(args.head)))
+    },
+    reg("graft_tokens", "graft_tokens(s) - whitespace tokens of normalized text") { args =>
+      arity("graft_tokens", args, 1, 1)
+      resolvedExpression(tokens(column(args.head)))
+    },
+    reg("graft_content_hash", "graft_content_hash(s) - xxhash64 of normalized text") { args =>
+      arity("graft_content_hash", args, 1, 1)
+      resolvedExpression(content_hash(column(args.head)))
+    },
+    reg("graft_token_count", "graft_token_count(s) - whitespace token count") { args =>
+      arity("graft_token_count", args, 1, 1)
+      resolvedExpression(token_count(column(args.head)))
+    },
+    reg("graft_subword_count", "graft_subword_count(s) - BPE-ish pre-tokenizer piece count") { args =>
+      arity("graft_subword_count", args, 1, 1)
+      resolvedExpression(subword_count(column(args.head)))
+    },
+    reg("graft_stopword_ratio", "graft_stopword_ratio(s) - fraction of stopword tokens") { args =>
+      arity("graft_stopword_ratio", args, 1, 1)
+      resolvedExpression(stopword_ratio(column(args.head)))
+    },
+    reg("graft_lang_id", "graft_lang_id(s[, threshold]) - stopword-density language ID") { args =>
+      arity("graft_lang_id", args, 1, 2)
+      def thr: Double = {
+        require(args(1).foldable, "graft_lang_id: threshold must be a literal")
+        args(1).eval() match {
+          case d: Double    => d
+          case f: Float     => f.toDouble
+          case dec: Decimal => dec.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_lang_id: threshold must be a numeric literal, got $other")
+        }
+      }
+      resolvedExpression(lang_id(column(args.head),
+        if (args.size > 1) thr else 0.08))
+    },
+    reg("graft_quality", "graft_quality(s) - [0,1] length/punct/stopword quality score") { args =>
+      arity("graft_quality", args, 1, 1)
+      resolvedExpression(quality_score(column(args.head)))
+    },
+    reg("graft_hamming64", "graft_hamming64(a, b) - Hamming distance of two 64-bit hashes") { args =>
+      arity("graft_hamming64", args, 2, 2)
+      resolvedExpression(hamming64(column(args.head), column(args(1))))
     })
 
   private def reg(name: String, usage: String)(builder: Seq[Expression] => Expression)

@@ -49,6 +49,49 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlAnchors === colAnchors)
   }
 
+  test("text-analysis surface: SQL functions match the Column API") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val s = "The quick brown fox, jumps over http://x.io/a_b-9!"
+    val row = spark.sql(
+      s"""SELECT
+            graft_normalize('$s')                         AS norm,
+            graft_tokens('$s')                            AS toks,
+            graft_content_hash('$s')                      AS ch,
+            graft_token_count('$s')                       AS tc,
+            graft_subword_count('$s')                     AS sc,
+            graft_stopword_ratio('$s')                    AS sr,
+            graft_lang_id('$s')                           AS lid,
+            graft_lang_id('$s', 0.99)                     AS lid_hi,
+            graft_quality('$s')                           AS q,
+            graft_hamming64(7L, 1L)                       AS h
+         """).head()
+    val col = spark.range(1).select(
+      graft.functions.normalize_text(lit(s)).as("norm"),
+      graft.functions.tokens(lit(s)).as("toks"),
+      graft.functions.content_hash(lit(s)).as("ch"),
+      graft.functions.token_count(lit(s)).as("tc"),
+      graft.functions.subword_count(lit(s)).as("sc"),
+      graft.functions.stopword_ratio(lit(s)).as("sr"),
+      graft.functions.lang_id(lit(s)).as("lid"),
+      graft.functions.quality_score(lit(s)).as("q")).head()
+    assert(row.getAs[String]("norm") === col.getAs[String]("norm"))
+    assert(row.getSeq[String](1) === col.getSeq[String](1))
+    assert(row.getAs[Long]("ch") === col.getAs[Long]("ch"))
+    assert(row.getAs[Int]("tc") === col.getAs[Int]("tc"))
+    assert(row.getAs[Int]("sc") === col.getAs[Int]("sc"))
+    assert(row.getAs[Double]("sr") === col.getAs[Double]("sr"))
+    assert(row.getAs[String]("lid") === col.getAs[String]("lid"))
+    assert(row.getAs[String]("lid_hi") === "other") // threshold override bites
+    assert(row.getAs[Double]("q") === col.getAs[Double]("q"))
+    assert(row.getAs[Int]("h") === 2)
+    // non-literal threshold must fail at resolution, not per row
+    intercept[Exception] {
+      spark.sql("SELECT graft_lang_id('x', rand())").collect()
+    }
+  }
+
   test("SQL results agree with the Column API on real captions") {
     import spark.implicits._
     GraftExtensions.register(spark)
