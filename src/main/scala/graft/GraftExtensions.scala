@@ -59,6 +59,19 @@ object GraftExtensions {
     }
   }
 
+  private def dblOf(e: Expression, fn: String, what: String): Double = {
+    require(e.foldable, s"$fn: $what must be a literal")
+    e.eval() match {
+      case d: Double     => d
+      case f: Float      => f.toDouble
+      case dec: Decimal  => dec.toDouble
+      case i: Int        => i.toDouble
+      case l: Long       => l.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a numeric literal, got $other")
+    }
+  }
+
   private def arity(fn: String, args: Seq[Expression], min: Int, max: Int): Unit =
     require(args.size >= min && args.size <= max,
       s"$fn expects $min..$max arguments, got ${args.size}")
@@ -142,21 +155,9 @@ object GraftExtensions {
     reg("graft_fast_align",
         "graft_fast_align(tokensA, tokensB[, gamma[, alpha]]) - FaST positional alignment score") { args =>
       arity("graft_fast_align", args, 2, 4)
-      def dblOf(e: Expression, what: String): Double = {
-        require(e.foldable, s"graft_fast_align: $what must be a literal")
-        e.eval() match {
-          case d: Double     => d
-          case f: Float      => f.toDouble
-          case dec: Decimal  => dec.toDouble
-          case i: Int        => i.toDouble
-          case l: Long       => l.toDouble
-          case other => throw new IllegalArgumentException(
-            s"graft_fast_align: $what must be a numeric literal, got $other")
-        }
-      }
       FastAlign(args.head, args(1),
-        if (args.size > 2) dblOf(args(2), "gamma") else 1.0,
-        if (args.size > 3) dblOf(args(3), "alpha") else 0.0)
+        if (args.size > 2) dblOf(args(2), "graft_fast_align", "gamma") else 1.0,
+        if (args.size > 3) dblOf(args(3), "graft_fast_align", "alpha") else 0.0)
     },
     // --- text-analysis surface: the Column compositions from
     // graft.functions, re-rooted on the SQL argument expressions (same
@@ -173,7 +174,7 @@ object GraftExtensions {
       arity("graft_content_hash", args, 1, 1)
       resolvedExpression(content_hash(column(args.head)))
     },
-    reg("graft_token_count", "graft_token_count(s) - whitespace token count") { args =>
+    reg("graft_token_count", "graft_token_count(s) - single-space-separated token count of the raw string") { args =>
       arity("graft_token_count", args, 1, 1)
       resolvedExpression(token_count(column(args.head)))
     },
@@ -187,18 +188,8 @@ object GraftExtensions {
     },
     reg("graft_lang_id", "graft_lang_id(s[, threshold]) - stopword-density language ID") { args =>
       arity("graft_lang_id", args, 1, 2)
-      def thr: Double = {
-        require(args(1).foldable, "graft_lang_id: threshold must be a literal")
-        args(1).eval() match {
-          case d: Double    => d
-          case f: Float     => f.toDouble
-          case dec: Decimal => dec.toDouble
-          case other => throw new IllegalArgumentException(
-            s"graft_lang_id: threshold must be a numeric literal, got $other")
-        }
-      }
       resolvedExpression(lang_id(column(args.head),
-        if (args.size > 1) thr else 0.08))
+        if (args.size > 1) dblOf(args(1), "graft_lang_id", "threshold") else 0.08))
     },
     reg("graft_quality", "graft_quality(s) - [0,1] length/punct/stopword quality score") { args =>
       arity("graft_quality", args, 1, 1)

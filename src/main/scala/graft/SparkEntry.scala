@@ -25,6 +25,19 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.io.TableIO.resolve(spark, dir).read(name)
 
+  /** Shared (id, key) bucket frame for the skew family (q54/q55/q56):
+    * documents keyed by lang AND source, hashed with distinct prefixes.
+    * NULL keys are excluded up front — xxhash64 skips NULL inputs (all
+    * NULL-lang docs would share one bucket) while the oracles' equality
+    * joins / GROUP BYs treat NULLs differently; the filter pins one
+    * semantic for engine and oracle alike. */
+  private def langSourceKeyed(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select("doc_id", "lang", "source")
+      .where(col("lang").isNotNull && col("source").isNotNull)
+      .select(col("doc_id").as("id"),
+        explode(array(xxhash64(lit("lang"), col("lang")),
+          xxhash64(lit("source"), col("source")))).as("key"))
+
   /** Documents corpus + a near-duplicate variant per doc (one appended token,
     * shingle Jaccard ~0.99) — makes the LSH dedup output exactly enumerable. */
   private def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
@@ -756,15 +769,7 @@ object SparkEntry {
       // that share both keys. Salting reshapes only the physical plan —
       // membership is key-derived — so the oracle is exact, not
       // approximate.
-      // NULL keys are excluded up front: xxhash64 skips NULL inputs (all
-      // NULL-lang docs would share one bucket) while the oracle's equality
-      // join never matches NULLs — the filter pins one semantic for both
-      val docs = t(s, d, "documents").select("doc_id", "lang", "source")
-        .where(col("lang").isNotNull && col("source").isNotNull)
-      val keyed = docs.select(col("doc_id").as("id"),
-        explode(array(xxhash64(lit("lang"), col("lang")),
-          xxhash64(lit("source"), col("source")))).as("key"))
-      CandidateGen.pairsFromBuckets(keyed, maxBucketSize = 32,
+      CandidateGen.pairsFromBuckets(langSourceKeyed(s, d), maxBucketSize = 32,
           saltOversized = true)
         .orderBy("a", "b")
     }),
@@ -777,14 +782,7 @@ object SparkEntry {
       // member rows, the class max, and the all-pairs workload the class
       // would emit. This is the one-shuffle profile a 100 TB run reads
       // BEFORE picking maxBucketSize / saltOversized.
-      // same NULL-key exclusion as q54 (oracle GROUP BY would make a
-      // NULL bucket; the engine's hashed keys would fold it differently)
-      val docs = t(s, d, "documents").select("doc_id", "lang", "source")
-        .where(col("lang").isNotNull && col("source").isNotNull)
-      val keyed = docs.select(col("doc_id").as("id"),
-        explode(array(xxhash64(lit("lang"), col("lang")),
-          xxhash64(lit("source"), col("source")))).as("key"))
-      SkewStats.bucketHistogram(keyed)
+      SkewStats.bucketHistogram(langSourceKeyed(s, d))
     }),
 
     "q56_heavy_keys" -> ((s, d) => {
@@ -793,12 +791,7 @@ object SparkEntry {
       // g(g+1)/2). The hashed key itself is engine-internal, so the query
       // projects the portable shape columns; at cap=32 exactly the lang
       // buckets qualify and the 25-row source buckets do not.
-      val docs = t(s, d, "documents").select("doc_id", "lang", "source")
-        .where(col("lang").isNotNull && col("source").isNotNull)
-      val keyed = docs.select(col("doc_id").as("id"),
-        explode(array(xxhash64(lit("lang"), col("lang")),
-          xxhash64(lit("source"), col("source")))).as("key"))
-      SkewStats.heavyKeys(keyed, cap = 32)
+      SkewStats.heavyKeys(langSourceKeyed(s, d), cap = 32)
         .select("bucket_n", "groups", "cells")
         .orderBy(desc("bucket_n"))
     }),

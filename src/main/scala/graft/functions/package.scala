@@ -86,7 +86,10 @@ package object functions {
 
   // --- text analysis (training-data pipeline ops) ------------------------
 
-  /** Whitespace token count on the raw string (SQL-parity friendly). */
+  /** Token count of the raw string split on SINGLE SPACES (SQL-parity
+    * friendly: matches len(string_split(text, ' ')) semantics) — tabs and
+    * newlines are NOT separators here; use [[tokens]] (which normalizes all
+    * whitespace first) when they must be. */
   def token_count(c: Column): Column =
     F.size(F.array_remove(F.split(c, " "), ""))
 

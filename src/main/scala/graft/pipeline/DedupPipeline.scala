@@ -131,14 +131,20 @@ object DedupPipeline {
             cfg.lcsMin - cfg.anchorK + 1, cfg.seed)).as("key"))
         capBuckets.union(chunkBuckets).union(anchorBuckets)
       } else capBuckets.union(chunkBuckets)
-    // checkpointed runs persist the bucket-occupancy profile (one extra
-    // aggregation over the bucket rows, resumable like any stage): the
-    // artifact an operator reads to re-judge maxBucketSize / saltOversized
-    // for the NEXT run of a corpus whose skew just surprised this one
+    // checkpointed runs persist the bucket-occupancy profile (resumable like
+    // any stage): the artifact an operator reads to re-judge maxBucketSize /
+    // saltOversized for the NEXT run of a corpus whose skew just surprised
+    // this one. The bucket rows get cached across the histogram and the
+    // candidate join (both aggregate them by key), so the profile costs one
+    // aggregation over the cache, not a recompute of the collapse + explode
+    // derivation; unpersisted below once the verify stage has materialized.
+    val bucketRows =
+      if (checkpoint.isDefined) buckets.persist(StorageLevel.MEMORY_AND_DISK)
+      else buckets
     checkpoint.foreach(_.stage("bucket_histogram") {
-      SkewStats.bucketHistogram(buckets)
+      SkewStats.bucketHistogram(bucketRows)
     })
-    val candidates = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize,
+    val candidates = CandidateGen.pairsFromBuckets(bucketRows, cfg.maxBucketSize,
       saltOversized = cfg.saltOversized)
 
     // --- verify (full OR rule on every candidate) ---------------------------
@@ -150,6 +156,9 @@ object DedupPipeline {
     val verified = staged("verified_pairs") {
       VerifyStage.verify(candidates, featByNid, cfg).where(col("is_dup"))
     }
+    // with a checkpoint, staged() has materialized verified_pairs to
+    // storage, so nothing downstream can re-demand the bucket rows
+    checkpoint.foreach(_ => bucketRows.unpersist())
 
     // --- clustering ----------------------------------------------------------
     val edges = verified.select(col("a").as("src"), col("b").as("dst"))

@@ -84,6 +84,9 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Double]("sr") === col.getAs[Double]("sr"))
     assert(row.getAs[String]("lid") === col.getAs[String]("lid"))
     assert(row.getAs[String]("lid_hi") === "other") // threshold override bites
+    // integer threshold literals are legal too (0 -> everything is 'en')
+    assert(spark.sql("SELECT graft_lang_id('zqx', 0) AS l").head()
+      .getAs[String]("l") === "en")
     assert(row.getAs[Double]("q") === col.getAs[Double]("q"))
     assert(row.getAs[Int]("h") === 2)
     // non-literal threshold must fail at resolution, not per row

@@ -121,7 +121,10 @@ class ImagePipelineSpec extends SparkSpec {
     // checkpointed runs persist the bucket-occupancy profile as a stage,
     // with the invariants of any histogram: rows conserved, classes sane
     assert(store1.exists("bucket_histogram"))
-    val hist = spark.read.parquet(s"$dir/run1/bucket_histogram")
+    // read through the store API (layout-agnostic): the stage exists, so
+    // the compute thunk must never run
+    val hist = store1.stage("bucket_histogram")(
+      sys.error("bucket_histogram must come from the checkpoint"))
     assert(hist.count() > 0)
     assert(hist.select("n_rows").as[Long].collect().sum > 0)
   }
