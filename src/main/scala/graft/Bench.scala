@@ -264,6 +264,21 @@ object Bench {
     // the round-1 JSON unparseable ("parsed": null) — also write the bare
     // line to a file the driver (or a human) can json.load directly
     Files.writeString(Paths.get("bench.json"), jsonLine + "\n")
+    // The full line above overflows the driver's stdout tail buffer once the
+    // per-query map passed ~50 entries (BENCH_r03 "parsed": null, captured
+    // tail began mid-map at q09).  Emit a COMPACT summary as the final
+    // stdout line — no per-query map — so the tail always holds one complete
+    // parseable JSON object; the full map stays in bench.json and BENCH.md.
+    val compactLine =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","n_queries":${queryTimes.size},""" +
+      s""""images":$nImages,"t${loCpus}_sec":${"%.2f".format(tLo)},""" +
+      s""""t${hiCpus}_sec":${"%.2f".format(tHi)},"t32_sec":${"%.2f".format(t32)},""" +
+      s""""min_leg_ratio":${"%.3f".format(minLegRatio)},""" +
+      s""""median_pair_efficiency":${"%.3f".format(pairEfficiency)},""" +
+      s""""efficiency":${"%.3f".format(efficiency)},""" +
+      s""""full_results":"bench.json"}"""
+    println(compactLine)
 
     val md =
       s"""# BENCH — measured (this machine, single JVM local mode)

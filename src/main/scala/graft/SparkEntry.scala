@@ -350,11 +350,28 @@ object SparkEntry {
 
     "q29_bootstrap_ci" -> ((s, d) => {
       // bootstrap CI of mean event value (SURVEY 2.4,
-      // reference ea/common/evaluation/intervals.py:18-32) — engine-specific
-      // resampling, rows-only check; determinism tested in MetricsSpec
-      Metrics.bootstrapCI(t(s, d, "events"), "value", "event_id")
-        .select(round(col("mean"), 4).as("mean"),
-          round(col("ci_lo"), 4).as("ci_lo"), round(col("ci_hi"), 4).as("ci_hi"))
+      // reference ea/common/evaluation/intervals.py:18-32). The percentile
+      // endpoints are engine-specific (seeded Poisson resampling), but the
+      // run emits STRUCTURAL invariants a SQL oracle can check exactly —
+      // the q25/q30 pattern: the input stats (n_rows, data mean) recomputed
+      // by the oracle from the table, the resample count as configured, and
+      // the CI's defining order/bracketing/range properties, each of which
+      // holds for ANY correct bootstrap (resample means are convex
+      // combinations of the data, so min <= ci_lo <= mean <= ci_hi <= max).
+      // Exact percentile values stay spec-gated in MetricsSpec (determinism
+      // + hand-computed cases).
+      val ev = t(s, d, "events")
+      val ci = Metrics.bootstrapCI(ev, "value", "event_id")
+      val stats = ev.agg(count(lit(1)).as("n_rows"),
+        round(avg("value"), 4).as("data_mean"),
+        min("value").as("v_min"), max("value").as("v_max"))
+      ci.crossJoin(stats).select(
+        col("n_rows"), col("data_mean"), lit(100).as("resamples"),
+        (col("ci_lo") <= col("ci_hi")).as("ci_ordered"),
+        (col("ci_lo") <= col("mean") && col("mean") <= col("ci_hi"))
+          .as("ci_brackets_mean"),
+        (col("ci_lo") >= col("v_min") && col("ci_hi") <= col("v_max"))
+          .as("ci_within_data_range"))
     }),
 
     "q30_fast_align" -> ((s, d) => {
@@ -824,8 +841,9 @@ object SparkEntry {
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
-    * (q23, q24, q29) get the driver's weaker rows-only check; their strong
-    * correctness gates live in the ScalaTest suites instead. */
+    * (q23, q24 — DuckDB cannot decode images) get the driver's weaker
+    * rows-only check; their strong correctness gates live in the ScalaTest
+    * suites instead. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1042,6 +1060,15 @@ object SparkEntry {
            array_to_string(l[greatest(len(l) - 4, 1):len(l)], ' '), '</s>') AS tail_seq
          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
          ORDER BY doc_id""",
+
+    "q29_bootstrap_ci" ->
+      // structural oracle (the q25/q30 pattern): input stats recomputed from
+      // the table + the CI's defining invariants, which hold for ANY correct
+      // bootstrap; exact percentile endpoints stay spec-gated (MetricsSpec)
+      """SELECT count(*) AS n_rows, round(avg(value), 4) AS data_mean,
+         100 AS resamples, TRUE AS ci_ordered, TRUE AS ci_brackets_mean,
+         TRUE AS ci_within_data_range
+         FROM events""",
 
     "q35_fbeta_sweep" ->
       """WITH g AS (
@@ -1291,7 +1318,7 @@ object SparkEntry {
            SELECT count(*) AS bucket_n FROM d GROUP BY source)
          SELECT length(bin(bucket_n)) AS size_class,
                 count(*) AS n_buckets,
-                sum(bucket_n) AS n_rows,
+                CAST(sum(bucket_n) AS BIGINT) AS n_rows,
                 max(bucket_n) AS max_bucket,
                 CAST(sum(bucket_n * (bucket_n - 1) // 2) AS BIGINT) AS n_pairs
          FROM buckets GROUP BY 1 ORDER BY 1""",

@@ -80,18 +80,32 @@ final class CheckpointStore(spark: SparkSession, root: String, runId: String,
     }
   }
 
-  /** Per-file lineage of a just-written parquet stage, from footers only. */
+  /** Per-file lineage of a just-written parquet stage, from footers only.
+   * Listing is RECURSIVE so a partitioned write (part files nested under
+   * `key=value/` subdirectories) is fully covered; the lineage `file` field
+   * is the path relative to the stage directory so partition values stay
+   * auditable. A parquet write always leaves at least one data file, so an
+   * empty listing means the layout was not understood — fail loudly rather
+   * than record a silent rows=0. */
   private def fileLineage(stage: String): Seq[FileLineage] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path(stage))
     val fs = dir.getFileSystem(conf)
-    fs.listStatus(dir).toSeq
+    val it = fs.listFiles(dir, /* recursive = */ true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next()).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .map { f =>
+    require(files.nonEmpty,
+      s"stage '$stage' wrote no parquet data files under $dir — " +
+        "unrecognized layout; refusing to record empty lineage")
+    val base = dir.toUri
+    files
+      .map(f => (base.relativize(f.getPath.toUri).getPath, f))
+      .sortBy(_._1)
+      .map { case (rel, f) =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
         val n = try reader.getRecordCount finally reader.close()
-        FileLineage(runId, stage, f.getPath.getName, f.getLen, n)
+        FileLineage(runId, stage, rel, f.getLen, n)
       }
   }
 

@@ -253,9 +253,16 @@ object Ann {
     * order — the SAME tie-break as cell assignment, so an item's assigned
     * cell is always reachable by a query with the same vector (sim-tied
     * centroids would otherwise send assignment to the max cent_id and the
-    * probes to the min). Small nlist: narrow expression, no window, no
-    * shuffle. Large nlist: broadcast join + per-query window (the window
-    * shuffles only query rows — the small dimension by design). */
+    * probes to the min). Small nlist: narrow expression over inlined literal
+    * centroids — no window, no shuffle. Large nlist: the whole centroid
+    * table rides as ONE broadcast array<struct> row and each query computes
+    * sims + sort + slice map-side over that array — still zero shuffle.
+    * (The previous large-nlist shape — broadcast join + per-query window —
+    * pushed queries x nlist rows through the window's sort exchange: a
+    * 65536x fan-out per query at real-IVF nlist ~2^16. The transform
+    * lambda's sims evaluate interpreted rather than codegen'd, but that
+    * prices nlist multiplies per QUERY row — the small dimension — against
+    * shuffling the full fan-out.) */
   private def probeCells(q: DataFrame, localCents: DataFrame,
       cents: Array[(Any, Array[Float])], nProbe: Int): DataFrame =
     if (cents.length <= literalCentroidMax) {
@@ -264,13 +271,15 @@ object Ann {
             1, math.min(nProbe, cents.length))))
         .select(col("query_id"), col("qv"), col("probe.cent_id").as("cell"))
     } else {
-      q.crossJoin(broadcast(localCents))
-        .withColumn("sim", cosine_sim(col("qv"), col("centv")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(struct(col("sim"), col("cent_id")).desc)))
-        .where(col("rn") <= nProbe)
-        .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      val centsRow = broadcast(localCents.agg(
+        collect_list(struct(col("centv"), col("cent_id"))).as("cents")))
+      q.crossJoin(centsRow)
+        .withColumn("probe", explode(slice(reverse(array_sort(
+            transform(col("cents"), c =>
+              struct(cosine_sim(col("qv"), c.getField("centv")).as("sim"),
+                c.getField("cent_id").as("cent_id"))))),
+          1, nProbe)))
+        .select(col("query_id"), col("qv"), col("probe.cent_id").as("cell"))
     }
 
   // --- product quantization (PQ / ADC) ---------------------------------
