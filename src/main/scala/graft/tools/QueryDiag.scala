@@ -21,6 +21,8 @@ object QueryDiag {
     spark.sparkContext.setLogLevel("WARN")
 
     @volatile var report = false
+    val repCpuNs = new java.util.concurrent.atomic.AtomicLong()
+    val repRunNs = new java.util.concurrent.atomic.AtomicLong()
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
@@ -37,6 +39,11 @@ object QueryDiag {
         val wall = (for (s <- i.submissionTime; e <- i.completionTime)
           yield (e - s) / 1000.0).getOrElse(-1.0)
         val m = i.taskMetrics
+        // per-rep TOTALS across every stage (incl. sub-0.1s ones): cpu is
+        // the steal-immune cost figure — wall moves with hypervisor windows,
+        // summed executor cpu does not (the round-2 protocol lesson)
+        repCpuNs.addAndGet(m.executorCpuTime)
+        repRunNs.addAndGet(m.executorRunTime * 1000000L)
         if (report && wall > 0.1)
           println(f"  [stage] ${i.stageId}%4d wall=$wall%6.2f cpu=${m.executorCpuTime / 1e9}%6.2f " +
             f"gc=${m.jvmGCTime / 1e3}%5.2f tasks=${i.numTasks}%4d ${i.name.take(60)}")
@@ -47,8 +54,12 @@ object QueryDiag {
     for (r <- 1 to reps) {
       report = r == reps // only the last (warm) rep is reported
       val t0 = System.nanoTime()
+      repCpuNs.set(0); repRunNs.set(0)
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"[rep] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // listener events are async — give the bus a moment to drain
+      Thread.sleep(1000)
+      println(f"[rep] $name rep $r: wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"task_cpu=${repCpuNs.get / 1e9}%.2f s task_run=${repRunNs.get / 1e9}%.2f s")
     }
     spark.stop()
   }
