@@ -838,6 +838,64 @@ object SparkEntry {
         .where(col("b") - col("a") === 100000)
         .select("a", "b", "lcs")
         .orderBy("a")
+    }),
+
+    "q57_incremental_neardup" -> ((s, d) => {
+      // incremental near-dup: NEW batch (every doc re-ingested with one
+      // appended token, Jaccard ~0.97 vs its original) against the existing
+      // corpus — the daily-ingest shape (Dedup.incrementalNearDupPairs; the
+      // batch analogue of the reference's incremental index insert,
+      // faiss.py:40-51). Oracle = brute-force bipartite trigram Jaccard:
+      // exact by the q15 argument (LSH recall 1.0 at this config for
+      // near-identical pairs), bipartite edition
+      val corpus = t(s, d, "documents").select("doc_id", "text")
+      val fresh = corpus.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      Dedup.incrementalNearDupPairs(fresh, corpus, "doc_id", "text",
+          DedupConfig.default)
+        .select("a", "b")
+        .orderBy("a", "b")
+    }),
+
+    "q58_tfidf_cosine" -> ((s, d) => {
+      // TF-IDF vector cosine (reference mix/lerch.py:13-58 TfIdfEncoder +
+      // IP similarity, cosine-normalized) over the q26 pair set
+      val corpus = docsWithNearDups(s, d)
+      val pairs = t(s, d, "documents")
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+      TextScores.tfidfCosinePairs(corpus, pairs, "doc_id", "text")
+        .select(col("a"), col("b"),
+          round(col("tfidf_cosine"), 4).as("tfidf_cosine"))
+        .orderBy("a")
+    }),
+
+    "q59_group_signatures" -> ((s, d) => {
+      // mergeable MinHash group signatures (Dedup.groupSignatures): per lang
+      // group, elementwise-min of member sigs == sig(union of shingle sets)
+      // — the min-merge property, emitted as the merged_eq_union bit the
+      // oracle pins TRUE; counts/lengths recomputed by SQL
+      Dedup.groupSignatures(
+          t(s, d, "documents").where(col("lang").isNotNull),
+          "doc_id", "text", "lang", DedupConfig.default)
+        .orderBy("group")
+    }),
+
+    "q60_repetition_quality" -> ((s, d) => {
+      // Gopher/FineWeb-family repetition signals: distinct-token ratio +
+      // duplicate-bigram fraction (TextScores.repetitionSignals)
+      TextScores.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q61_semantic_dedup" -> ((s, d) => {
+      // SemDeDup (cluster-restricted embedding dedup) with planted exact
+      // duplicates: identical vectors always co-cell (deterministic
+      // assignment), cosine 1 >= 0.999, and no non-planted pair reaches
+      // 0.999 (the q18 argument) — groups exactly enumerable
+      Dedup.semanticDedupGroups(embWithExactDups(s, d), "vec_id", "embedding",
+          cosineMin = 0.999, nlist = 16)
+        .orderBy("id")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -1449,5 +1507,91 @@ object SparkEntry {
            WHERE c.c_ts < a.q_ts)
          SELECT query_id, count(DISTINCT cluster_id) AS n_clusters,
            count(*) AS n_candidates, min(item_id) AS min_item
-         FROM members GROUP BY 1 ORDER BY query_id""")
+         FROM members GROUP BY 1 ORDER BY query_id""",
+
+    "q57_incremental_neardup" ->
+      // bipartite brute-force trigram Jaccard: NEW side (doc_id + 100000,
+      // one appended token) vs corpus side only — no corpus-corpus or
+      // new-new rows may appear
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
+         toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM corpus),
+         tris AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tset FROM toks),
+         posting AS (SELECT doc_id, unnest(tset) AS tri FROM tris),
+         inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS ic
+           FROM posting p1 JOIN posting p2 ON p1.tri = p2.tri
+           WHERE p1.doc_id >= 100000 AND p2.doc_id < 100000
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(tset) AS n FROM tris)
+         SELECT a, b
+         FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5 ORDER BY a, b""",
+
+    "q58_tfidf_cosine" ->
+      // the q26 idf machinery + per-doc norms: cosine = IP / (norm_a norm_b)
+      // over presence-idf vectors (reference TfIdfEncoder semantics)
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
+         toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM corpus),
+         n AS (SELECT count(*) AS total FROM corpus),
+         idf AS (SELECT token,
+             1.0 + ln((SELECT total FROM n) * 1.0 / (count(*) + 1)) AS idf
+           FROM toks GROUP BY token),
+         nrm AS (SELECT t.doc_id, sqrt(sum(i.idf * i.idf)) AS nrm
+           FROM toks t JOIN idf i ON i.token = t.token GROUP BY t.doc_id),
+         pairs AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM documents),
+         ip AS (SELECT p.a, p.b, sum(i.idf * i.idf) AS ip
+           FROM pairs p
+           JOIN toks ta ON ta.doc_id = p.a
+           JOIN toks tb ON tb.doc_id = p.b AND tb.token = ta.token
+           JOIN idf i ON i.token = ta.token
+           GROUP BY p.a, p.b)
+         SELECT ip.a, ip.b,
+           round(ip.ip / (na.nrm * nb.nrm), 4) AS tfidf_cosine
+         FROM ip JOIN nrm na ON na.doc_id = ip.a
+                 JOIN nrm nb ON nb.doc_id = ip.b
+         ORDER BY ip.a""",
+
+    "q59_group_signatures" ->
+      // structural oracle: counts/length recomputed by SQL; merged_eq_union
+      // is the min-merge property of MinHash — definitionally TRUE for any
+      // correct implementation (every doc here has >= 3 tokens, so no
+      // empty-shingle exclusions apply)
+      """SELECT lang AS "group", count(*) AS n_members,
+         128 AS sig_len, TRUE AS merged_eq_union
+         FROM documents WHERE lang IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+
+    "q60_repetition_quality" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM documents),
+         b AS (SELECT doc_id, l, len(l) AS n,
+             CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(l) - 1),
+                 i -> l[i] || ' ' || l[i+1]) END AS bg
+           FROM toks)
+         SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+           round(CASE WHEN n = 0 THEN 1.0
+             ELSE len(list_distinct(l)) * 1.0 / n END, 4) AS distinct_token_ratio,
+           round(CASE WHEN len(bg) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END, 4)
+             AS dup_bigram_frac
+         FROM b ORDER BY doc_id""",
+
+    "q61_semantic_dedup" ->
+      // planted groups are exactly enumerable: each (v, v+100000) identical
+      // pair groups under min id v; keep marks the representative
+      """SELECT vec_id AS id, vec_id AS sem_group_id, TRUE AS keep
+         FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000, vec_id, FALSE FROM embeddings
+         ORDER BY id""")
 }

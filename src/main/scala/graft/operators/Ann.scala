@@ -230,6 +230,28 @@ object Ann {
       .select("query_id", "item_id", "adc", "rank")
   }
 
+  /**
+   * Public surface of the coarse quantizer: ONE corpus pass of
+   * nearest-centroid assignment, returning (id, cell). The building block
+   * for cluster-restricted operators — e.g. SemDeDup-style semantic dedup
+   * ([[Dedup.semanticDedupGroups]]) buckets the corpus by cell and only
+   * scores within-cell pairs — and for maintaining a persisted assignment
+   * table alongside the centroid artifact between corpus snapshots.
+   * Same nlist-gated path and (max sim, max cent_id) tie-break as the IVF
+   * search itself, so an assignment table built here is exactly the one
+   * [[ivfTopKWith]] would recompute.
+   */
+  def cellAssignments(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
+    val (localCents, rows) = localizeCentroids(centroids.select("cent_id", "centv"))
+    val cents = rows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    val assigned =
+      if (rows.length <= literalCentroidMax) assignCells(c, cents)
+      else assignCellsBig(c, localCents)
+    assigned.select(col("item_id").as("id"), col("cell"))
+  }
+
   /** (query_id, qv, item_id, cv) pairs sharing a probed cell — the shared
     * candidate stage of [[ivfSearch]]/[[ivfCandidates]]. */
   private def coarsePairs(c: DataFrame, q: DataFrame, centroids: DataFrame,

@@ -288,4 +288,137 @@ object Dedup {
       .where(col("cosine") >= cosineMin)
       .select("a", "b", "cosine")
   }
+
+  /**
+   * Near-dups of a NEW batch against an EXISTING corpus only — the daily-
+   * ingest shape at 100 TB. The corpus side's band rows are the big,
+   * precomputable dimension (in production, persist `textFeatures` + band
+   * explode across runs and only the new batch is featurized per run — the
+   * batch analogue of the reference's incremental index insert,
+   * ea/sim/main/methods/index/faiss.py:40-51, and of
+   * [[graft.streaming.StreamingDedup.flagKnownNearDups]], which shares the
+   * band-key scheme). The band equi-join generates only new-vs-corpus
+   * candidates: never corpus-corpus (the corpus is already deduped by
+   * contract) and never new-new (self-dedup the batch with
+   * [[minhashLshPairs]] separately when wanted). A bipartite equi-join
+   * needs no triangular salting — no task ever materializes a whole
+   * bucket, and hot band keys are AQE skew-split like any join skew.
+   *
+   * @return (a = new id, b = corpus id, jaccard) with jaccard >= cfg.jaccardMin
+   */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, cfg: DedupConfig,
+      persistFeatures: Boolean = true): DataFrame = {
+    val nf = maybePersist(textFeatures(newDocs, idCol, textCol, cfg),
+      persistFeatures)
+    val cf = maybePersist(textFeatures(corpus, idCol, textCol, cfg),
+      persistFeatures)
+    val nb = CandidateGen.explodeBands(
+      nf.where(size(col("shingles")) > 0), "id", "band_keys")
+      .select(col("id").as("a"), col("key"))
+    val cb = CandidateGen.explodeBands(
+      cf.where(size(col("shingles")) > 0), "id", "band_keys")
+      .select(col("id").as("b"), col("key"))
+    val pairs = nb.join(cb, "key").select("a", "b").distinct()
+    val fa = nf.select(col("id").as("a"), col("shingles").as("sh_a"))
+    val fb = cf.select(col("id").as("b"), col("shingles").as("sh_b"))
+    pairs.join(fa, "a").join(fb, "b")
+      .withColumn("jaccard", jaccard_sim(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= cfg.jaccardMin)
+      .select("a", "b", "jaccard")
+  }
+
+  /**
+   * Mergeable per-group MinHash signatures: the group signature is the
+   * ELEMENTWISE MIN of member signatures, which by the min-merge property of
+   * MinHash equals the signature of the UNION of the members' shingle sets.
+   * That makes group-level signatures buildable by pure aggregation — no
+   * second pass over the texts — which is what cluster-vs-cluster dedup
+   * (compare a new corpus's clusters against 10^12 rows' existing clusters
+   * by signature instead of by membership) and hierarchical dedup need at
+   * scale. Emits the verification bit (merged == sig(union)) per group; it
+   * is definitionally true, and doubles as the structural oracle (q59).
+   *
+   * Docs with an empty shingle set contribute nothing to either side
+   * (matching [[minhashLshPairs]]'s empty-feature exclusion); groups whose
+   * members are ALL empty are dropped.
+   *
+   * @return (group, n_members, sig_len, merged_eq_union)
+   */
+  def groupSignatures(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, cfg: DedupConfig,
+      persistFeatures: Boolean = true): DataFrame = {
+    val feat = maybePersist(
+      docs.select(col(groupCol).as("group"),
+          shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed).as("shingles"))
+        .where(size(col("shingles")) > 0)
+        .withColumn("sig", minhash_signature(col("shingles"), cfg.numHashes, cfg.seed)),
+      persistFeatures)
+    // elementwise min via posexplode + (group, pos) aggregate: one shuffle
+    // whose width is numHashes rows per group — never the member texts
+    val merged = feat
+      .select(col("group"), posexplode(col("sig")))
+      .groupBy("group", "pos").agg(min("col").as("mh"))
+      .groupBy("group")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mh")))),
+        s => s("mh")).as("merged_sig"))
+    val unions = feat
+      .select(col("group"), explode(col("shingles")).as("sh"))
+      .groupBy("group").agg(collect_set("sh").as("ush"))
+      .select(col("group"),
+        minhash_signature(col("ush"), cfg.numHashes, cfg.seed).as("union_sig"))
+    val counts = feat.groupBy("group").agg(count(lit(1)).as("n_members"))
+    merged.join(unions, "group").join(counts, "group")
+      .select(col("group"), col("n_members"),
+        size(col("merged_sig")).as("sig_len"),
+        (col("merged_sig") === col("union_sig")).as("merged_eq_union"))
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): coarse-cluster the embedding space (the IVF
+   * quantizer, [[Ann.kmeansCentroids]] + [[Ann.cellAssignments]] — one
+   * corpus pass), generate only WITHIN-CELL candidate pairs, keep pairs with
+   * cosine >= cosineMin, and collapse them to groups via connected
+   * components; `keep` marks each group's min-id representative — the row a
+   * semantic-dedup pass retains.
+   *
+   * Scale shape: candidate volume is sum of cell sizes squared instead of
+   * corpus squared (the SemDeDup trade — cross-cell semantic dups are out of
+   * scope by design); cell buckets reuse [[CandidateGen.pairsFromBuckets]],
+   * so giant cells inherit the same cap/salt skew devices as every other
+   * bucket family.
+   *
+   * @return (id, sem_group_id = min id of the semantic group, keep)
+   */
+  def semanticDedupGroups(embeddings: DataFrame, idCol: String, vecCol: String,
+      cosineMin: Double, nlist: Int, iters: Int = 2,
+      maxBucketSize: Int = 4096, saltOversized: Boolean = false,
+      persistFeatures: Boolean = true): DataFrame = {
+    val base = maybePersist(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      persistFeatures)
+    val cents = Ann.kmeansCentroids(base, "id", "vec", nlist, iters)
+    val buckets = Ann.cellAssignments(base, cents, "id", "vec")
+      .select(col("id"), col("cell").as("key"))
+    val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize,
+      saltOversized = saltOversized)
+    val fa = base.select(col("id").as("a"), col("vec").as("va"))
+    val fb = base.select(col("id").as("b"), col("vec").as("vb"))
+    val dup = pairs.join(fa, "a").join(fb, "b")
+      .where(cosine_sim(col("va"), col("vb")) >= cosineMin)
+      .select("a", "b")
+    // id-type-generic CC labels (the minhashLshGroups nid scheme)
+    val baseIds = base.select(col("id"))
+      .withColumn("__nid", xxhash64(col("id").cast("string")))
+    val edges = dup.select(xxhash64(col("a").cast("string")).as("src"),
+      xxhash64(col("b").cast("string")).as("dst"))
+    val cc = ConnectedComponents.run(edges)
+      .select(col("id").as("__nid"), col("component"))
+    baseIds.join(cc, Seq("__nid"), "left")
+      .withColumn("__comp", coalesce(col("component"), col("__nid")))
+      .withColumn("sem_group_id", min(col("id")).over(Window.partitionBy("__comp")))
+      .select(col("id"), col("sem_group_id"),
+        (col("id") === col("sem_group_id")).as("keep"))
+  }
 }

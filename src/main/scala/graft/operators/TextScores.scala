@@ -48,6 +48,74 @@ object TextScores {
   }
 
   /**
+   * TF-IDF vector cosine — the reference's TF-IDF ENCODER variant
+   * (reference: ea/sim/main/methods/neural/mix/lerch.py:13-41: each doc's
+   * vector holds idf(t) at PRESENT tokens — assignment, not accumulation —
+   * scored by inner product, mix/lerch.py:47-58). Here the inner product is
+   * normalized to cosine so the score is scale-free across doc lengths; the
+   * un-normalized IP is exactly [[lerchPairScores]]. Set-at-a-time like
+   * lerch: the pair IP comes from the common-token join, the norms from a
+   * per-doc aggregate — no per-pair vector materialization, no vocab-sized
+   * dense vectors (the reference allocates |vocab| floats per doc;
+   * at web scale the sparse join IS the vector product).
+   *
+   * Pairs with no common token have cosine 0 and are not returned (same
+   * contract as [[lerchPairScores]]).
+   *
+   * @param pairs (a, b) doc-id pairs to score
+   * @return (a, b, tfidf_cosine)
+   */
+  def tfidfCosinePairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val idf = idfTable(docs, idCol, textCol).select("token", "idf")
+    val weighted = toks.join(idf, "token")
+    val norms = weighted.groupBy("id")
+      .agg(sqrt(sum(col("idf") * col("idf"))).as("norm"))
+    val ta = weighted.select(col("id").as("a"), col("token"), col("idf"))
+    val tb = weighted.select(col("id").as("b"), col("token"))
+    val ip = pairs
+      .join(ta, "a").join(tb, Seq("b", "token"))
+      .groupBy("a", "b")
+      .agg(sum(col("idf") * col("idf")).as("ip"))
+    ip.join(norms.select(col("id").as("a"), col("norm").as("norm_a")), "a")
+      .join(norms.select(col("id").as("b"), col("norm").as("norm_b")), "b")
+      .select(col("a"), col("b"),
+        (col("ip") / (col("norm_a") * col("norm_b"))).as("tfidf_cosine"))
+  }
+
+  /**
+   * Repetition-based quality signals per document — the Gopher/FineWeb
+   * heuristic family (Rae et al. 2021 §A1.1 repetition filters): the
+   * distinct-token ratio and the duplicate-bigram fraction, both pure
+   * narrow column expressions over the whitespace token list. Low distinct
+   * ratios / high dup-bigram fractions mark boilerplate and degenerate
+   * (looping) text a training-data pipeline drops before dedup even runs.
+   *
+   * @return (id, n_tokens, distinct_token_ratio, dup_bigram_frac), ratios
+   *         rounded to 4 places (empty docs: ratio 1.0 / frac 0.0)
+   */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    docs.select(col(idCol).as("id"), toks.as("l"))
+      .withColumn("n_tokens", size(col("l")))
+      .withColumn("bigrams",
+        when(col("n_tokens") < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), col("n_tokens") - 2), i =>
+            concat_ws(" ", element_at(col("l"), i + 1),
+              element_at(col("l"), i + 2)))))
+      .select(col("id"), col("n_tokens"),
+        round(when(col("n_tokens") === 0, 1.0)
+          .otherwise(size(array_distinct(col("l"))).cast("double") /
+            col("n_tokens")), 4).as("distinct_token_ratio"),
+        round(when(size(col("bigrams")) === 0, 0.0)
+          .otherwise(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+            size(col("bigrams"))), 4).as("dup_bigram_frac"))
+  }
+
+  /**
    * FaST-style alignment score (reference: ea/sim/main/methods/classic/fast.py:49-133):
    * df-damped positional weights w(pos) = (pos+1)^-alpha * exp(-beta * df/N);
    * matched tokens contribute (w1 + w2) * exp(-gamma * |pos1 - pos2|);

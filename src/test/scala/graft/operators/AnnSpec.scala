@@ -347,4 +347,28 @@ class AnnSpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall=$recall")
   }
+
+  test("cellAssignments matches driver-side nearest centroid on BOTH nlist paths") {
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // small path (literal centroids) and big path (broadcast + max_by) must
+    // produce the SAME (max sim, then max cent_id) assignment the search uses
+    for (n <- Seq(8, 300)) {
+      val rng = new scala.util.Random(n)
+      val data = (0L until 400L).map(i => (i, Array.fill(8)(rng.nextFloat() - 0.5f)))
+      val df = data.toDF("vec_id", "embedding")
+      val cents = Ann.kmeansCentroids(df, "vec_id", "embedding", nlist = n, iters = 1)
+      val centArr = cents.as[(Long, Array[Float])].collect()
+      val got = Ann.cellAssignments(df, cents, "vec_id", "embedding")
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == data.size)
+      data.foreach { case (id, v) =>
+        val best = centArr.map { case (cid, cv) => (cosine(v, cv), cid) }.max
+        assert(got(id) == best._2, s"nlist=$n id=$id got=${got(id)} want=${best._2}")
+      }
+    }
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.SparkSpec
 import graft.config.DedupConfig
 import graft.functions.HashKernels
+import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -183,7 +184,70 @@ class DedupSpec extends SparkSpec {
       persistFeatures = false).count()
     Dedup.longMatchPairs(docs, "doc_id", "text", minLen = 24, k = 8,
       persistFeatures = false).count()
+    Dedup.incrementalNearDupPairs(docs, docs.select(col("doc_id") + 500 as "doc_id",
+      $"text"), "doc_id", "text", cfg, persistFeatures = false).count()
+    Dedup.groupSignatures(docs, "doc_id", "text", "doc_id", cfg,
+      persistFeatures = false).count()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"cache entries leaked: $leaked")
+  }
+
+  test("incremental near-dup: bipartite only, matches brute force new-vs-corpus") {
+    // the corpus itself contains near-dup pairs (base + variants) — NONE of
+    // them may appear; only new-vs-corpus pairs do
+    val docs = corpus.toDF("doc_id", "text")
+    val fresh = corpus.take(40)
+      .map { case (id, t) => (id + 10000, t + " yy") }
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupPairs(fresh, docs, "doc_id", "text", cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.forall { case (a, b) => a >= 10000 && b < 10000 },
+      s"non-bipartite pair leaked: ${got.filterNot { case (a, b) => a >= 10000 && b < 10000 }.take(5)}")
+    // brute-force bipartite oracle with the same kernels/config
+    val union = corpus ++ fresh.as[(Long, String)].collect()
+    val all = Dedup.bruteForceJaccardPairs(union.toDF("doc_id", "text"),
+        "doc_id", "text", cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val oracle = all.collect {
+      case (a, b) if a < 10000 && b >= 10000 => (b, a)
+      case (a, b) if a >= 10000 && b < 10000 => (a, b)
+    }
+    assert(oracle.nonEmpty)
+    val recall = (oracle intersect got).size.toDouble / oracle.size
+    assert(recall >= 0.99, s"recall=$recall oracle=${oracle.size} got=${got.size}")
+    assert((got diff oracle).isEmpty, "verified pairs not in oracle")
+  }
+
+  test("group signatures: min-merge equals union signature on random groups") {
+    val docs = corpus.toDF("doc_id", "text")
+      .withColumn("grp", col("doc_id") % 7)
+    val got = Dedup.groupSignatures(docs, "doc_id", "text", "grp", cfg)
+      .as[(Long, Long, Int, Boolean)].collect()
+    assert(got.length == 7)
+    assert(got.forall(_._4), s"merge property violated: ${got.filterNot(_._4).toSeq}")
+    assert(got.forall(_._3 == cfg.numHashes))
+    assert(got.map(_._2).sum == corpus.size)
+  }
+
+  test("semantic dedup groups planted duplicate vectors, keep marks the min id") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rng.nextFloat() - 0.5f)))
+    val withDups = vecs ++ vecs.take(15).map { case (i, v) => (i + 1000, v) }
+    val df = withDups.toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedupGroups(df, "vec_id", "embedding",
+        cosineMin = 0.999, nlist = 8)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == withDups.size)
+    val groups = got.map(r => r._1 -> r._2).toMap
+    (0L until 15L).foreach { i =>
+      assert(groups(i + 1000) == i, s"copy ${i + 1000} not grouped with $i")
+      assert(groups(i) == i)
+    }
+    (15L until 60L).foreach(i => assert(groups(i) == i, s"singleton $i moved"))
+    got.foreach { case (id, g, keep) => assert(keep == (id == g)) }
+    // exactly one representative per group
+    got.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.count(_._3) == 1, s"group $g has ${rows.count(_._3)} reps")
+    }
   }
 }

@@ -65,4 +65,36 @@ class TextScoresSpec extends SparkSpec {
     assert(lo <= m && m <= hi)
     assert(math.abs(m - 4.5) < 0.5) // population mean 4.5
   }
+
+  test("tfidf cosine: IP/(norm*norm) hand-computed; identical docs score 1") {
+    val pairs = Seq((1L, 2L), (1L, 1L), (1L, 3L)).toDF("a", "b")
+    val got = TextScores.tfidfCosinePairs(docs, pairs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    def idf(df: Int) = 1.0 + math.log(3.0 / (df + 1))
+    // doc1 = red(2) fox(2) jumps(1); doc2 = red fox sleeps
+    val w2 = idf(2) * idf(2); val w1 = idf(1) * idf(1)
+    val ip = 2 * w2                      // common: red, fox
+    val norm = math.sqrt(2 * w2 + w1)    // both docs have the same norm shape
+    assert(math.abs(got((1L, 2L)) - ip / (norm * norm)) < 1e-9)
+    assert(math.abs(got((1L, 1L)) - 1.0) < 1e-9) // self pair: cosine exactly 1
+    assert(!got.contains((1L, 3L)))      // no common token -> no row
+  }
+
+  test("repetition signals: hand-computed ratios, degenerate text flagged") {
+    val in = Seq(
+      (1L, "a b c d"),          // all distinct: ratio 1, dup bigrams 0
+      (2L, "a a a a"),          // 1/4 distinct; bigrams all "a a" -> 2/3 dup
+      (3L, "spam spam spam spam spam spam ham"),
+      (4L, "x")                 // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextScores.repetitionSignals(in, "doc_id", "text")
+      .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4, 1.0, 0.0)))
+    assert(got(2L)._2 == 4 && got(2L)._3 == 0.25)
+    assert(got(2L)._4 == math.rint((1.0 - 1.0 / 3) * 1e4) / 1e4) // 4-dp rounded
+    // doc3: 7 tokens, 2 distinct; 6 bigrams, 2 distinct ("spam spam", "spam ham")
+    assert(got(3L)._2 == 7 && got(3L)._3 == math.rint(2.0 / 7 * 1e4) / 1e4)
+    assert(got(3L)._4 == math.rint((1.0 - 2.0 / 6) * 1e4) / 1e4)
+    assert(got(4L) == ((4L, 1, 1.0, 0.0)))
+  }
 }
