@@ -888,6 +888,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q62_quality_top_fraction" -> ((s, d) => {
+      // exact global top-fraction quality gate (FineWeb-style "keep the best
+      // 25% by score"), distributed via value-bucketed prefix sums — no
+      // global window (Ranking.topFractionGlobal). Tie-INCLUSIVE semantics:
+      // the coarse quality score makes the boundary tie group large, which
+      // is exactly the case an arbitrary intra-tie cut would get wrong
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), quality_score(col("text")).as("quality"))
+      Ranking.topFractionGlobal(scored, "quality", frac = 0.25)
+        .select("doc_id", "quality", "kept")
+        .orderBy("doc_id")
+    }),
+
     "q61_semantic_dedup" -> ((s, d) => {
       // SemDeDup (cluster-restricted embedding dedup) with planted exact
       // duplicates: identical vectors always co-cell (deterministic
@@ -1585,6 +1598,37 @@ object SparkEntry {
              ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END, 4)
              AS dup_bigram_frac
          FROM b ORDER BY doc_id""",
+
+    "q62_quality_top_fraction" ->
+      // the q31 quality expression + the tie-inclusive top-k rule:
+      // kept iff #{strictly greater} < k, k = max(1, floor(0.25 n))
+      """WITH s0 AS (
+           SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_toks,
+             list_filter(string_split(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' '),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, round(
+             (CASE WHEN n_toks > 0 AND n_chars * 1.0 / n_toks BETWEEN 3.0 AND 12.0
+                   THEN 0.4 ELSE 0.0 END) +
+             (CASE WHEN n_chars > 0 AND n_punct * 1.0 / n_chars <= 0.1
+                   THEN 0.3 ELSE 0.0 END) +
+             (CASE WHEN len(toks) > 0 AND
+                   len(list_filter(toks, x -> x IN ('the','a','an','and','or','of',
+                     'to','in','is','it','that','for','on','with','as','was','at','by')))
+                   * 1.0 / len(toks) >= 0.05 THEN 0.3 ELSE 0.0 END)::DOUBLE, 2)
+             AS quality
+           FROM s0),
+         k AS (SELECT greatest(1, CAST(floor(0.25 * count(*)) AS BIGINT)) AS k
+               FROM s)
+         SELECT s1.doc_id, s1.quality,
+           (SELECT count(*) FROM s s2 WHERE s2.quality > s1.quality)
+             < (SELECT k FROM k) AS kept
+         FROM s s1 ORDER BY s1.doc_id""",
 
     "q61_semantic_dedup" ->
       // planted groups are exactly enumerable: each (v, v+100000) identical

@@ -40,4 +40,34 @@ object Ranking {
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("item_id"))))
       .where(col("rank") <= k)
+
+  /**
+   * EXACT global top-fraction gate without a global window — the
+   * FineWeb-style "keep the best `frac` of the corpus by quality score" step
+   * at 10^12 rows. A row is kept iff #{rows with a strictly greater score}
+   * < k, with k = max(1, floor(frac * n)): upward-closed in score and
+   * TIE-INCLUSIVE — every row tied with the k-th survives, so the kept
+   * count can exceed k by the size of the boundary tie group (the honest
+   * semantics for coarse scores, where an arbitrary intra-tie cut would be
+   * nondeterministic or hash-biased).
+   *
+   * Distributed shape: distinct-score counts (one shuffle), the cumulative
+   * count per score via [[OrderedScan.cumSums]] (value-bucketed prefix sums
+   * — NO single-partition window), the per-score kept bit, and an equi-join
+   * back on the score. Score must be non-null.
+   *
+   * @return the input plus a `kept` boolean column
+   */
+  def topFractionGlobal(df: DataFrame, scoreCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac($frac) must be in (0, 1]")
+    val n = df.count()
+    val k = math.max(1L, math.floor(frac * n).toLong)
+    val byScore = df.groupBy(col(scoreCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    // cum(s) = #{rows with score <= s}; kept iff n - cum(s) < k
+    val kept = OrderedScan.cumSums(byScore, scoreCol, Seq("__c" -> "__cum"))
+      .select(col(scoreCol), (col("__cum") > lit((n - k).toDouble)).as("kept"))
+    df.join(kept, scoreCol)
+  }
 }

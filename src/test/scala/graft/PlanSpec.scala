@@ -42,6 +42,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in salted-band plan")
   }
 
+  test("q57: incremental near-dup plans equi-joins, never a nested loop") {
+    val p = planOf(SparkEntry.queries("q57_incremental_neardup")(spark, dir))
+    assert(!p.contains("CartesianProduct"), "cartesian product in incremental plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in incremental plan")
+  }
+
+  test("q61: semantic dedup plans equi-joins, never a nested loop") {
+    val p = planOf(SparkEntry.queries("q61_semantic_dedup")(spark, dir))
+    assert(!p.contains("CartesianProduct"), "cartesian product in semantic-dedup plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in semantic-dedup plan")
+  }
+
   test("q37: the as-of harness plans equi-joins, never a nested loop") {
     val p = planOf(SparkEntry.queries("q37_event_ranking")(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in as-of plan")

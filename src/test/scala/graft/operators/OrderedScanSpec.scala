@@ -78,4 +78,25 @@ class OrderedScanSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must be numeric"))
   }
+
+  test("topFractionGlobal: tie-inclusive top-k rule, partitioning-independent") {
+    // coarse scores -> huge tie groups at the boundary (the case an
+    // arbitrary intra-tie cut gets wrong)
+    val rows = (1L to 400L).map(i => (i, (i % 5) * 0.25))
+    val df = rows.toDF("id", "score")
+    for (frac <- Seq(0.1, 0.25, 0.5, 1.0); parts <- Seq(1, 7)) {
+      val got = Ranking.topFractionGlobal(df.repartition(parts), "score", frac)
+        .select("id", "kept").as[(Long, Boolean)].collect().toMap
+      val k = math.max(1L, math.floor(frac * rows.size).toLong)
+      rows.foreach { case (id, s) =>
+        val greater = rows.count(_._2 > s)
+        assert(got(id) == (greater < k),
+          s"frac=$frac parts=$parts id=$id score=$s greater=$greater k=$k")
+      }
+    }
+    // frac = 1 keeps everything
+    val all = Ranking.topFractionGlobal(df, "score", 1.0)
+      .where(col("kept")).count()
+    assert(all == rows.size)
+  }
 }
