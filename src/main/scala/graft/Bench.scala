@@ -365,21 +365,21 @@ object Bench {
          |unchanged plans. graft.tools.QueryDiag (3 reps, rep-3 warm figures,
          |sf0.1 local[32]; task_cpu = summed executor cpu across all stages —
          |steal-immune, the job-level figure the round-2 protocol lesson says
-         |to judge):
+         |to judge; an earlier same-day run had the drain-sleep inside the
+         |wall timer, +1.0 s on every wall — re-measured after the fix):
          |
          || query | r2 bench wall | r3 bench wall | diag warm wall | task_cpu |
          ||---|---|---|---|---|
-         || q46_ngram_jaccard_exact | 3.80 | 5.58 | 3.70 | 8.21 |
-         || q37_event_ranking | 5.40 | 6.46 | 4.95 | 9.84 |
-         || q40_lcs_verify | 2.36 | 3.08 | 3.34 | 1.61 |
-         || q23_image_pipeline | 2.41 | 3.16 | 3.50 | 3.06 |
+         || q46_ngram_jaccard_exact | 3.80 | 5.58 | 2.61 | 8.22 |
+         || q37_event_ranking | 5.40 | 6.46 | 4.00 | 9.31 |
+         || q40_lcs_verify | 2.36 | 3.08 | 2.32 | 1.62 |
+         || q23_image_pipeline | 2.41 | 3.16 | 2.03 | 2.39 |
          |
-         |q46/q37 warm walls returned to (below) round-2 levels in this
-         |window — the round-3 readings were steal windows, not regressions.
-         |q40/q23 task_cpu is 1.6-3.1 s against 3.3-3.5 s wall: the wall is
-         |dominated by fixed scheduling/AQE latency on ~32-task jobs, where
-         |+-1 s between rounds is scheduler noise, not data work (their plans
-         |are unchanged and PlanSpec-pinned).
+         |Every warm wall is at or below its round-2 level in this window —
+         |the round-3 readings were steal windows, not regressions (plans
+         |unchanged and PlanSpec-pinned). q40/q23 task_cpu (1.6-2.4 s) also
+         |shows the data work is small; their wall is scheduling/AQE latency
+         |on ~32-task jobs.
          |""".stripMargin
     Files.writeString(Paths.get("BENCH.md"), md)
 

@@ -876,7 +876,8 @@ object SparkEntry {
       // oracle pins TRUE; counts/lengths recomputed by SQL
       Dedup.groupSignatures(
           t(s, d, "documents").where(col("lang").isNotNull),
-          "doc_id", "text", "lang", DedupConfig.default)
+          "doc_id", "text", "lang", DedupConfig.default, verifyUnion = true)
+        .select("group", "n_members", "sig_len", "merged_eq_union")
         .orderBy("group")
     }),
 

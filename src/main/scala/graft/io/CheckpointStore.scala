@@ -98,7 +98,10 @@ final class CheckpointStore(spark: SparkSession, root: String, runId: String,
     require(files.nonEmpty,
       s"stage '$stage' wrote no parquet data files under $dir — " +
         "unrecognized layout; refusing to record empty lineage")
-    val base = dir.toUri
+    // qualify the base first: listFiles returns fully-qualified (file:/...)
+    // paths, and URI.relativize against a schemeless base silently returns
+    // the child unchanged instead of the relative path
+    val base = fs.makeQualified(dir).toUri
     files
       .map(f => (base.relativize(f.getPath.toUri).getPath, f))
       .sortBy(_._1)

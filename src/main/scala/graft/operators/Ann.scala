@@ -158,6 +158,17 @@ object Ann {
     if (nlist <= literalCentroidMax) assignCells(c, collectCents(centroids))
     else assignCellsBig(c, centroids)
 
+  /** The one gate every search/encode/assign path goes through once the
+    * centroid table is localized: literal expressions under
+    * [[literalCentroidMax]], broadcast join + max_by above. Single
+    * definition so the tie-break and the gating can never diverge between
+    * [[ivfPqTopK]], [[coarsePairs]] and [[cellAssignments]]. */
+  private def assignLocalized(c: DataFrame, localCents: DataFrame,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame =
+    if (rows.length <= literalCentroidMax)
+      assignCells(c, rows.map(r => (r.get(0), r.getSeq[Float](1).toArray)))
+    else assignCellsBig(c, localCents)
+
   /** Large-nlist assignment: broadcast join + map-side max_by collapse. */
   private def assignCellsBig(c: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids
@@ -211,9 +222,7 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val (localCents, rows) = localizeCentroids(centroids)
     val cents = rows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
-    val assigned =
-      if (rows.length <= literalCentroidMax) assignCells(c, cents)
-      else assignCellsBig(c, localCents)
+    val assigned = assignLocalized(c, localCents, rows)
     // the single corpus pass: assignment + encode, fused
     val codes = assigned.select(col("item_id"), col("cell"),
       codesCol(books, col("cv")).as("codes"))
@@ -245,11 +254,8 @@ object Ann {
       idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
     val (localCents, rows) = localizeCentroids(centroids.select("cent_id", "centv"))
-    val cents = rows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
-    val assigned =
-      if (rows.length <= literalCentroidMax) assignCells(c, cents)
-      else assignCellsBig(c, localCents)
-    assigned.select(col("item_id").as("id"), col("cell"))
+    assignLocalized(c, localCents, rows)
+      .select(col("item_id").as("id"), col("cell"))
   }
 
   /** (query_id, qv, item_id, cv) pairs sharing a probed cell — the shared
@@ -264,9 +270,7 @@ object Ann {
     // corpus-sample job three times per search.
     val (localCents, rows) = localizeCentroids(centroids)
     val cents = rows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
-    val assigned =
-      if (rows.length <= literalCentroidMax) assignCells(c, cents)
-      else assignCellsBig(c, localCents)
+    val assigned = assignLocalized(c, localCents, rows)
     probeCells(q, localCents, cents, nProbe).join(assigned, "cell")
       .where(col("query_id") =!= col("item_id"))
   }

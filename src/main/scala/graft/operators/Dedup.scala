@@ -336,18 +336,26 @@ object Dedup {
    * second pass over the texts — which is what cluster-vs-cluster dedup
    * (compare a new corpus's clusters against 10^12 rows' existing clusters
    * by signature instead of by membership) and hierarchical dedup need at
-   * scale. Emits the verification bit (merged == sig(union)) per group; it
-   * is definitionally true, and doubles as the structural oracle (q59).
+   * scale.
    *
    * Docs with an empty shingle set contribute nothing to either side
    * (matching [[minhashLshPairs]]'s empty-feature exclusion); groups whose
    * members are ALL empty are dropped.
    *
-   * @return (group, n_members, sig_len, merged_eq_union)
+   * `verifyUnion = true` (small corpora / the q59 gate only) additionally
+   * recomputes each group's signature from the UNION of member shingle sets
+   * and emits the equality bit. That verification path aggregates every
+   * distinct shingle of a group onto one row — exactly the full-width
+   * aggregation the min-merge design exists to avoid — so it must stay OFF
+   * in production: the default output derives from member signatures alone,
+   * and its widest shuffle row is numHashes values per group.
+   *
+   * @return (group, n_members, sig_len, merged_sig); with `verifyUnion`,
+   *         plus merged_eq_union
    */
   def groupSignatures(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, cfg: DedupConfig,
-      persistFeatures: Boolean = true): DataFrame = {
+      persistFeatures: Boolean = true, verifyUnion: Boolean = false): DataFrame = {
     val feat = maybePersist(
       docs.select(col(groupCol).as("group"),
           shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed).as("shingles"))
@@ -355,23 +363,28 @@ object Dedup {
         .withColumn("sig", minhash_signature(col("shingles"), cfg.numHashes, cfg.seed)),
       persistFeatures)
     // elementwise min via posexplode + (group, pos) aggregate: one shuffle
-    // whose width is numHashes rows per group — never the member texts
+    // whose width is numHashes rows per group — never the member shingles
     val merged = feat
       .select(col("group"), posexplode(col("sig")))
       .groupBy("group", "pos").agg(min("col").as("mh"))
       .groupBy("group")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mh")))),
         s => s("mh")).as("merged_sig"))
-    val unions = feat
-      .select(col("group"), explode(col("shingles")).as("sh"))
-      .groupBy("group").agg(collect_set("sh").as("ush"))
-      .select(col("group"),
-        minhash_signature(col("ush"), cfg.numHashes, cfg.seed).as("union_sig"))
     val counts = feat.groupBy("group").agg(count(lit(1)).as("n_members"))
-    merged.join(unions, "group").join(counts, "group")
+    val out = merged.join(counts, "group")
       .select(col("group"), col("n_members"),
-        size(col("merged_sig")).as("sig_len"),
-        (col("merged_sig") === col("union_sig")).as("merged_eq_union"))
+        size(col("merged_sig")).as("sig_len"), col("merged_sig"))
+    if (!verifyUnion) out
+    else {
+      val unions = feat
+        .select(col("group"), explode(col("shingles")).as("sh"))
+        .groupBy("group").agg(collect_set("sh").as("ush"))
+        .select(col("group"),
+          minhash_signature(col("ush"), cfg.numHashes, cfg.seed).as("union_sig"))
+      out.join(unions, "group")
+        .select(col("group"), col("n_members"), col("sig_len"), col("merged_sig"),
+          (col("merged_sig") === col("union_sig")).as("merged_eq_union"))
+    }
   }
 
   /**
@@ -385,15 +398,22 @@ object Dedup {
    *
    * Scale shape: candidate volume is sum of cell sizes squared instead of
    * corpus squared (the SemDeDup trade — cross-cell semantic dups are out of
-   * scope by design); cell buckets reuse [[CandidateGen.pairsFromBuckets]],
-   * so giant cells inherit the same cap/salt skew devices as every other
-   * bucket family.
+   * scope by design); cell buckets reuse [[CandidateGen.pairsFromBuckets]].
+   * Cells over `maxBucketSize` members are SALTED by default
+   * (`saltOversized = true`) — exact within-cell pair semantics at O(m^2)
+   * output, spread so no task holds a whole cell. Unlike LSH band buckets,
+   * an oversized cell is never "degenerate boilerplate": id order is
+   * semantically meaningless for embeddings, so the sorted-neighborhood
+   * degrade (`saltOversized = false`) would silently drop within-cell
+   * semantic dups whose ids happen to sit > neighborhood apart — opt into
+   * it only when bounding worst-case work matters more than recall, or
+   * size nlist so cells stay under the cap (the real control at scale).
    *
    * @return (id, sem_group_id = min id of the semantic group, keep)
    */
   def semanticDedupGroups(embeddings: DataFrame, idCol: String, vecCol: String,
       cosineMin: Double, nlist: Int, iters: Int = 2,
-      maxBucketSize: Int = 4096, saltOversized: Boolean = false,
+      maxBucketSize: Int = 4096, saltOversized: Boolean = true,
       persistFeatures: Boolean = true): DataFrame = {
     val base = maybePersist(
       embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")),

@@ -98,7 +98,12 @@ object TextScores {
    */
   def repetitionSignals(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    // coalesce: NULL text (routine in raw web corpora) degrades to the
+    // empty-doc row, not size(null) = -1 garbage. array_remove, not a
+    // filter() lambda: higher-order functions evaluate interpreted and
+    // would knock this whole-corpus projection out of whole-stage codegen
+    // (the functions/package.scala tokens() rationale).
+    val toks = array_remove(split(coalesce(col(textCol), lit("")), " "), "")
     docs.select(col(idCol).as("id"), toks.as("l"))
       .withColumn("n_tokens", size(col("l")))
       .withColumn("bigrams",

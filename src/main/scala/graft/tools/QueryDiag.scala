@@ -56,9 +56,10 @@ object QueryDiag {
       val t0 = System.nanoTime()
       repCpuNs.set(0); repRunNs.set(0)
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val wall = (System.nanoTime() - t0) / 1e9 // BEFORE the drain sleep
       // listener events are async — give the bus a moment to drain
       Thread.sleep(1000)
-      println(f"[rep] $name rep $r: wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      println(f"[rep] $name rep $r: wall=$wall%.2f s " +
         f"task_cpu=${repCpuNs.get / 1e9}%.2f s task_run=${repRunNs.get / 1e9}%.2f s")
     }
     spark.stop()

@@ -221,7 +221,9 @@ class DedupSpec extends SparkSpec {
   test("group signatures: min-merge equals union signature on random groups") {
     val docs = corpus.toDF("doc_id", "text")
       .withColumn("grp", col("doc_id") % 7)
-    val got = Dedup.groupSignatures(docs, "doc_id", "text", "grp", cfg)
+    val got = Dedup.groupSignatures(docs, "doc_id", "text", "grp", cfg,
+        verifyUnion = true)
+      .select("group", "n_members", "sig_len", "merged_eq_union")
       .as[(Long, Long, Int, Boolean)].collect()
     assert(got.length == 7)
     assert(got.forall(_._4), s"merge property violated: ${got.filterNot(_._4).toSeq}")

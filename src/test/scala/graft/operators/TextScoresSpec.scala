@@ -85,7 +85,8 @@ class TextScoresSpec extends SparkSpec {
       (1L, "a b c d"),          // all distinct: ratio 1, dup bigrams 0
       (2L, "a a a a"),          // 1/4 distinct; bigrams all "a a" -> 2/3 dup
       (3L, "spam spam spam spam spam spam ham"),
-      (4L, "x")                 // single token: no bigrams
+      (4L, "x"),                // single token: no bigrams
+      (5L, null.asInstanceOf[String]) // null text -> empty-doc row, not -1/null
     ).toDF("doc_id", "text")
     val got = TextScores.repetitionSignals(in, "doc_id", "text")
       .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
@@ -96,5 +97,6 @@ class TextScoresSpec extends SparkSpec {
     assert(got(3L)._2 == 7 && got(3L)._3 == math.rint(2.0 / 7 * 1e4) / 1e4)
     assert(got(3L)._4 == math.rint((1.0 - 2.0 / 6) * 1e4) / 1e4)
     assert(got(4L) == ((4L, 1, 1.0, 0.0)))
+    assert(got(5L) == ((5L, 0, 1.0, 0.0)))
   }
 }

@@ -113,6 +113,12 @@ class ImagePipelineSpec extends SparkSpec {
       .select("file", "bytes", "rows").as[(String, Long, Long)].collect()
     assert(lin.nonEmpty)
     assert(lin.forall(_._2 > 0))
+    // file paths are stage-RELATIVE (a flat parquet write: bare part files,
+    // no directory separators, no URI scheme) — pins the qualified-base
+    // relativize; an absolute/unqualified-base regression would leak
+    // 'file:/...' or '/tmp/...' here
+    assert(lin.forall(r => !r._1.contains("/") && r._1.endsWith(".parquet")),
+      s"lineage paths not stage-relative: ${lin.map(_._1).take(3).toSeq}")
     val metricRows = store1.metrics().filter($"stage" === "verified_pairs")
       .select("rows").as[Long].head()
     assert(lin.map(_._3).sum == metricRows)
