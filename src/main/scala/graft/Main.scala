@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
  * spark-submit --class graft.Main stacktracededuplicationspark.jar \
  *   --input <table-or-dir> --output <dir> \
  *   [--checkpoint <dir>] [--run-id <id>] [--partitions <n>] \
+ *   [--incremental <new-batch-table-or-dir>] \
  *   [--set shingleK=3] [--set hammingMax=3] [--set jaccardMin=0.5] ...
  * }}}
  *
@@ -50,6 +51,7 @@ object Main {
       checkpoint: Option[String] = None,
       runId: String = "run",
       partitions: Int = 0,
+      incremental: Option[String] = None,
       sets: Map[String, String] = Map.empty)
 
   /** A value flag's argument must not itself look like a flag — otherwise
@@ -66,6 +68,8 @@ object Main {
     case "--run-id" :: v :: rest if value(v) => parse(rest, acc.copy(runId = v))
     case "--partitions" :: v :: rest if value(v) =>
       parse(rest, acc.copy(partitions = v.toInt))
+    case "--incremental" :: v :: rest if value(v) =>
+      parse(rest, acc.copy(incremental = Some(v)))
     case "--set" :: kv :: rest if value(kv) =>
       kv.split("=", 2) match {
         case Array(k, v) => parse(rest, acc.copy(sets = acc.sets + (k -> v)))
@@ -79,7 +83,8 @@ object Main {
   }
 
   private val valueFlags = Set(
-    "--input", "--output", "--checkpoint", "--run-id", "--partitions", "--set")
+    "--input", "--output", "--checkpoint", "--run-id", "--partitions",
+    "--incremental", "--set")
 
   /** DedupConfig with `--set key=value` overrides applied. */
   private[graft] def configOf(sets: Map[String, String]): DedupConfig = {
@@ -118,30 +123,48 @@ object Main {
     val spark = SparkSession.builder().getOrCreate()
     val cfg = configOf(args.sets)
     run(spark, args.input, args.output, cfg, args.checkpoint, args.runId,
-      args.partitions)
+      args.partitions, args.incremental)
   }
 
-  /** The full job, callable from tests with an existing session. */
+  /** The full job, callable from tests with an existing session.
+    *
+    * With `incremental = Some(newBatchDir)`, the job runs INCREMENTAL mode
+    * instead of the batch DAG: `--input` is the existing (already deduped)
+    * corpus, the new batch is validated + featurized the same fused way,
+    * and the output tables are the new batch's `validation` report plus
+    * `incremental_pairs` — (new image_id, corpus image_id, jaccard,
+    * hamming) near-dup evidence from [[DedupPipeline.incrementalPairs]]. */
   def run(spark: SparkSession, input: String, output: String,
       cfg: DedupConfig, checkpoint: Option[String] = None,
-      runId: String = "run", partitions: Int = 0): Unit = {
+      runId: String = "run", partitions: Int = 0,
+      incremental: Option[String] = None): Unit = {
     // input is a LOCATION (the table itself); output is a TableIO ROOT the
-    // four result tables are written under by bare name
+    // result tables are written under by bare name
     val outIo = TableIO.resolve(spark, output)
     val parts =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
-    val store = checkpoint.map(new CheckpointStore(spark, _, runId))
     val feat = Ingest.run(spark, TableIO.readLocation(spark, input), cfg,
       partitions = parts)
-    val result = DedupPipeline.runFromFeatures(spark, feat, cfg, store)
-
-    outIo.write(Validate.report(feat), "validation")
-    outIo.write(result.assignments, "assignments")
-    outIo.write(result.dupPairs, "dup_pairs")
-    store.foreach(s => outIo.write(s.metrics(), "metrics"))
-    store.foreach(s => outIo.write(s.lineage(), "lineage"))
+    incremental match {
+      case Some(newDir) =>
+        val newFeat = Ingest.run(spark,
+          TableIO.readLocation(spark, newDir), cfg, partitions = parts)
+        outIo.write(Validate.report(newFeat), "validation")
+        outIo.write(
+          DedupPipeline.incrementalPairs(spark, newFeat, feat, cfg),
+          "incremental_pairs")
+        newFeat.unpersist()
+      case None =>
+        val store = checkpoint.map(new CheckpointStore(spark, _, runId))
+        val result = DedupPipeline.runFromFeatures(spark, feat, cfg, store)
+        outIo.write(Validate.report(feat), "validation")
+        outIo.write(result.assignments, "assignments")
+        outIo.write(result.dupPairs, "dup_pairs")
+        store.foreach(s => outIo.write(s.metrics(), "metrics"))
+        store.foreach(s => outIo.write(s.lineage(), "lineage"))
+    }
     feat.unpersist()
   }
 }

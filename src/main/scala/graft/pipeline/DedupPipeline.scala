@@ -193,6 +193,47 @@ object DedupPipeline {
 
     DedupResult(feat, dupPairs, assignments)
   }
+
+  /**
+   * Incremental mode: near-dup evidence of a NEW batch against an EXISTING
+   * corpus — bipartite only (never corpus-corpus: the corpus is already
+   * deduped; never new-new: run the batch DAG on the batch for that). Both
+   * signature families generate candidates (caption band keys + SimHash
+   * chunk keys, the chunk scheme sized by the CORPUS count so both sides
+   * emit identical key layouts) and the shared [[graft.operators
+   * .VerifyStage]] OR-rule verifies — the same evidence semantics as the
+   * batch DAG, restricted to cross-batch pairs. The daily-ingest shape: at
+   * 100 TB the corpus-side feature/bucket rows are precomputed and persisted
+   * across runs; only the new batch is featurized per run (the reference's
+   * incremental index insert, faiss.py:40-51).
+   *
+   * @param newFeat    [[features]]/[[graft.operators.Ingest.run]] frame of
+   *                   the new batch
+   * @param corpusFeat same for the existing corpus
+   * @return (a = new image_id, b = corpus image_id, jaccard, hamming)
+   */
+  def incrementalPairs(spark: SparkSession, newFeat: DataFrame,
+      corpusFeat: DataFrame, cfg: DedupConfig): DataFrame = {
+    val nCorpus = corpusFeat.count()
+    def buckets(f: DataFrame): DataFrame =
+      CandidateGen.explodeBands(f.where(size(col("shingles")) > 0),
+          "nid", "band_keys")
+        .union(CandidateGen.simhashChunkBuckets(f, "nid", "simhash",
+          cfg.hammingMax, nCorpus))
+    val cand = buckets(newFeat).select(col("id").as("a"), col("key"))
+      .join(buckets(corpusFeat).select(col("id").as("b"), col("key")), "key")
+      .select("a", "b").distinct()
+    val featByNid = newFeat.unionByName(corpusFeat)
+      .select(col("nid").as("id"), col("shingles"), col("simhash"),
+        col("norm_text"))
+    val verified = VerifyStage.verify(cand, featByNid, cfg)
+      .where(col("is_dup"))
+    verified
+      .join(newFeat.select(col("nid").as("a"), col("id").as("__a")), "a")
+      .join(corpusFeat.select(col("nid").as("b"), col("id").as("__b")), "b")
+      .select(col("__a").as("a"), col("__b").as("b"),
+        col("jaccard"), col("hamming"))
+  }
 }
 
 /** @param features    per-row signatures (persisted)

@@ -40,6 +40,44 @@ class MainSpec extends SparkSpec {
     assert(m2.count() == 1, "resumed run must not recompute the staged stage")
   }
 
+  test("incremental mode: new batch vs corpus evidence, bipartite only") {
+    val in = "/tmp/graft_main_spec/inc_corpus"
+    val nb = "/tmp/graft_main_spec/inc_new"
+    val out = "/tmp/graft_main_spec/inc_out"
+    Seq(in, nb, out).foreach(rmrf)
+    val corpus = ImageGen.generate(spark, bases = 20, seed = 42L).toDF()
+    corpus.write.mode("overwrite").parquet(in)
+    // new batch: 8 re-ingested corpus payloads under new ids (exact dups of
+    // their originals) + a disjoint batch from another seed (no matches)
+    val reingested = corpus.limit(8)
+      .withColumn("image_id", concat(lit("new_"), col("image_id")))
+    val foreign = ImageGen.generate(spark, bases = 5, seed = 777L).toDF()
+      .withColumn("image_id", concat(lit("new_x_"), col("image_id")))
+    reingested.unionByName(foreign).write.mode("overwrite").parquet(nb)
+
+    Main.run(spark, in, out, DedupConfig.default, partitions = 4,
+      incremental = Some(nb))
+
+    val pairs = spark.read.parquet(s"$out/incremental_pairs.parquet")
+    val got = pairs.select("a", "b").as[(String, String)](
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING)).collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b) => a.startsWith("new_") && !b.startsWith("new_") },
+      s"non-bipartite rows: ${got.filterNot { case (a, b) => a.startsWith("new_") && !b.startsWith("new_") }.take(3).toSeq}")
+    // every re-ingested payload must surface its own original as evidence
+    val reIds = reingested.select("image_id").collect().map(_.getString(0))
+    reIds.foreach { nid =>
+      assert(got.exists { case (a, b) => a == nid && s"new_$b" == nid },
+        s"re-ingested $nid did not match its original")
+    }
+    // the new batch's validation report, not the corpus's
+    val v = spark.read.parquet(s"$out/validation.parquet").head()
+    assert(v.getAs[Long]("rows") ==
+      reingested.count() + foreign.count())
+  }
+
   test("configOf applies --set overrides and rejects unknown keys") {
     val c = Main.configOf(Map("hammingMax" -> "2", "jaccardMin" -> "0.7",
       "forgetDays" -> "14", "dupAttach" -> "false", "saltOversized" -> "true"))
