@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
  *   --input <table-or-dir> --output <dir> \
  *   [--checkpoint <dir>] [--run-id <id>] [--partitions <n>] \
  *   [--incremental <new-batch-table-or-dir>] \
+ *   [--corpus-features <table-root>] [--merge-new] \
  *   [--set shingleK=3] [--set hammingMax=3] [--set jaccardMin=0.5] ...
  * }}}
  *
@@ -52,6 +53,8 @@ object Main {
       runId: String = "run",
       partitions: Int = 0,
       incremental: Option[String] = None,
+      corpusFeatures: Option[String] = None,
+      mergeNew: Boolean = false,
       sets: Map[String, String] = Map.empty)
 
   /** A value flag's argument must not itself look like a flag — otherwise
@@ -70,6 +73,9 @@ object Main {
       parse(rest, acc.copy(partitions = v.toInt))
     case "--incremental" :: v :: rest if value(v) =>
       parse(rest, acc.copy(incremental = Some(v)))
+    case "--corpus-features" :: v :: rest if value(v) =>
+      parse(rest, acc.copy(corpusFeatures = Some(v)))
+    case "--merge-new" :: rest => parse(rest, acc.copy(mergeNew = true))
     case "--set" :: kv :: rest if value(kv) =>
       kv.split("=", 2) match {
         case Array(k, v) => parse(rest, acc.copy(sets = acc.sets + (k -> v)))
@@ -84,7 +90,7 @@ object Main {
 
   private val valueFlags = Set(
     "--input", "--output", "--checkpoint", "--run-id", "--partitions",
-    "--incremental", "--set")
+    "--incremental", "--corpus-features", "--set")
 
   /** DedupConfig with `--set key=value` overrides applied. */
   private[graft] def configOf(sets: Map[String, String]): DedupConfig = {
@@ -123,7 +129,7 @@ object Main {
     val spark = SparkSession.builder().getOrCreate()
     val cfg = configOf(args.sets)
     run(spark, args.input, args.output, cfg, args.checkpoint, args.runId,
-      args.partitions, args.incremental)
+      args.partitions, args.incremental, args.corpusFeatures, args.mergeNew)
   }
 
   /** The full job, callable from tests with an existing session.
@@ -133,38 +139,89 @@ object Main {
     * corpus, the new batch is validated + featurized the same fused way,
     * and the output tables are the new batch's `validation` report plus
     * `incremental_pairs` — (new image_id, corpus image_id, jaccard,
-    * hamming) near-dup evidence from [[DedupPipeline.incrementalPairs]]. */
+    * hamming) near-dup evidence from [[DedupPipeline.incrementalPairs]].
+    * `--checkpoint` stages `incremental_pairs` through [[CheckpointStore]]
+    * (resumable, metrics/lineage tables written) the same way the batch DAG
+    * stages `verified_pairs`.
+    *
+    * `corpusFeatures = Some(root)` persists corpus featurization across
+    * incremental runs — the 100 TB daily-ingest shape (the reference's
+    * incremental index insert, ea/sim/main/methods/index/faiss.py:40-51):
+    * the first run featurizes `--input` once and writes the feature rows as
+    * the `corpus_features` table under that root; every later run reads the
+    * table and NEVER touches `--input` (no payload decode, no re-hash — the
+    * corpus-side cost per run drops from a full featurization to a parquet
+    * scan of the signature columns). With `mergeNew = true` the new batch's
+    * feature rows are upserted (MERGE INTO, keyed by image id) into the
+    * table after the evidence is written, so tomorrow's corpus includes
+    * today's accepted batch. */
   def run(spark: SparkSession, input: String, output: String,
       cfg: DedupConfig, checkpoint: Option[String] = None,
       runId: String = "run", partitions: Int = 0,
-      incremental: Option[String] = None): Unit = {
+      incremental: Option[String] = None,
+      corpusFeatures: Option[String] = None,
+      mergeNew: Boolean = false): Unit = {
+    require(!mergeNew || (incremental.nonEmpty && corpusFeatures.nonEmpty),
+      "--merge-new requires --incremental and --corpus-features")
+    require(corpusFeatures.isEmpty || incremental.nonEmpty,
+      "--corpus-features only applies to --incremental mode")
     // input is a LOCATION (the table itself); output is a TableIO ROOT the
     // result tables are written under by bare name
     val outIo = TableIO.resolve(spark, output)
     val parts =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val store = checkpoint.map(new CheckpointStore(spark, _, runId))
 
-    val feat = Ingest.run(spark, TableIO.readLocation(spark, input), cfg,
-      partitions = parts)
     incremental match {
       case Some(newDir) =>
         val newFeat = Ingest.run(spark,
           TableIO.readLocation(spark, newDir), cfg, partitions = parts)
+        val featIo = corpusFeatures.map(TableIO.resolve(spark, _))
+        val corpusFeat = featIo match {
+          case Some(io) if io.exists("corpus_features") =>
+            // later runs: the persisted table IS the corpus — `input` is
+            // not read at all (MainSpec proves it with a bogus input path)
+            io.read("corpus_features")
+          case other =>
+            val f = Ingest.run(spark, TableIO.readLocation(spark, input),
+              cfg, partitions = parts)
+            other match {
+              case Some(io) =>
+                io.write(f, "corpus_features")
+                f.unpersist()
+                // downstream consumers scan the written parquet instead of
+                // holding the Ingest plan + cache
+                io.read("corpus_features")
+              case None => f
+            }
+        }
         outIo.write(Validate.report(newFeat), "validation")
-        outIo.write(
-          DedupPipeline.incrementalPairs(spark, newFeat, feat, cfg),
-          "incremental_pairs")
+        val pairs = store match {
+          case Some(s) => s.stage("incremental_pairs") {
+            DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg)
+          }
+          case None =>
+            DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg)
+        }
+        outIo.write(pairs, "incremental_pairs")
+        store.foreach(s => outIo.write(s.metrics(), "metrics"))
+        store.foreach(s => outIo.write(s.lineage(), "lineage"))
+        // merge-back AFTER the evidence is on disk: a failed run must not
+        // have half-joined the batch into the corpus
+        if (mergeNew)
+          featIo.foreach(_.upsert(newFeat, "corpus_features", Seq("id")))
         newFeat.unpersist()
       case None =>
-        val store = checkpoint.map(new CheckpointStore(spark, _, runId))
+        val feat = Ingest.run(spark, TableIO.readLocation(spark, input), cfg,
+          partitions = parts)
         val result = DedupPipeline.runFromFeatures(spark, feat, cfg, store)
         outIo.write(Validate.report(feat), "validation")
         outIo.write(result.assignments, "assignments")
         outIo.write(result.dupPairs, "dup_pairs")
         store.foreach(s => outIo.write(s.metrics(), "metrics"))
         store.foreach(s => outIo.write(s.lineage(), "lineage"))
+        feat.unpersist()
     }
-    feat.unpersist()
   }
 }

@@ -187,10 +187,19 @@ object SparkEntry {
     }),
 
     "q14_lang_stopwords" -> ((s, d) => {
+      // stopword_ratio (2x regexp_replace + split + regexp_count) is
+      // projected ONCE and both outputs derive from the column: inlining
+      // lang_id(text) would evaluate the whole chain a second time per row
+      // if codegen subexpression elimination doesn't fire on the projection.
+      // Two selects stay two Projects — CollapseProject refuses to inline a
+      // non-cheap producer referenced more than once. pred_lang thresholds
+      // the UNROUNDED ratio (the lang_id contract and the oracle's CASE).
       t(s, d, "documents")
+        .select(col("doc_id"), stopword_ratio(col("text")).as("__sr"))
         .select(col("doc_id"),
-          round(stopword_ratio(col("text")), 4).as("stop_ratio"),
-          lang_id(col("text")).as("pred_lang"))
+          round(col("__sr"), 4).as("stop_ratio"),
+          when(col("__sr") >= 0.08, lit("en")).otherwise(lit("other"))
+            .as("pred_lang"))
         .orderBy("doc_id")
     }),
 
@@ -354,19 +363,25 @@ object SparkEntry {
       // endpoints are engine-specific (seeded Poisson resampling), but the
       // run emits STRUCTURAL invariants a SQL oracle can check exactly —
       // the q25/q30 pattern: the input stats (n_rows, data mean) recomputed
-      // by the oracle from the table, the resample count as configured, and
-      // the CI's defining order/bracketing/range properties, each of which
-      // holds for ANY correct bootstrap (resample means are convex
-      // combinations of the data, so min <= ci_lo <= mean <= ci_hi <= max).
-      // Exact percentile values stay spec-gated in MetricsSpec (determinism
-      // + hand-computed cases).
+      // by the oracle from the table, the resample count DERIVED from the
+      // bootstrap's own output (bootstrapCI counts its resample means — a
+      // literal here would verify nothing), and the CI's order/range
+      // properties. ci_lo <= ci_hi and [v_min, v_max] containment hold for
+      // ANY correct bootstrap (resample means are convex combinations of
+      // the data); ci_brackets_mean — avg of resample means inside their
+      // own 2.5/97.5 percentile band — is NOT universal for arbitrarily
+      // skewed resample-mean distributions, but the draw is fully seeded
+      // and deterministic, so on THIS table it is a stable reproducible
+      // bit, not a flaky assertion. Exact percentile values stay
+      // spec-gated in MetricsSpec (determinism + hand-computed cases).
       val ev = t(s, d, "events")
       val ci = Metrics.bootstrapCI(ev, "value", "event_id")
       val stats = ev.agg(count(lit(1)).as("n_rows"),
         round(avg("value"), 4).as("data_mean"),
         min("value").as("v_min"), max("value").as("v_max"))
       ci.crossJoin(stats).select(
-        col("n_rows"), col("data_mean"), lit(100).as("resamples"),
+        col("n_rows"), col("data_mean"),
+        col("n_resamples").cast("int").as("resamples"),
         (col("ci_lo") <= col("ci_hi")).as("ci_ordered"),
         (col("ci_lo") <= col("mean") && col("mean") <= col("ci_hi"))
           .as("ci_brackets_mean"),
@@ -910,6 +925,52 @@ object SparkEntry {
       Dedup.semanticDedupGroups(embWithExactDups(s, d), "vec_id", "embedding",
           cosineMin = 0.999, nlist = 16)
         .orderBy("id")
+    }),
+
+    "q63_tfidf_index_topk" -> ((s, d) => {
+      // TF-IDF as the retrieval INDEX (reference eval_lerch_as_index.py:
+      // 36-38): candidates come from the sparse posting-list join itself,
+      // score = sum(idf^2) over shared distinct tokens, per-query top-10.
+      // Queries = every 25th doc; self-matches excluded (the reference
+      // retrieval never returns the anchor). Rank is computed on the
+      // ROUNDED score so tie-breaking (item_id asc) is oracle-deterministic
+      // — raw double sums can differ in the last ulp across engines'
+      // summation orders and silently swap a tie.
+      val docs = t(s, d, "documents")
+      val queries = docs.where(col("doc_id") % 25 === 0)
+      val scored = TextScores.tfidfIndexScores(docs, queries, "doc_id", "text")
+        .where(col("query_id") =!= col("item_id"))
+        .withColumn("score", round(col("score"), 4))
+      Ranking.topKItems(scored, 10)
+        .select("query_id", "item_id", "rank", "score")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q64_bipartite_hotkey" -> ((s, d) => {
+      // planted-hot-key gate for the incremental dedup join
+      // (CandidateGen.bipartitePairsFromBuckets): ~40% of each side shares
+      // band key 0 (the degenerate-boilerplate shape), the rest spread over
+      // 96 cold keys. maxBucketSize = 64 puts key 0 far over the
+      // 64*63/2-pair volume ceiling, so BOTH oversized paths execute:
+      // `salted` must equal the exact cross-pair set (grid salting is a
+      // plan device, not a semantics change) and `degrade` must keep only
+      // each left row x the hot key's 8 smallest-id right rows. The oracle
+      // recomputes both sets in plain SQL.
+      val docs = t(s, d, "documents")
+      val key = when(col("doc_id") % 10 < 4, lit(0L))
+        .otherwise(col("doc_id") % 97)
+      val l = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("a"), key.as("key"))
+      val r = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("b"), key.as("key"))
+      CandidateGen.bipartitePairsFromBuckets(l, r, maxBucketSize = 64,
+          saltOversized = false)
+        .withColumn("mode", lit("degrade"))
+        .unionByName(CandidateGen.bipartitePairsFromBuckets(l, r,
+            maxBucketSize = 64, saltOversized = true)
+          .withColumn("mode", lit("salted")))
+        .select("mode", "a", "b")
+        .orderBy("mode", "a", "b")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -1135,8 +1196,11 @@ object SparkEntry {
 
     "q29_bootstrap_ci" ->
       // structural oracle (the q25/q30 pattern): input stats recomputed from
-      // the table + the CI's defining invariants, which hold for ANY correct
-      // bootstrap; exact percentile endpoints stay spec-gated (MetricsSpec)
+      // the table + the CI's invariants. `resamples` on the Spark side is
+      // COUNTED from the bootstrap's own resample-means frame, so this row
+      // checks the configured draw actually happened; ci_ordered /
+      // ci_within_data_range hold for any correct bootstrap,
+      // ci_brackets_mean is a deterministic (seeded) bit on this table
       """SELECT count(*) AS n_rows, round(avg(value), 4) AS data_mean,
          100 AS resamples, TRUE AS ci_ordered, TRUE AS ci_brackets_mean,
          TRUE AS ci_within_data_range
@@ -1638,5 +1702,77 @@ object SparkEntry {
          FROM embeddings
          UNION ALL
          SELECT vec_id + 100000, vec_id, FALSE FROM embeddings
-         ORDER BY id""")
+         ORDER BY id""",
+
+    "q63_tfidf_index_topk" ->
+      // posting-list retrieval recomputed in SQL: per-doc distinct tokens
+      // (the normalize_text pipeline), idf = 1 + ln(N/(df+1)) from corpus
+      // stats, score = sum(idf^2) over shared tokens, rank on the ROUNDED
+      // score with item_id tie-break (matching the Spark side exactly)
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(string_split(
+             regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'), ' '), x -> length(x) > 0))) AS token
+           FROM documents),
+         idf AS (
+           SELECT token,
+             1.0 + ln((SELECT count(*) FROM documents) * 1.0 / (count(*) + 1))
+               AS idf
+           FROM toks GROUP BY token),
+         scored AS (
+           SELECT q.doc_id AS query_id, p.doc_id AS item_id,
+             round(sum(i.idf * i.idf), 4) AS score
+           FROM toks q
+           JOIN toks p ON q.token = p.token AND q.doc_id <> p.doc_id
+           JOIN idf i ON i.token = q.token
+           WHERE q.doc_id % 25 = 0
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, item_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, item_id) AS rank
+           FROM scored)
+         SELECT query_id, item_id, rank, score FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q64_bipartite_hotkey" ->
+      // both oversized-key paths recomputed in SQL: `salted` is the exact
+      // cross-pair set per shared key (grid salting never changes the SET);
+      // `degrade` replaces each over-ceiling key's pairs by left x the 8
+      // smallest-id right rows (the bounded sample). Volume ceiling =
+      // 64 * 63 / 2 pairs per key, the batch path's unsalted-bucket max.
+      """WITH l AS (
+           SELECT doc_id AS a,
+             CASE WHEN doc_id % 10 < 4 THEN 0 ELSE doc_id % 97 END AS key
+           FROM documents WHERE doc_id % 2 = 0),
+         r AS (
+           SELECT doc_id AS b,
+             CASE WHEN doc_id % 10 < 4 THEN 0 ELSE doc_id % 97 END AS key
+           FROM documents WHERE doc_id % 2 = 1),
+         kc AS (
+           SELECT la.key, la.n AS na, rb.n AS nb
+           FROM (SELECT key, count(*) AS n FROM l GROUP BY key) la
+           JOIN (SELECT key, count(*) AS n FROM r GROUP BY key) rb
+             USING (key)),
+         small AS (SELECT key FROM kc WHERE na * nb <= 64 * 63 / 2),
+         big AS (SELECT key FROM kc WHERE na * nb > 64 * 63 / 2),
+         topr AS (
+           SELECT key, b FROM (
+             SELECT key, b, row_number() OVER (PARTITION BY key ORDER BY b)
+               AS rn
+             FROM r WHERE key IN (SELECT key FROM big))
+           WHERE rn <= 8),
+         degrade AS (
+           SELECT DISTINCT a, b FROM (
+             SELECT l.a, r.b FROM l JOIN r USING (key)
+             WHERE key IN (SELECT key FROM small)
+             UNION ALL
+             SELECT l.a, topr.b FROM l JOIN topr USING (key))),
+         salted AS (
+           SELECT DISTINCT l.a, r.b FROM l JOIN r USING (key)
+           WHERE key IN (SELECT key FROM kc))
+         SELECT 'degrade' AS mode, a, b FROM degrade
+         UNION ALL
+         SELECT 'salted' AS mode, a, b FROM salted
+         ORDER BY mode, a, b""")
 }

@@ -199,7 +199,11 @@ object Metrics {
     means.agg(
       avg("mean").as("mean"),
       expr(s"percentile(mean, $lo)").as("ci_lo"),
-      expr(s"percentile(mean, $hi)").as("ci_hi"))
+      expr(s"percentile(mean, $hi)").as("ci_hi"),
+      // the ACTUAL resample count, derived from the means frame — lets a
+      // caller verify the configured draw really happened instead of
+      // echoing the parameter back
+      count(lit(1)).as("n_resamples"))
   }
 
   /**

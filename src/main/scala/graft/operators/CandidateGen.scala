@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,92 @@ object CandidateGen {
       }
 
     allPairs.union(bigPairs).distinct()
+  }
+
+  /**
+   * BIPARTITE candidate-pair generation — the incremental-dedup shape: LEFT
+   * bucket rows (`a`, `key`) of a new batch against RIGHT bucket rows (`b`,
+   * `key`) of an existing corpus, cross-side pairs only. A bare equi-join on
+   * `key` bounds nothing here: AQE skew-splitting fixes TASK balance, not
+   * candidate VOLUME — one degenerate band key (near-identical boilerplate,
+   * which the batch DAG's exact-group collapse folds but raw bipartite
+   * frames do not) shared by 1e5 corpus rows and 1e4 new rows emits 1e9
+   * verify pairs from that single key. So keys are volume-profiled first,
+   * mirroring [[pairsFromBuckets]]: a key is oversized when its cross
+   * product n_a * n_b exceeds maxBucketSize * (maxBucketSize - 1) / 2 — the
+   * exact max pair count an unsalted batch bucket can emit, so the two
+   * paths share one volume ceiling per key.
+   *
+   *  - Small keys join directly (exact LSH semantics).
+   *  - Oversized keys with `saltOversized = true` keep EXACT semantics via
+   *    bipartite grid salting: each side is hash-salted into ceil(n /
+   *    maxBucketSize) sub-groups and replicated across the OTHER side's
+   *    sub-group indices, so pair (u, v) meets exactly once — in cell
+   *    (s_u, s_v), whose sides are ~maxBucketSize rows each — and no task
+   *    ever holds a whole key. The O(n_a * n_b) output is inherent to exact
+   *    semantics; the salting only spreads it.
+   *  - Oversized keys with `saltOversized = false` degrade to bounded work:
+   *    each left row meets only the key's `neighborhood` smallest-id right
+   *    rows (volume O(n_a * neighborhood)). The sampled-evidence trade is
+   *    the same as the batch sorted-neighborhood fallback: right for
+   *    degenerate boilerplate keys whose exact pair set is quadratic
+   *    garbage, wrong for legitimate giant duplicate groups — opt into
+   *    salting when pair-level recall must survive those.
+   *
+   * @param left  (`a`, `key`: Long) bucket rows
+   * @param right (`b`, `key`: Long) bucket rows
+   * @return distinct cross-side pairs (`a`, `b`); `a` = `b` is possible when
+   *         the same id legitimately appears on both sides (re-crawl) and is
+   *         NOT filtered here — sides are distinct populations by contract.
+   */
+  def bipartitePairsFromBuckets(left: DataFrame, right: DataFrame,
+      maxBucketSize: Int = 4096, neighborhood: Int = 8,
+      saltOversized: Boolean = false): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize($maxBucketSize) must exceed 1")
+    val capPairs = maxBucketSize.toLong * (maxBucketSize - 1) / 2
+    // keys absent from either side generate nothing: inner count join
+    val kc = left.groupBy("key").agg(count(lit(1)).as("n_a"))
+      .join(right.groupBy("key").agg(count(lit(1)).as("n_b")), "key")
+    val vol = col("n_a") * col("n_b")
+    val l = left.join(kc, "key")
+    val r = right.join(kc, "key")
+
+    val smallPairs = l.where(vol <= capPairs).select("a", "key")
+      .join(r.where(vol <= capPairs).select("b", "key"), "key")
+      .select("a", "b")
+
+    val bigL = l.where(vol > capPairs)
+    val bigR = r.where(vol > capPairs)
+    val bigPairs =
+      if (saltOversized) {
+        // grid cell (i, j): left row u lands in column s_u and replicates
+        // across all gB rows, right row v lands in row s_v and replicates
+        // across all gA columns; (u, v) meet exactly once, at (s_u, s_v)
+        def g(n: Column) = (floor((n - 1) / lit(maxBucketSize)) + 1).cast("int")
+        val ls = bigL
+          .withColumn("sa", pmod(xxhash64(col("a")), g(col("n_a"))).cast("int"))
+          .select(col("key"), col("a"), col("sa"),
+            explode(sequence(lit(0), g(col("n_b")) - 1)).as("jb"))
+        val rs = bigR
+          .withColumn("sb", pmod(xxhash64(col("b")), g(col("n_b"))).cast("int"))
+          .select(col("key").as("rkey"), col("b"), col("sb"),
+            explode(sequence(lit(0), g(col("n_a")) - 1)).as("ia"))
+        ls.join(rs, col("key") === col("rkey") &&
+            col("sa") === col("ia") && col("jb") === col("sb"))
+          .select("a", "b")
+      } else {
+        // bounded degrade: the per-key window sorts n_b rows in one task —
+        // bounded WORK (sort, no pair blow-up); its output is neighborhood
+        // rows per key
+        val topR = bigR.select(col("key"), col("b"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("key").orderBy("b")))
+          .where(col("rn") <= neighborhood)
+          .select("key", "b")
+        bigL.select("a", "key").join(topR, "key").select("a", "b")
+      }
+
+    smallPairs.union(bigPairs).distinct()
   }
 
   /**

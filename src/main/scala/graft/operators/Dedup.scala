@@ -300,9 +300,13 @@ object Dedup {
    * band-key scheme). The band equi-join generates only new-vs-corpus
    * candidates: never corpus-corpus (the corpus is already deduped by
    * contract) and never new-new (self-dedup the batch with
-   * [[minhashLshPairs]] separately when wanted). A bipartite equi-join
-   * needs no triangular salting — no task ever materializes a whole
-   * bucket, and hot band keys are AQE skew-split like any join skew.
+   * [[minhashLshPairs]] separately when wanted). Hot band keys are bounded
+   * by [[CandidateGen.bipartitePairsFromBuckets]]: AQE skew-splitting alone
+   * would fix task balance but not candidate VOLUME — a degenerate band key
+   * shared by 1e5 corpus and 1e4 new rows would emit 1e9 verify pairs, the
+   * first thing a daily ingest hits at a 100 TB corpus. Keys over the
+   * cfg.maxBucketSize volume ceiling are salted (exact, spread) or degraded
+   * (bounded sample) per cfg.saltOversized, matching the batch path.
    *
    * @return (a = new id, b = corpus id, jaccard) with jaccard >= cfg.jaccardMin
    */
@@ -319,7 +323,8 @@ object Dedup {
     val cb = CandidateGen.explodeBands(
       cf.where(size(col("shingles")) > 0), "id", "band_keys")
       .select(col("id").as("b"), col("key"))
-    val pairs = nb.join(cb, "key").select("a", "b").distinct()
+    val pairs = CandidateGen.bipartitePairsFromBuckets(nb, cb,
+      cfg.maxBucketSize, saltOversized = cfg.saltOversized)
     val fa = nf.select(col("id").as("a"), col("shingles").as("sh_a"))
     val fb = cf.select(col("id").as("b"), col("shingles").as("sh_b"))
     pairs.join(fa, "a").join(fb, "b")

@@ -86,6 +86,49 @@ object TextScores {
   }
 
   /**
+   * TF-IDF as the retrieval INDEX — the reference's eval-Lerch-as-index
+   * configuration (reference: ea/sim/dev/evaluation/eval_lerch_as_index
+   * .py:36-38: TfIdfEncoder + WeightedIPSimilarity through
+   * IndexRetrievalModel): no candidate pair list is given; the sparse
+   * posting-list join IS the candidate generation. Every corpus doc sharing
+   * >= 1 distinct token with a query is scored by the Lerch weighted inner
+   * product sum(idf(t)^2) over shared tokens ([[lerchPairScores]]' kernel).
+   *
+   * Scale shape: postings (item, token, idf) and query tokens shuffle on
+   * `token`. The hot tokens of a Zipfian corpus are exactly the LOW-idf
+   * ones whose score contribution is smallest — `minIdf` prunes postings
+   * below it (the classic stopword cut that bounds posting-list length;
+   * 0.0 keeps everything). Nothing is ever |vocab|-dense and no per-query
+   * corpus scan exists; docs sharing no indexed token with a query are
+   * definitionally unreachable through an inverted index and score 0 by
+   * omission.
+   *
+   * @return (query_id, item_id, score) — unranked; compose with
+   *         [[Ranking.topKItems]] (or [[tfidfIndexTopK]]) for retrieval
+   */
+  def tfidfIndexScores(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, minIdf: Double = 0.0): DataFrame = {
+    val idf0 = idfTable(corpus, idCol, textCol).select("token", "idf")
+    val idf = if (minIdf > 0.0) idf0.where(col("idf") >= minIdf) else idf0
+    val postings = corpus.select(col(idCol).as("item_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .join(idf, "token")
+    val qtoks = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    qtoks.join(postings, "token")
+      .groupBy("query_id", "item_id")
+      .agg(sum(col("idf") * col("idf")).as("score"))
+  }
+
+  /** [[tfidfIndexScores]] + per-query top-k — the full retrieval model
+    * (reference retrieval top-n, ea/sim/main/methods/retrieval_model
+    * .py:15-21, with the TF-IDF index in place of FAISS). Rank ties break
+    * on item_id (the [[Ranking.topKItems]] contract). */
+  def tfidfIndexTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int, minIdf: Double = 0.0): DataFrame =
+    Ranking.topKItems(tfidfIndexScores(corpus, queries, idCol, textCol, minIdf), k)
+
+  /**
    * Repetition-based quality signals per document — the Gopher/FineWeb
    * heuristic family (Rae et al. 2021 §A1.1 repetition filters): the
    * distinct-token ratio and the duplicate-bigram fraction, both pure

@@ -197,15 +197,34 @@ object DedupPipeline {
   /**
    * Incremental mode: near-dup evidence of a NEW batch against an EXISTING
    * corpus — bipartite only (never corpus-corpus: the corpus is already
-   * deduped; never new-new: run the batch DAG on the batch for that). Both
-   * signature families generate candidates (caption band keys + SimHash
-   * chunk keys, the chunk scheme sized by the CORPUS count so both sides
-   * emit identical key layouts) and the shared [[graft.operators
-   * .VerifyStage]] OR-rule verifies — the same evidence semantics as the
-   * batch DAG, restricted to cross-batch pairs. The daily-ingest shape: at
-   * 100 TB the corpus-side feature/bucket rows are precomputed and persisted
-   * across runs; only the new batch is featurized per run (the reference's
-   * incremental index insert, faiss.py:40-51).
+   * deduped; never new-new: run the batch DAG on the batch for that). All
+   * candidate families the batch DAG runs generate here too: caption band
+   * keys, SimHash chunk keys (the chunk scheme sized by the CORPUS count so
+   * both sides emit identical key layouts), and — when the LCS detector is
+   * enabled (cfg.lcsMin > cfg.anchorK, the batch-DAG gate) — winnowed
+   * anchors, without which long-match recall would silently degrade to
+   * band/chunk-collision-gated. The shared [[graft.operators.VerifyStage]]
+   * OR-rule verifies: the same evidence semantics as the batch DAG,
+   * restricted to cross-batch pairs.
+   *
+   * Hot keys are bounded by [[CandidateGen.bipartitePairsFromBuckets]]
+   * (cfg.maxBucketSize volume ceiling, cfg.saltOversized exact-vs-degrade):
+   * raw bipartite frames get no exact-group collapse, so a degenerate
+   * near-identical-boilerplate key is otherwise an unbounded candidate
+   * volume — the first thing a daily ingest hits at a 100 TB corpus.
+   *
+   * Join identity is salted PER SIDE (xxhash64(side-tag, id)): the same
+   * image_id may legitimately appear in both frames (a daily re-crawl,
+   * possibly with changed content), and un-salted content-free nids would
+   * alias the two rows — the verify joins would fan out and attribute one
+   * side's features to the other. With side salting an id overlap is just
+   * two distinct nodes; a (x, x) output pair means "the new crawl of x
+   * still near-matches the corpus's x".
+   *
+   * The daily-ingest shape at 100 TB: the corpus-side feature rows are
+   * precomputed and persisted across runs (see [[graft.Main]]
+   * `--corpus-features`); only the new batch is featurized per run — the
+   * reference's incremental index insert (faiss.py:40-51).
    *
    * @param newFeat    [[features]]/[[graft.operators.Ingest.run]] frame of
    *                   the new batch
@@ -215,22 +234,35 @@ object DedupPipeline {
   def incrementalPairs(spark: SparkSession, newFeat: DataFrame,
       corpusFeat: DataFrame, cfg: DedupConfig): DataFrame = {
     val nCorpus = corpusFeat.count()
-    def buckets(f: DataFrame): DataFrame =
-      CandidateGen.explodeBands(f.where(size(col("shingles")) > 0),
+    // side-salted join identity: see the doc comment — never the frames' own
+    // content-free nid, which collides when an id appears on both sides
+    def salted(f: DataFrame, tag: Int): DataFrame =
+      f.withColumn("nid", xxhash64(lit(tag), col("id")))
+    val nf = salted(newFeat, 0)
+    val cf = salted(corpusFeat, 1)
+    def buckets(f: DataFrame): DataFrame = {
+      val base = CandidateGen.explodeBands(f.where(size(col("shingles")) > 0),
           "nid", "band_keys")
         .union(CandidateGen.simhashChunkBuckets(f, "nid", "simhash",
           cfg.hammingMax, nCorpus))
-    val cand = buckets(newFeat).select(col("id").as("a"), col("key"))
-      .join(buckets(corpusFeat).select(col("id").as("b"), col("key")), "key")
-      .select("a", "b").distinct()
-    val featByNid = newFeat.unionByName(corpusFeat)
+      if (cfg.lcsMin > cfg.anchorK)
+        base.union(f.select(col("nid").as("id"),
+          explode(winnow_anchors(col("norm_text"), cfg.anchorK,
+            cfg.lcsMin - cfg.anchorK + 1, cfg.seed)).as("key")))
+      else base
+    }
+    val cand = CandidateGen.bipartitePairsFromBuckets(
+      buckets(nf).select(col("id").as("a"), col("key")),
+      buckets(cf).select(col("id").as("b"), col("key")),
+      cfg.maxBucketSize, saltOversized = cfg.saltOversized)
+    val featByNid = nf.unionByName(cf)
       .select(col("nid").as("id"), col("shingles"), col("simhash"),
         col("norm_text"))
     val verified = VerifyStage.verify(cand, featByNid, cfg)
       .where(col("is_dup"))
     verified
-      .join(newFeat.select(col("nid").as("a"), col("id").as("__a")), "a")
-      .join(corpusFeat.select(col("nid").as("b"), col("id").as("__b")), "b")
+      .join(nf.select(col("nid").as("a"), col("id").as("__a")), "a")
+      .join(cf.select(col("nid").as("b"), col("id").as("__b")), "b")
       .select(col("__a").as("a"), col("__b").as("b"),
         col("jaccard"), col("hamming"))
   }

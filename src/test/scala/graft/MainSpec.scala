@@ -78,6 +78,85 @@ class MainSpec extends SparkSpec {
       reingested.count() + foreign.count())
   }
 
+  test("incremental --corpus-features: featurize once, later runs skip the corpus") {
+    val in = "/tmp/graft_main_spec/cf_corpus"
+    val nb = "/tmp/graft_main_spec/cf_new"
+    val out1 = "/tmp/graft_main_spec/cf_out1"
+    val out2 = "/tmp/graft_main_spec/cf_out2"
+    val cf = "/tmp/graft_main_spec/cf_feat"
+    Seq(in, nb, out1, out2, cf).foreach(rmrf)
+    val corpus = ImageGen.generate(spark, bases = 15, seed = 42L).toDF()
+    corpus.write.mode("overwrite").parquet(in)
+    val nCorpus = corpus.count()
+    val fresh = corpus.limit(6)
+      .withColumn("image_id", concat(lit("new_"), col("image_id")))
+    fresh.write.mode("overwrite").parquet(nb)
+    val nNew = fresh.count()
+
+    // run 1: featurizes --input once and persists the feature table
+    Main.run(spark, in, out1, DedupConfig.default, partitions = 4,
+      incremental = Some(nb), corpusFeatures = Some(cf))
+    val featTable = spark.read.parquet(s"$cf/corpus_features.parquet")
+    assert(featTable.count() == nCorpus)
+    val p1 = spark.read.parquet(s"$out1/incremental_pairs.parquet")
+      .orderBy("a", "b").collect().toSeq
+
+    // run 2: --input is a BOGUS path — the run can only succeed if the
+    // persisted feature table fully replaces corpus featurization
+    Main.run(spark, "/nonexistent/never_read", out2, DedupConfig.default,
+      partitions = 4, incremental = Some(nb), corpusFeatures = Some(cf),
+      mergeNew = true)
+    val p2 = spark.read.parquet(s"$out2/incremental_pairs.parquet")
+      .orderBy("a", "b").collect().toSeq
+    assert(p1 == p2, "persisted-features run must reproduce the pairs exactly")
+
+    // --merge-new upserted the batch: the reference's incremental index
+    // insert — tomorrow's corpus includes today's batch
+    val merged = spark.read.parquet(s"$cf/corpus_features.parquet")
+    assert(merged.count() == nCorpus + nNew)
+    // run 3 against the merged table: every new row now matches its own
+    // corpus copy exactly (identical payload under the same id)
+    val out3 = "/tmp/graft_main_spec/cf_out3"
+    rmrf(out3)
+    Main.run(spark, "/nonexistent/never_read", out3, DedupConfig.default,
+      partitions = 4, incremental = Some(nb), corpusFeatures = Some(cf))
+    val selfPairs = spark.read.parquet(s"$out3/incremental_pairs.parquet")
+      .where(col("a") === col("b")).count()
+    assert(selfPairs == nNew,
+      "each batch row must match its merged-in corpus self")
+
+    intercept[IllegalArgumentException] {
+      Main.run(spark, in, out1, DedupConfig.default, mergeNew = true)
+    }
+  }
+
+  test("incremental --checkpoint stages the pairs and resumes") {
+    val in = "/tmp/graft_main_spec/ick_corpus"
+    val nb = "/tmp/graft_main_spec/ick_new"
+    val out = "/tmp/graft_main_spec/ick_out"
+    val ck = "/tmp/graft_main_spec/ick_ck"
+    Seq(in, nb, out, ck).foreach(rmrf)
+    val corpus = ImageGen.generate(spark, bases = 12, seed = 42L).toDF()
+    corpus.write.mode("overwrite").parquet(in)
+    corpus.limit(4)
+      .withColumn("image_id", concat(lit("new_"), col("image_id")))
+      .write.mode("overwrite").parquet(nb)
+
+    Main.run(spark, in, out, DedupConfig.default, Some(ck), "i1",
+      partitions = 4, incremental = Some(nb))
+    val m1 = spark.read.parquet(s"$out/metrics.parquet")
+      .where(col("stage") === "incremental_pairs")
+    assert(m1.count() == 1, "incremental run must record its staged metrics")
+    assert(spark.read.parquet(s"$out/lineage.parquet").count() > 0)
+
+    // resume: the staged pairs are reused, no second metric row
+    Main.run(spark, in, out, DedupConfig.default, Some(ck), "i1",
+      partitions = 4, incremental = Some(nb))
+    val m2 = spark.read.parquet(s"$out/metrics.parquet")
+      .where(col("stage") === "incremental_pairs")
+    assert(m2.count() == 1, "resumed incremental run must not recompute")
+  }
+
   test("configOf applies --set overrides and rejects unknown keys") {
     val c = Main.configOf(Map("hammingMax" -> "2", "jaccardMin" -> "0.7",
       "forgetDays" -> "14", "dupAttach" -> "false", "saltOversized" -> "true"))

@@ -77,6 +77,75 @@ class CandidateGenSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("bipartite: small keys exact, one-sided keys nothing, cross-key dedup") {
+    val left = Seq((1L, 100L), (2L, 100L), (3L, 200L), (4L, 999L),
+      (1L, 300L)).toDF("a", "key")
+    val right = Seq((10L, 100L), (11L, 100L), (12L, 200L), (13L, 888L),
+      (10L, 300L), (1L, 300L)).toDF("b", "key")
+    val got = CandidateGen.bipartitePairsFromBuckets(left, right)
+      .as[(Long, Long)].collect().toSet
+    // key 100: {1,2} x {10,11}; key 200: {3} x {12}; keys 999/888 one-sided;
+    // key 300 re-emits (1,10) — deduped — and allows the a == b pair (1,1)
+    // (re-crawl of the same id: sides are distinct populations by contract)
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 12L), (1L, 1L)))
+  }
+
+  test("bipartite salted: planted hot key keeps EXACT cross-pair semantics") {
+    // hot key 7: 40 x 25 = 1000 pairs >> cap 6*5/2 = 15; cold keys mixed;
+    // plus a pair reachable through both a cold and the hot key (dedup)
+    val left = ((0L until 40L).map(i => (i, 7L)) ++
+      Seq((0L, 50L), (1L, 60L), (2L, 60L))).toDF("a", "key")
+    val right = ((100L until 125L).map(i => (i, 7L)) ++
+      Seq((100L, 50L), (101L, 60L))).toDF("b", "key")
+    val got = CandidateGen.bipartitePairsFromBuckets(left, right,
+      maxBucketSize = 6, saltOversized = true).as[(Long, Long)].collect()
+    val lrows = left.as[(Long, Long)].collect()
+    val rrows = right.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, k1) <- lrows; (b, k2) <- rrows if k1 == k2
+    } yield (a, b)).toSet
+    assert(got.toSet == brute)
+    assert(got.length == brute.size, "salted output must already be distinct")
+  }
+
+  test("bipartite salted matches brute force on a randomized skewed keyspace") {
+    val rng = new scala.util.Random(42)
+    def side(n: Int, off: Long) = (0 until n).map { i =>
+      (off + i, math.floor(math.sqrt(rng.nextInt(150).toDouble)).toLong)
+    }
+    val l = side(800, 0L); val r = side(600, 10000L)
+    val got = CandidateGen.bipartitePairsFromBuckets(
+      l.toDF("a", "key"), r.toDF("b", "key"),
+      maxBucketSize = 9, saltOversized = true).as[(Long, Long)].collect().toSet
+    val rByKey = r.groupBy(_._2)
+    val brute = l.flatMap { case (a, k) =>
+      rByKey.getOrElse(k, Nil).map { case (b, _) => (a, b) }
+    }.toSet
+    assert(got == brute)
+  }
+
+  test("bipartite degrade BOUNDS hot-key candidate volume") {
+    // the round-4 scale gap: one degenerate key shared by n_a new and n_b
+    // corpus rows must NOT emit n_a * n_b pairs when unsalted
+    val nA = 200L; val nB = 300L
+    val left = ((0L until nA).map(i => (i, 7L)) ++
+      Seq((0L, 50L), (1L, 50L))).toDF("a", "key")
+    val right = ((1000L until (1000L + nB)).map(i => (i, 7L)) ++
+      Seq((500L, 50L))).toDF("b", "key")
+    val got = CandidateGen.bipartitePairsFromBuckets(left, right,
+      maxBucketSize = 10, neighborhood = 4, saltOversized = false)
+      .as[(Long, Long)].collect().toSet
+    // hot key: each left row meets exactly the 4 smallest-id right rows
+    val hotExpected = (for {
+      a <- 0L until nA; b <- 1000L until 1004L
+    } yield (a, b)).toSet
+    val coldExpected = Set((0L, 500L), (1L, 500L))
+    assert(got == hotExpected ++ coldExpected)
+    assert(got.size.toLong < nA * nB / 10,
+      "degrade must stay far below the cross product")
+  }
+
   test("simhash subset buckets guarantee a candidate at hamming <= hammingMax") {
     val df = Seq((1L, 0x0123456789ABCDEFL),
       (2L, 0x0123456789ABCDEFL ^ (1L << 3) ^ (1L << 20) ^ (1L << 63)))

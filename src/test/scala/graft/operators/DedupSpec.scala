@@ -218,6 +218,28 @@ class DedupSpec extends SparkSpec {
     assert((got diff oracle).isEmpty, "verified pairs not in oracle")
   }
 
+  test("incremental hot band key: degrade bounds volume, salting stays exact") {
+    // the round-4 scale gap: a degenerate boilerplate caption shared by the
+    // whole corpus AND the whole new batch puts every band key over the
+    // ceiling (raw bipartite frames get no exact-group collapse) — without
+    // per-key bounding this emits the full n_new * n_corpus cross product
+    val boiler = "identical boilerplate caption text repeated across the web"
+    val corpus = (0L until 60L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val fresh = (1000L until 1030L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val capped = cfg.copy(maxBucketSize = 8)
+    val degraded = Dedup.incrementalNearDupPairs(fresh, corpus,
+        "doc_id", "text", capped)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // every band key holds the same populations, so the degrade is exactly
+    // each new row x the 8 smallest-id corpus rows — 240 pairs, not 1800
+    assert(degraded == (for {
+      a <- 1000L until 1030L; b <- 0L until 8L
+    } yield (a, b)).toSet)
+    val salted = Dedup.incrementalNearDupPairs(fresh, corpus, "doc_id", "text",
+      capped.copy(saltOversized = true)).count()
+    assert(salted == 30L * 60L, "salting must keep the exact cross-pair set")
+  }
+
   test("group signatures: min-merge equals union signature on random groups") {
     val docs = corpus.toDF("doc_id", "text")
       .withColumn("grp", col("doc_id") % 7)

@@ -80,6 +80,28 @@ class TextScoresSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))      // no common token -> no row
   }
 
+  test("tfidf index retrieval: posting join scores, top-k ranks, minIdf prunes") {
+    // corpus idf (N=3): red/fox df=2 -> idf=1; jumps/sleeps/blue/whale/sings
+    // df=1 -> idf = 1 + ln(1.5)
+    val queries = docs.where($"doc_id" === 1L)
+    val got = TextScores.tfidfIndexTopK(docs, queries, "doc_id", "text", k = 3)
+      .select("query_id", "item_id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    val w1 = { val i = 1.0 + math.log(3.0 / 2); i * i } // df=1 tokens
+    // reachable items: self (red+fox+jumps), doc2 (red+fox); doc3 shares
+    // no token and must be ABSENT (inverted-index semantics), not scored 0
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 1L, 1), (1L, 2L, 2)))
+    assert(math.abs(got(0)._4 - (2.0 + w1)) < 1e-9) // self: red^2+fox^2+jumps^2
+    assert(math.abs(got(1)._4 - 2.0) < 1e-9)        // doc2: red^2+fox^2
+    // minIdf above the df=2 tokens' idf (1.0) prunes red/fox postings:
+    // only 'jumps' remains indexed for the query -> self-match only
+    val pruned = TextScores.tfidfIndexTopK(docs, queries, "doc_id", "text",
+        k = 3, minIdf = 1.1)
+      .select("item_id").as[Long].collect().toSeq
+    assert(pruned == Seq(1L))
+  }
+
   test("repetition signals: hand-computed ratios, degenerate text flagged") {
     val in = Seq(
       (1L, "a b c d"),          // all distinct: ratio 1, dup bigrams 0
