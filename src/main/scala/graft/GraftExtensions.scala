@@ -195,6 +195,16 @@ object GraftExtensions {
       arity("graft_quality", args, 1, 1)
       resolvedExpression(quality_score(column(args.head)))
     },
+    reg("graft_distinct_token_ratio",
+        "graft_distinct_token_ratio(s) - distinct/total whitespace-token ratio (repetition signal)") { args =>
+      arity("graft_distinct_token_ratio", args, 1, 1)
+      resolvedExpression(distinct_token_ratio(column(args.head)))
+    },
+    reg("graft_dup_bigram_frac",
+        "graft_dup_bigram_frac(s) - duplicated-bigram fraction (repetition signal)") { args =>
+      arity("graft_dup_bigram_frac", args, 1, 1)
+      resolvedExpression(dup_bigram_frac(column(args.head)))
+    },
     reg("graft_hamming64", "graft_hamming64(a, b) - Hamming distance of two 64-bit hashes") { args =>
       arity("graft_hamming64", args, 2, 2)
       resolvedExpression(hamming64(column(args.head), column(args(1))))

@@ -105,6 +105,36 @@ package object functions {
   def subword_count(c: Column): Column =
     F.regexp_count(c, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"))
 
+  /** Raw-string whitespace tokens with null degrading to the empty doc —
+    * the [[graft.operators.TextScores.repetitionSignals]] tokenization. */
+  private def rawTokens(c: Column): Column =
+    F.array_remove(F.split(F.coalesce(c, F.lit("")), " "), "")
+
+  /** Distinct-token ratio (Gopher/FineWeb repetition family, Rae et al.
+    * 2021 §A1.1), rounded to 4 places; empty/null text -> 1.0. Scalar
+    * counterpart of [[graft.operators.TextScores.repetitionSignals]] (which
+    * computes both signals off one shared token array — use it for whole-
+    * corpus scans; these exist so the SQL surface stays total). */
+  def distinct_token_ratio(c: Column): Column = {
+    val toks = rawTokens(c)
+    val n = F.size(toks)
+    F.round(F.when(n === 0, 1.0)
+      .otherwise(F.size(F.array_distinct(toks)).cast("double") / n), 4)
+  }
+
+  /** Duplicate-bigram fraction (same family), rounded to 4 places;
+    * fewer than two tokens -> 0.0. See [[distinct_token_ratio]]. */
+  def dup_bigram_frac(c: Column): Column = {
+    val toks = rawTokens(c)
+    val n = F.size(toks)
+    val bigrams = F.when(n < 2, F.array().cast("array<string>"))
+      .otherwise(F.transform(F.sequence(F.lit(0), n - 2), i =>
+        F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2))))
+    F.round(F.when(F.size(bigrams) === 0, 0.0)
+      .otherwise(F.lit(1.0) -
+        F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)), 4)
+  }
+
   private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
 

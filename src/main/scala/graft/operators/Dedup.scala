@@ -419,11 +419,33 @@ object Dedup {
   def semanticDedupGroups(embeddings: DataFrame, idCol: String, vecCol: String,
       cosineMin: Double, nlist: Int, iters: Int = 2,
       maxBucketSize: Int = 4096, saltOversized: Boolean = true,
+      persistFeatures: Boolean = true): DataFrame =
+    semanticDedupGroupsWith(embeddings, idCol, vecCol, cosineMin,
+      centroids = null, nlist = nlist, iters = iters,
+      maxBucketSize = maxBucketSize, saltOversized = saltOversized,
+      persistFeatures = persistFeatures)
+
+  /**
+   * [[semanticDedupGroups]] against CALLER-SUPPLIED centroids — the
+   * [[Ann.ivfTopKWith]] pattern: at 10^12 rows the coarse quantizer is a
+   * persisted artifact trained once per corpus snapshot (reference FAISS
+   * index store, ea/sim/main/methods/index/faiss.py:40-51), not something
+   * every dedup pass re-runs Lloyd iterations for. Pass the
+   * [[Ann.kmeansCentroids]] output (or the persisted (cent_id, centv)
+   * table); `nlist`/`iters` only apply when `centroids` is null.
+   */
+  def semanticDedupGroupsWith(embeddings: DataFrame, idCol: String,
+      vecCol: String, cosineMin: Double, centroids: DataFrame,
+      nlist: Int = 0, iters: Int = 2,
+      maxBucketSize: Int = 4096, saltOversized: Boolean = true,
       persistFeatures: Boolean = true): DataFrame = {
+    require(centroids != null || nlist > 0,
+      "pass centroids, or nlist > 0 to train the quantizer in-call")
     val base = maybePersist(
       embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")),
       persistFeatures)
-    val cents = Ann.kmeansCentroids(base, "id", "vec", nlist, iters)
+    val cents = Option(centroids)
+      .getOrElse(Ann.kmeansCentroids(base, "id", "vec", nlist, iters))
     val buckets = Ann.cellAssignments(base, cents, "id", "vec")
       .select(col("id"), col("cell").as("key"))
     val pairs = CandidateGen.pairsFromBuckets(buckets, maxBucketSize,

@@ -95,6 +95,26 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("repetition-signal SQL functions match TextScores.repetitionSignals") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a"),
+      (3L, "spam spam spam spam spam spam ham"), (4L, "x"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("rep_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_distinct_token_ratio(text) AS dtr,
+           graft_dup_bigram_frac(text) AS dbf
+         FROM rep_docs""").as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val viaOp = graft.operators.TextScores
+      .repetitionSignals(docs, "doc_id", "text")
+      .select("id", "distinct_token_ratio", "dup_bigram_frac")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaSql == viaOp, s"sql=$viaSql op=$viaOp")
+  }
+
   test("SQL results agree with the Column API on real captions") {
     import spark.implicits._
     GraftExtensions.register(spark)

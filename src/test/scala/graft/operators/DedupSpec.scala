@@ -274,4 +274,27 @@ class DedupSpec extends SparkSpec {
       assert(rows.count(_._3) == 1, s"group $g has ${rows.count(_._3)} reps")
     }
   }
+
+  test("semantic dedup with a precomputed quantizer matches in-call training") {
+    // the 10^12-row shape: the coarse quantizer is a persisted artifact
+    // trained once per snapshot, not re-fit per dedup pass
+    val rng = new scala.util.Random(23)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(16)(rng.nextFloat() - 0.5f)))
+    val withDups = vecs ++ vecs.take(10).map { case (i, v) => (i + 1000, v) }
+    val df = withDups.toDF("vec_id", "embedding")
+    val cents = Ann.kmeansCentroids(
+      df.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "id", "vec", nlist = 8, iters = 2)
+    val trained = Dedup.semanticDedupGroups(df, "vec_id", "embedding",
+        cosineMin = 0.999, nlist = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val supplied = Dedup.semanticDedupGroupsWith(df, "vec_id", "embedding",
+        cosineMin = 0.999, centroids = cents)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(trained.toSeq == supplied.toSeq)
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedupGroupsWith(df, "vec_id", "embedding",
+        cosineMin = 0.999, centroids = null)
+    }
+  }
 }
