@@ -971,6 +971,33 @@ object SparkEntry {
           .withColumn("mode", lit("salted")))
         .select("mode", "a", "b")
         .orderBy("mode", "a", "b")
+    }),
+
+    "q65_incremental_assign" -> ((s, d) => {
+      // delta connected components (ConnectedComponents.incrementalRun):
+      // fold a day's evidence into an EXISTING labeling without
+      // re-clustering the corpus — the clustering leg of the daily-ingest
+      // story (q57/q64 are the evidence leg). Corpus = every doc twice
+      // (orig + its 200000 copy), deliberately labeled as singletons
+      // ("yesterday's corpus, not yet merged"); batch = a third exact copy
+      // (+100000). Evidence = exact-group star edges over the combined
+      // frame, mixing new-corpus and corpus-corpus delta edges. The
+      // relabeled corpus view plus the new-node labels must equal the
+      // from-scratch labeling: every triple collapses to component = base
+      // doc_id — the q19 shape, reached incrementally.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val corpus = docs.union(docs.select(col("doc_id") + 200000, col("text")))
+      val assignments = corpus.select(col("doc_id").cast("long").as("id"),
+        col("doc_id").cast("long").as("component"))
+      val fresh = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val groups = Dedup.exactGroups(corpus.union(fresh), "doc_id", "text")
+      val delta = groups.where(col("doc_id") =!= col("dup_group_id"))
+        .select(col("doc_id").cast("long").as("src"),
+          col("dup_group_id").cast("long").as("dst"))
+      val inc = ConnectedComponents.incrementalRun(assignments, delta)
+      ConnectedComponents.applyRelabels(assignments, inc.relabels)
+        .union(inc.newAssignments)
+        .orderBy("id")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -1774,5 +1801,17 @@ object SparkEntry {
          SELECT 'degrade' AS mode, a, b FROM degrade
          UNION ALL
          SELECT 'salted' AS mode, a, b FROM salted
-         ORDER BY mode, a, b""")
+         ORDER BY mode, a, b""",
+
+    "q65_incremental_assign" ->
+      // the from-scratch labeling the delta fold must reproduce: every
+      // (d, d+100000, d+200000) exact-copy triple is one component labeled
+      // by its base doc_id (texts are unique across docs — the same
+      // generator invariant q19's oracle already pins)
+      """WITH all_ids AS (
+           SELECT doc_id FROM documents
+           UNION ALL SELECT doc_id + 100000 FROM documents
+           UNION ALL SELECT doc_id + 200000 FROM documents)
+         SELECT doc_id AS id, doc_id % 100000 AS component
+         FROM all_ids ORDER BY id""")
 }

@@ -230,6 +230,98 @@ object ConnectedComponents {
     }
   }
 
+  /**
+   * Delta connected components: fold a batch of new evidence edges into an
+   * EXISTING labeling without re-clustering the corpus — the clustering leg
+   * of the daily-ingest story (the evidence leg is
+   * [[graft.pipeline.DedupPipeline.incrementalPairs]]; the reference
+   * re-resolves the whole chain table per merge batch,
+   * helpers/so/steps/merge_issues_duplicates.py:10-50, which a 100 TB corpus
+   * cannot afford).
+   *
+   * Contract: the combined view `applyRelabels(assignments, relabels) UNION
+   * newAssignments` equals `run(stars UNION deltaEdges)` where `stars` is the
+   * assignment table read as (component, id) edges — i.e. exactly what a full
+   * recompute over the old labeling plus the new evidence would produce — but
+   * computed touching only the delta: the corpus scan is ONE broadcast hash
+   * semi-join against the delta's endpoint set (no corpus shuffle, no corpus
+   * rows in the CC loop), and the loop itself runs on the CONTRACTED graph
+   * (new nodes + one node per touched component), which is O(batch), not
+   * O(corpus) — small enough that the driver union-find fast path usually
+   * takes it in one job.
+   *
+   * Precondition (the invariant [[run]]'s own output satisfies): each
+   * component label is the MINIMUM member id. Contracting a component to its
+   * label is then lossless for min-propagation, so merged labels equal the
+   * full-graph minimum. Labelings whose labels are NOT members (e.g. the
+   * pipeline's display `cluster_id` = hash of the root image id) must be
+   * folded at the nid layer, not here.
+   *
+   * Node-id spaces must not collide: an id that is simultaneously a new node
+   * and an existing component label would contract to a self-loop. Content
+   * hashes (`xxhash64(id)`) give this probabilistically — same argument as
+   * [[graft.pipeline.DedupPipeline.features]].
+   *
+   * @param assignments existing labeling: (id LONG, component LONG), one row
+   *                    per corpus node. Ids absent from it are NEW nodes.
+   * @param deltaEdges  new evidence: (src, dst) touching new and/or corpus
+   *                    nodes in any mix (new-new, new-corpus, corpus-corpus)
+   * @return [[IncrementalCC]]: labels for the new nodes that appear in an
+   *         edge (isolated new nodes are the caller's singletons, as in
+   *         [[run]]) + the relabel map for the touched components that moved
+   */
+  def incrementalRun(assignments: DataFrame, deltaEdges: DataFrame,
+      maxIter: Int = 30, hashMinRounds: Int = 8,
+      localThreshold: Long = 2000000L): IncrementalCC = {
+    val canon = deltaEdges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val endpoints = canon.select(col("src").as("id"))
+      .union(canon.select(col("dst").as("id")))
+      .distinct()
+    // the ONLY contact with the (possibly huge) corpus labeling: inner hash
+    // join against the broadcast endpoint set — one scan, zero shuffle
+    val touched = assignments
+      .join(broadcast(endpoints), Seq("id"))
+      .select(col("id"), col("component"))
+      .localCheckpoint(false)
+
+    def sideMap(side: String): DataFrame =
+      touched.select(col("id").as(side), col("component").as(s"__c_$side"))
+    val contracted = canon
+      .join(sideMap("src"), Seq("src"), "left")
+      .join(sideMap("dst"), Seq("dst"), "left")
+      .select(coalesce(col("__c_src"), col("src")).as("src"),
+        coalesce(col("__c_dst"), col("dst")).as("dst"))
+      // edges inside one component contract to self-loops: already merged
+      .where(col("src") =!= col("dst"))
+
+    val cc = run(contracted, maxIter, hashMinRounds, localThreshold)
+
+    val newNodes = endpoints.join(touched.select("id"), Seq("id"), "left_anti")
+    val newAssignments = cc.join(newNodes, Seq("id"))
+    val oldLabels = touched.select(col("component").as("id")).distinct()
+    val relabels = cc.join(oldLabels, Seq("id"))
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("old_component"), col("component"))
+    IncrementalCC(newAssignments, relabels)
+  }
+
+  /**
+   * Corpus-wide view of the labeling after [[incrementalRun]]: one broadcast
+   * hash join (the relabel map is bounded by the touched-component count, a
+   * batch-sized artifact), no corpus shuffle. Rows of untouched components
+   * pass through unchanged.
+   */
+  def applyRelabels(assignments: DataFrame, relabels: DataFrame): DataFrame =
+    assignments
+      .join(broadcast(relabels.select(col("old_component").as("component"),
+        col("component").as("__merged"))), Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("__merged"), col("component")).as("component"))
+
   private def result(e: DataFrame): DataFrame = {
     // At the fixpoint the edge set is a star per component: (member -> root).
     // Guard against hitting maxIter pre-fixpoint with a min-per-src reduce.
@@ -240,3 +332,15 @@ object ConnectedComponents {
     members.union(roots)
   }
 }
+
+/** Result of [[ConnectedComponents.incrementalRun]].
+  *
+  * @param newAssignments (id, component) for every NEW node that appears in a
+  *                       delta edge
+  * @param relabels       (old_component, component) for every existing
+  *                       component whose label changed — batch-sized, meant
+  *                       for the broadcast join in
+  *                       [[ConnectedComponents.applyRelabels]] or a catalog
+  *                       MERGE INTO
+  */
+final case class IncrementalCC(newAssignments: DataFrame, relabels: DataFrame)

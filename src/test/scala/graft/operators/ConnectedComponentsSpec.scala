@@ -75,4 +75,66 @@ class ConnectedComponentsSpec extends SparkSpec {
     val gotDist = runCC(path, localThreshold = 0L)
     assert((0L until 200L).forall(v => gotDist.getOrElse(v, v) == 0L))
   }
+
+  private def df(edges: Seq[(Long, Long)]) =
+    spark.createDataset(edges).toDF("src", "dst")
+
+  test("incrementalRun: combined view matches a full recompute (local AND distributed paths)") {
+    val rng = new scala.util.Random(19)
+    for (trial <- 0 until 3; threshold <- Seq(2000000L, 0L)) {
+      // corpus over ids 0..59, new nodes 100..119; delta mixes new-new,
+      // new-corpus and cross-component corpus-corpus edges
+      val base = Seq.fill(50)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      def node(): Long =
+        if (rng.nextBoolean()) 100L + rng.nextInt(20) else rng.nextInt(60).toLong
+      val delta = Seq.fill(30)((node(), node()))
+        .filter { case (a, b) => a != b }
+      val assignments = ConnectedComponents.run(df(base),
+        localThreshold = threshold).cache()
+      val corpusIds = assignments.collect().map(_.getLong(0)).toSet
+
+      val inc = ConnectedComponents.incrementalRun(assignments, df(delta),
+        localThreshold = threshold)
+      val combined = ConnectedComponents
+        .applyRelabels(assignments, inc.relabels)
+        .union(inc.newAssignments)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // oracle: union-find over base + delta together
+      val oracle = ufComponents(base ++ delta)
+      combined.foreach { case (id, comp) =>
+        assert(comp == oracle.getOrElse(id, id),
+          s"trial=$trial threshold=$threshold node=$id")
+      }
+      // coverage: every corpus id exactly once, plus every new endpoint
+      val newIds = delta.flatMap(e => Seq(e._1, e._2)).toSet -- corpusIds
+      assert(combined.keySet == corpusIds ++ newIds)
+      // relabels only ever lists existing labels that actually moved
+      inc.relabels.collect().foreach { r =>
+        assert(corpusIds.contains(r.getLong(0)) && r.getLong(0) != r.getLong(1))
+      }
+      assignments.unpersist()
+    }
+  }
+
+  test("incrementalRun: intra-component delta edges are a no-op") {
+    val assignments = ConnectedComponents.run(df(Seq((1L, 2L), (2L, 3L), (10L, 11L))))
+    val inc = ConnectedComponents.incrementalRun(assignments, df(Seq((2L, 3L), (1L, 3L))))
+    assert(inc.relabels.count() == 0 && inc.newAssignments.count() == 0)
+    val after = ConnectedComponents.applyRelabels(assignments, inc.relabels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("incrementalRun: a new minimal node becomes the merged label") {
+    val assignments = ConnectedComponents.run(df(Seq((5L, 6L), (10L, 11L))))
+    // new node 1 bridges both components and is the global minimum
+    val inc = ConnectedComponents.incrementalRun(assignments,
+      df(Seq((1L, 6L), (1L, 11L))))
+    val news = inc.newAssignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(news == Map(1L -> 1L))
+    val relabeled = inc.relabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relabeled == Map(5L -> 1L, 10L -> 1L))
+  }
 }
