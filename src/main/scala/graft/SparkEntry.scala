@@ -998,6 +998,36 @@ object SparkEntry {
       ConnectedComponents.applyRelabels(assignments, inc.relabels)
         .union(inc.newAssignments)
         .orderBy("id")
+    }),
+
+    "q66_dedup_cascade" -> ((s, d) => {
+      // tiered dedup cascade (Dedup.cascade): exact -> near -> semantic,
+      // each tier on the previous tier's survivors. Planted so every tier
+      // fires: +100000 = exact copy (exact tier), +200000 = one appended
+      // token (near tier, jaccard >= 0.8), +300000 = two-token unique text
+      // (zero trigrams — invisible to the text tiers) carrying the base
+      // row's EXACT embedding (semantic tier at cosine 0.999; natural
+      // embedding pairs top out at 0.51). The oracle recomputes all three
+      // tiers in SQL — near-tier groups via recursive min-label CC over
+      // brute-force trigram Jaccard, so the documents table's natural
+      // near-dup chains (incl. their +200000 variants) resolve exactly,
+      // and canonical ids resolve through later tiers the way cascade()
+      // documents (a near loser's members follow its semantic fate).
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val base = docs.join(emb, "doc_id")
+      val frame = base
+        .unionByName(base.select((col("doc_id") + 100000).as("doc_id"),
+          col("text"), col("embedding")))
+        .unionByName(base.select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"), col("embedding")))
+        .unionByName(base.select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("sem "), col("doc_id").cast("string")).as("text"),
+          col("embedding")))
+      Dedup.cascade(frame, "doc_id", "text", "embedding",
+          DedupConfig.default, cosineMin = 0.999, nlist = 16)
+        .orderBy("id")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -1813,5 +1843,71 @@ object SparkEntry {
            UNION ALL SELECT doc_id + 100000 FROM documents
            UNION ALL SELECT doc_id + 200000 FROM documents)
          SELECT doc_id AS id, doc_id % 100000 AS component
-         FROM all_ids ORDER BY id""")
+         FROM all_ids ORDER BY id""",
+
+    "q66_dedup_cascade" ->
+      // all three tiers recomputed in SQL. Near-tier groups need genuine
+      // transitive closure (the documents table's natural near-dup chains
+      // merge with their +200000 variants), done by recursive min-label
+      // propagation: `prop` seeds every survivor with its own id and
+      // propagates any smaller label across an edge; UNION dedup bounds the
+      // rows, labels are bounded below, so the fixpoint is the component
+      // minimum — exactly the cascade's near-tier group id. Canonicals then
+      // resolve through later tiers the way Dedup.cascade documents.
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text FROM documents),
+         rows_all AS (
+           SELECT doc_id AS id, text FROM base
+           UNION ALL SELECT doc_id + 100000, text FROM base
+           UNION ALL SELECT doc_id + 200000, text || ' zz' FROM base
+           UNION ALL SELECT doc_id + 300000, 'sem ' || doc_id FROM base),
+         exact_grp AS (
+           SELECT id, min(id) OVER (PARTITION BY text) AS canon FROM rows_all),
+         exact_rm AS (SELECT id, canon FROM exact_grp WHERE id <> canon),
+         surv1 AS (SELECT id, text FROM rows_all
+           WHERE id NOT IN (SELECT id FROM exact_rm)),
+         toks AS (SELECT id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM surv1),
+         tris AS (SELECT id, list_distinct(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS t FROM toks),
+         posting AS (SELECT id, unnest(t) AS tri FROM tris),
+         sizes AS (SELECT id, len(t) AS n FROM tris),
+         inter AS (SELECT p1.id AS a, p2.id AS b, count(*) AS ic
+           FROM posting p1 JOIN posting p2 ON p1.tri = p2.tri
+           WHERE p1.id < p2.id GROUP BY 1, 2),
+         edges AS (SELECT a, b FROM inter
+           JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+           WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5),
+         bi AS (SELECT a AS u, b AS v FROM edges
+           UNION ALL SELECT b AS u, a AS v FROM edges),
+         prop(id, label) AS (
+           SELECT id, id FROM surv1
+           UNION
+           SELECT bi.u, prop.label FROM prop JOIN bi ON bi.v = prop.id
+           WHERE prop.label < bi.u),
+         lab AS (SELECT id, min(label) AS canon FROM prop GROUP BY id),
+         near_rm AS (SELECT id, canon FROM lab WHERE canon <> id),
+         surv2 AS (SELECT id FROM lab WHERE canon = id),
+         sem_rm AS (
+           SELECT s3.id, s3.id - 300000 AS canon FROM surv2 s3
+           JOIN surv2 s0 ON s0.id = s3.id - 300000
+           WHERE s3.id >= 300000),
+         kept AS (SELECT id FROM surv2
+           WHERE id NOT IN (SELECT id FROM sem_rm)),
+         res_exact AS (
+           SELECT e.id, 'exact' AS tier,
+             coalesce(s.canon, coalesce(n.canon, e.canon)) AS canonical
+           FROM exact_rm e
+           LEFT JOIN near_rm n ON n.id = e.canon
+           LEFT JOIN sem_rm s ON s.id = coalesce(n.canon, e.canon)),
+         res_near AS (
+           SELECT n.id, 'near' AS tier, coalesce(s.canon, n.canon) AS canonical
+           FROM near_rm n LEFT JOIN sem_rm s ON s.id = n.canon)
+         SELECT id, tier, canonical FROM res_exact
+         UNION ALL SELECT id, tier, canonical FROM res_near
+         UNION ALL SELECT id, 'semantic' AS tier, canon AS canonical FROM sem_rm
+         UNION ALL SELECT id, 'kept' AS tier, id AS canonical FROM kept
+         ORDER BY id""")
 }

@@ -468,4 +468,82 @@ object Dedup {
       .select(col("id"), col("sem_group_id"),
         (col("id") === col("sem_group_id")).as("keep"))
   }
+
+  /**
+   * Tiered dedup cascade — exact identity, then MinHash-LSH near-dup, then
+   * SemDeDup semantic — each tier running ONLY on the previous tier's
+   * survivors, the way production training-data pipelines stack their dedup
+   * passes (FineWeb/CCNet-style: the cheap high-precision pass first shrinks
+   * the input the expensive passes see). Reference analogue: the staged
+   * hash-unique -> retrieval -> pairwise-scorer funnel
+   * (ea/sim/main/data/objects/issue.py:56-73 feeding
+   * ea/sim/main/methods/retrieval.py), with the neural scorer replaced per
+   * the north rule.
+   *
+   * Output: every input row exactly once as (id, tier, canonical), where
+   * `tier` is the tier that REMOVED the row (`exact` | `near` | `semantic`)
+   * or `kept`, and `canonical` is the row's ultimate surviving
+   * representative — tier-local group minima are resolved through the later
+   * tiers (a near-tier representative that the semantic tier then removes
+   * passes its members along to ITS canonical), so `canonical` always lands
+   * in the kept set; kept rows point at themselves.
+   *
+   * Scale: tier 1 is one shuffle on the text hash; tiers 2 and 3 reuse the
+   * bounded candidate machinery ([[minhashLshGroups]] /
+   * [[semanticDedupGroups]]: bucket caps, salting, CC on long nids) over
+   * strictly shrinking inputs; the inter-tier plumbing is survivor
+   * semi-joins on id plus two removed-rows-sized resolution joins — nothing
+   * here holds a corpus-sized structure on the driver.
+   *
+   * @param cosineMin semantic-tier cosine threshold (the SemDeDup epsilon)
+   * @param nlist     IVF cell count for the semantic tier's coarse quantizer
+   */
+  def cascade(docs: DataFrame, idCol: String, textCol: String, embCol: String,
+      cfg: DedupConfig, cosineMin: Double, nlist: Int,
+      persistFeatures: Boolean = true): DataFrame = {
+    val base = maybePersist(docs.select(col(idCol).as("id"),
+      col(textCol).as("text"), col(embCol).as("emb")), persistFeatures)
+
+    val g1 = exactGroups(base, "id", "text")
+    val removedExact = g1.where(col("id") =!= col("dup_group_id"))
+      .select(col("id"), col("dup_group_id").as("c1"))
+    val surv1 = maybePersist(
+      base.join(g1.where(col("id") === col("dup_group_id")).select("id"),
+        Seq("id")), persistFeatures)
+
+    val g2 = minhashLshGroups(surv1, "id", "text", cfg)
+    val removedNear = g2.where(col("id") =!= col("dup_group_id"))
+      .select(col("id"), col("dup_group_id").as("c2"))
+    val surv2 = maybePersist(
+      surv1.join(g2.where(col("id") === col("dup_group_id")).select("id"),
+        Seq("id")), persistFeatures)
+
+    val g3 = semanticDedupGroups(surv2, "id", "emb", cosineMin, nlist,
+      persistFeatures = persistFeatures)
+    val removedSem = g3.where(!col("keep"))
+      .select(col("id"), col("sem_group_id").as("c3"))
+    val kept = g3.where(col("keep"))
+      .select(col("id"), lit("kept").as("tier"), col("id").as("canonical"))
+
+    // resolve tier-local representatives through the LATER tiers: a tier-k
+    // group minimum survives tier k by construction, so each hop needs the
+    // next tier's removal map exactly once. Both maps are removed-rows-sized.
+    val map2 = removedNear.select(col("id").as("__k2"), col("c2").as("__v2"))
+    val map3 = removedSem.select(col("id").as("__k3"), col("c3").as("__v3"))
+    val exactResolved = removedExact
+      .join(map2, col("c1") === col("__k2"), "left")
+      .withColumn("__c", coalesce(col("__v2"), col("c1")))
+      .join(map3, col("__c") === col("__k3"), "left")
+      .select(col("id"), lit("exact").as("tier"),
+        coalesce(col("__v3"), col("__c")).as("canonical"))
+    val nearResolved = removedNear
+      .join(map3, col("c2") === col("__k3"), "left")
+      .select(col("id"), lit("near").as("tier"),
+        coalesce(col("__v3"), col("c2")).as("canonical"))
+    val semResolved = removedSem
+      .select(col("id"), lit("semantic").as("tier"), col("c3").as("canonical"))
+
+    exactResolved.unionByName(nearResolved).unionByName(semResolved)
+      .unionByName(kept)
+  }
 }

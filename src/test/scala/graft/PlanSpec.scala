@@ -54,6 +54,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in semantic-dedup plan")
   }
 
+  test("q65: the corpus-side relabel is a broadcast hash join") {
+    // applyRelabels must never shuffle the corpus: the relabel map is the
+    // broadcast build side, the assignment table streams through
+    import spark.implicits._
+    val assignments = spark.range(0, 100000)
+      .select(col("id"), (col("id") % 1000).as("component"))
+    val relabels = Seq((5L, 1L), (7L, 2L)).toDF("old_component", "component")
+    val p = planOf(graft.operators.ConnectedComponents
+      .applyRelabels(assignments, relabels))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for the relabel map")
+  }
+
+  test("q66: the dedup cascade plans equi-joins and partitioned windows only") {
+    val df = SparkEntry.queries("q66_dedup_cascade")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), "cartesian product in cascade plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in cascade plan")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
+  }
+
   test("q37: the as-of harness plans equi-joins, never a nested loop") {
     val p = planOf(SparkEntry.queries("q37_event_ranking")(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in as-of plan")

@@ -297,4 +297,46 @@ class DedupSpec extends SparkSpec {
         cosineMin = 0.999, centroids = null)
     }
   }
+
+  test("cascade: tiers fire in order and canonicals resolve to the kept set") {
+    // hand-built corpus exercising every tier AND the chained-resolution
+    // rule (a near-tier representative that the semantic tier removes must
+    // pass its members to ITS canonical):
+    //   base text A: docs 10, 11 exact copies; 12 near variant of A
+    //   base text B: doc 20; 21 near variant
+    //   doc 30: unique text, embedding IDENTICAL to doc 20's -> semantic dup
+    //   doc 40: unique text, unique embedding -> kept singleton
+    //   chained case: doc 5 unique short text with doc 10's embedding; after
+    //   10 wins the near tier it is removed at the SEMANTIC tier (5 < 10),
+    //   so 11's and 12's canonical must resolve through 10 to 5.
+    val rng = new scala.util.Random(7)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(HashKernels.mix64(seed.toLong))
+      Array.fill(8)(r.nextFloat() - 0.5f)
+    }
+    val a = Array.fill(30)(s"t${rng.nextInt(40)}").mkString(" ")
+    val b = Array.fill(30)(s"u${rng.nextInt(40)}").mkString(" ")
+    val rows = Seq(
+      (5L, "chain anchor", vec(10)),
+      (10L, a, vec(10)),
+      (11L, a, vec(99)),
+      (12L, a + " extra", vec(98)),
+      (20L, b, vec(20)),
+      (21L, b + " extra", vec(97)),
+      (30L, "semantic twin", vec(20)),
+      (40L, "lone unique document", vec(40)))
+    val got = Dedup.cascade(rows.toDF("doc_id", "text", "embedding"),
+        "doc_id", "text", "embedding", cfg, cosineMin = 0.999, nlist = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == rows.size)
+    assert(got(11L) == ("exact", 5L))     // exact loser, resolved 10 -> 5
+    assert(got(12L) == ("near", 5L))      // near loser, resolved 10 -> 5
+    assert(got(10L) == ("semantic", 5L))  // near winner, then semantic loser
+    assert(got(21L) == ("near", 20L))
+    assert(got(30L) == ("semantic", 20L))
+    assert(got(5L) == ("kept", 5L) && got(20L) == ("kept", 20L)
+      && got(40L) == ("kept", 40L))
+    val kept = got.filter(_._2._1 == "kept").keySet
+    got.values.foreach { case (_, canon) => assert(kept.contains(canon)) }
+  }
 }
