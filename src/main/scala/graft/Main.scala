@@ -5,6 +5,7 @@ import graft.io.{CheckpointStore, TableIO}
 import graft.operators.{Ingest, Validate}
 import graft.pipeline.DedupPipeline
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /**
  * Production entrypoint — the `spark-submit` surface of the north rule
@@ -17,6 +18,7 @@ import org.apache.spark.sql.SparkSession
  *   [--checkpoint <dir>] [--run-id <id>] [--partitions <n>] \
  *   [--incremental <new-batch-table-or-dir>] \
  *   [--corpus-features <table-root>] [--merge-new] \
+ *   [--assignments <existing-assignment-table>] \
  *   [--set shingleK=3] [--set hammingMax=3] [--set jaccardMin=0.5] ...
  * }}}
  *
@@ -55,6 +57,7 @@ object Main {
       incremental: Option[String] = None,
       corpusFeatures: Option[String] = None,
       mergeNew: Boolean = false,
+      assignments: Option[String] = None,
       sets: Map[String, String] = Map.empty)
 
   /** A value flag's argument must not itself look like a flag — otherwise
@@ -76,6 +79,8 @@ object Main {
     case "--corpus-features" :: v :: rest if value(v) =>
       parse(rest, acc.copy(corpusFeatures = Some(v)))
     case "--merge-new" :: rest => parse(rest, acc.copy(mergeNew = true))
+    case "--assignments" :: v :: rest if value(v) =>
+      parse(rest, acc.copy(assignments = Some(v)))
     case "--set" :: kv :: rest if value(kv) =>
       kv.split("=", 2) match {
         case Array(k, v) => parse(rest, acc.copy(sets = acc.sets + (k -> v)))
@@ -90,7 +95,7 @@ object Main {
 
   private val valueFlags = Set(
     "--input", "--output", "--checkpoint", "--run-id", "--partitions",
-    "--incremental", "--corpus-features", "--set")
+    "--incremental", "--corpus-features", "--assignments", "--set")
 
   /** DedupConfig with `--set key=value` overrides applied. */
   private[graft] def configOf(sets: Map[String, String]): DedupConfig = {
@@ -129,7 +134,8 @@ object Main {
     val spark = SparkSession.builder().getOrCreate()
     val cfg = configOf(args.sets)
     run(spark, args.input, args.output, cfg, args.checkpoint, args.runId,
-      args.partitions, args.incremental, args.corpusFeatures, args.mergeNew)
+      args.partitions, args.incremental, args.corpusFeatures, args.mergeNew,
+      args.assignments)
   }
 
   /** The full job, callable from tests with an existing session.
@@ -143,6 +149,14 @@ object Main {
     * `--checkpoint` stages `incremental_pairs` through [[CheckpointStore]]
     * (resumable, metrics/lineage tables written) the same way the batch DAG
     * stages `verified_pairs`.
+    *
+    * `assignments = Some(table)` additionally folds the evidence into that
+    * existing (image_id, cluster_id) table via
+    * [[DedupPipeline.incrementalAssignments]] — delta CC over the contracted
+    * batch-sized graph, the corpus never re-clustered — writing two more
+    * output tables: `new_assignments` (one row per batch image) and
+    * `relabels` (the touched clusters whose display label moved; apply with
+    * [[DedupPipeline.applyClusterRelabels]] or a catalog MERGE INTO).
     *
     * `corpusFeatures = Some(root)` persists corpus featurization across
     * incremental runs — the 100 TB daily-ingest shape (the reference's
@@ -160,11 +174,14 @@ object Main {
       runId: String = "run", partitions: Int = 0,
       incremental: Option[String] = None,
       corpusFeatures: Option[String] = None,
-      mergeNew: Boolean = false): Unit = {
+      mergeNew: Boolean = false,
+      assignments: Option[String] = None): Unit = {
     require(!mergeNew || (incremental.nonEmpty && corpusFeatures.nonEmpty),
       "--merge-new requires --incremental and --corpus-features")
     require(corpusFeatures.isEmpty || incremental.nonEmpty,
       "--corpus-features only applies to --incremental mode")
+    require(assignments.isEmpty || incremental.nonEmpty,
+      "--assignments only applies to --incremental mode")
     // input is a LOCATION (the table itself); output is a TableIO ROOT the
     // result tables are written under by bare name
     val outIo = TableIO.resolve(spark, output)
@@ -205,6 +222,21 @@ object Main {
             DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg)
         }
         outIo.write(pairs, "incremental_pairs")
+        // clustering leg: fold the evidence into the existing assignment
+        // table (delta CC — the corpus is touched by two broadcast-semi
+        // scans, never re-clustered). Within-batch dups come from the batch
+        // DAG over the batch alone, so two new near-dup images land in one
+        // cluster even when neither matches the corpus.
+        assignments.foreach { loc =>
+          val corpusAssign = TableIO.readLocation(spark, loc)
+          val newPairs = DedupPipeline.runFromFeatures(spark, newFeat, cfg)
+            .dupPairs.select("a", "b")
+          val res = DedupPipeline.incrementalAssignments(spark, corpusAssign,
+            pairs.select("a", "b"), newPairs,
+            newFeat.select(col("id").as("image_id")))
+          outIo.write(res.newAssignments, "new_assignments")
+          outIo.write(res.relabels, "relabels")
+        }
         store.foreach(s => outIo.write(s.metrics(), "metrics"))
         store.foreach(s => outIo.write(s.lineage(), "lineage"))
         // merge-back AFTER the evidence is on disk: a failed run must not

@@ -266,7 +266,103 @@ object DedupPipeline {
       .select(col("__a").as("a"), col("__b").as("b"),
         col("jaccard"), col("hamming"))
   }
+
+  /**
+   * Fold a day's evidence into the EXISTING cluster assignment table without
+   * re-clustering the corpus — the pipeline-level companion of
+   * [[graft.operators.ConnectedComponents.incrementalRun]], speaking the
+   * batch DAG's display-label convention (`cluster_id = xxhash64(lexico-min
+   * member image_id)`, [[runFromFeatures]]). The combined view
+   * `applyClusterRelabels(assignments, relabels) UNION newAssignments UNION
+   * untouched-new-singletons` equals what [[runFromFeatures]] over
+   * corpus-plus-batch produces from the same evidence.
+   *
+   * Corpus contact is TWO broadcast-semi scans (never a corpus shuffle):
+   * one to resolve the evidence's corpus ids to their clusters, one to pull
+   * the touched clusters' member rows (their lexico-min member is what the
+   * merged display label needs — the label hash cannot be inverted). The
+   * delta graph then contracts each touched cluster to one node
+   * (its cluster_id) and runs CC over O(batch) nodes only.
+   *
+   * @param corpusAssign existing (image_id, cluster_id) — must cover every
+   *                     corpus id the evidence references
+   * @param crossPairs   [[incrementalPairs]] output: (a = new image_id,
+   *                     b = corpus image_id)
+   * @param newPairs     within-batch evidence (a, b) — e.g. the batch DAG's
+   *                     `dupPairs` over the batch alone; pass an empty frame
+   *                     if the batch is internally deduped
+   * @param newIds       every new-batch image_id (isolated rows become
+   *                     singleton clusters labeled xxhash64(own id), the
+   *                     batch DAG's convention)
+   */
+  def incrementalAssignments(spark: SparkSession, corpusAssign: DataFrame,
+      crossPairs: DataFrame, newPairs: DataFrame,
+      newIds: DataFrame): IncrementalAssignments = {
+    // corpus scan 1: evidence ids -> their clusters
+    val bIds = crossPairs.select(col("b").as("image_id")).distinct()
+    val touchedB = corpusAssign.join(broadcast(bIds), Seq("image_id"))
+      .select(col("image_id").as("b"), col("cluster_id"))
+      .localCheckpoint(false)
+    // corpus scan 2: touched clusters' member rows -> lexico-min member
+    val touchedClusters = touchedB.select("cluster_id").distinct()
+    val roots = corpusAssign.join(broadcast(touchedClusters), Seq("cluster_id"))
+      .groupBy("cluster_id").agg(min("image_id").as("root_image"))
+
+    // delta graph: new nodes ride as xxhash64(image_id) (the features() nid
+    // scheme), touched clusters as their cluster_id (already a 64-bit hash
+    // in the same space — collisions negligible and merge-only)
+    val crossEdges = crossPairs.join(touchedB, Seq("b"))
+      .select(xxhash64(col("a")).as("src"), col("cluster_id").as("dst"))
+    val newEdges = newPairs
+      .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
+    val cc = ConnectedComponents.run(crossEdges.union(newEdges))
+
+    // per-component display root = lexico-min over member image ids and
+    // merged clusters' roots
+    val newMap = newIds.select(xxhash64(col("image_id")).as("id"),
+      col("image_id").as("cand"))
+    val cluMap = roots.select(col("cluster_id").as("id"),
+      col("root_image").as("cand"))
+    val cands = cc.join(newMap.unionByName(cluMap), Seq("id"))
+      .localCheckpoint(false)
+    val labels = cands.groupBy("component")
+      .agg(xxhash64(min(col("cand"))).as("new_cluster_id"))
+
+    val inEvidence = cands.join(newMap.select("id"), Seq("id"))
+      .join(labels, Seq("component"))
+      .select(col("cand").as("image_id"), col("new_cluster_id").as("cluster_id"))
+    val singletons = newIds
+      .join(inEvidence.select(col("image_id")), Seq("image_id"), "left_anti")
+      .select(col("image_id"), xxhash64(col("image_id")).as("cluster_id"))
+    val newAssignments = inEvidence.unionByName(singletons)
+
+    val relabels = cands.join(cluMap.select("id"), Seq("id"))
+      .join(labels, Seq("component"))
+      .where(col("id") =!= col("new_cluster_id"))
+      .select(col("id").as("cluster_id"), col("new_cluster_id"))
+    IncrementalAssignments(newAssignments, relabels)
+  }
+
+  /** Corpus-wide assignment view after [[incrementalAssignments]]: one
+    * broadcast hash join against the batch-sized relabel map. */
+  def applyClusterRelabels(corpusAssign: DataFrame, relabels: DataFrame): DataFrame =
+    corpusAssign
+      .join(broadcast(relabels), Seq("cluster_id"), "left")
+      .select(col("image_id"),
+        coalesce(col("new_cluster_id"), col("cluster_id")).as("cluster_id"))
 }
+
+/** Result of [[DedupPipeline.incrementalAssignments]].
+  *
+  * @param newAssignments (image_id, cluster_id) for every new-batch row
+  * @param relabels       (cluster_id, new_cluster_id) for touched corpus
+  *                       clusters whose display label moved — batch-sized,
+  *                       meant for [[DedupPipeline.applyClusterRelabels]] or
+  *                       a catalog MERGE INTO
+  */
+final case class IncrementalAssignments(
+    newAssignments: DataFrame,
+    relabels: DataFrame)
 
 /** @param features    per-row signatures (persisted)
   * @param dupPairs    verified duplicate pairs with evidence (rep pairs +

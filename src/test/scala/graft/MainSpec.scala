@@ -130,6 +130,63 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("incremental --assignments: delta fold equals a full re-run over corpus + batch") {
+    val in = "/tmp/graft_main_spec/asg_corpus"
+    val nb = "/tmp/graft_main_spec/asg_new"
+    val all = "/tmp/graft_main_spec/asg_all"
+    val outC = "/tmp/graft_main_spec/asg_out_corpus"
+    val outI = "/tmp/graft_main_spec/asg_out_inc"
+    val outA = "/tmp/graft_main_spec/asg_out_all"
+    Seq(in, nb, all, outC, outI, outA).foreach(rmrf)
+    val corpus = ImageGen.generate(spark, bases = 20, seed = 42L).toDF()
+    // batch: re-ingested corpus payloads (cross edges), a pure new-new twin
+    // pair (merges via within-batch evidence only), and unmatched foreigners
+    val reingested = corpus.limit(6)
+      .withColumn("image_id", concat(lit("new_"), col("image_id")))
+    val twinBase = ImageGen.generate(spark, bases = 1, seed = 888L).toDF()
+    val twins = twinBase
+      .withColumn("image_id", concat(lit("new_t1_"), col("image_id")))
+      .unionByName(twinBase
+        .withColumn("image_id", concat(lit("new_t2_"), col("image_id"))))
+    val foreign = ImageGen.generate(spark, bases = 4, seed = 777L).toDF()
+      .withColumn("image_id", concat(lit("new_x_"), col("image_id")))
+    val batch = reingested.unionByName(twins).unionByName(foreign)
+    corpus.write.mode("overwrite").parquet(in)
+    batch.write.mode("overwrite").parquet(nb)
+    corpus.unionByName(batch).write.mode("overwrite").parquet(all)
+
+    // yesterday: batch DAG over the corpus alone
+    Main.run(spark, in, outC, DedupConfig.default, partitions = 4)
+    // today: incremental fold against yesterday's assignment table
+    Main.run(spark, in, outI, DedupConfig.default, partitions = 4,
+      incremental = Some(nb),
+      assignments = Some(s"$outC/assignments.parquet"))
+    // oracle: full re-run over corpus + batch together
+    Main.run(spark, all, outA, DedupConfig.default, partitions = 4)
+
+    val corpusAssign = spark.read.parquet(s"$outC/assignments.parquet")
+    val newA = spark.read.parquet(s"$outI/new_assignments.parquet")
+    val rel = spark.read.parquet(s"$outI/relabels.parquet")
+    assert(newA.count() == batch.count(), "one row per batch image")
+    val combined = graft.pipeline.DedupPipeline
+      .applyClusterRelabels(corpusAssign, rel).unionByName(newA)
+    val full = spark.read.parquet(s"$outA/assignments.parquet")
+    assert(combined.count() == full.count())
+    assert(combined.exceptAll(full).count() == 0 &&
+      full.exceptAll(combined).count() == 0,
+      "delta fold must equal the from-scratch labeling")
+    // the twins merged through within-batch evidence alone
+    val twinClusters = newA
+      .where(col("image_id").startsWith("new_t"))
+      .select("cluster_id").distinct().count()
+    assert(twinClusters == 1, "new-new twin pair must share a cluster")
+
+    intercept[IllegalArgumentException] {
+      Main.run(spark, in, outI, DedupConfig.default,
+        assignments = Some("/tmp/x"))
+    }
+  }
+
   test("incremental --checkpoint stages the pairs and resumes") {
     val in = "/tmp/graft_main_spec/ick_corpus"
     val nb = "/tmp/graft_main_spec/ick_new"
