@@ -1028,6 +1028,22 @@ object SparkEntry {
       Dedup.cascade(frame, "doc_id", "text", "embedding",
           DedupConfig.default, cosineMin = 0.999, nlist = 16)
         .orderBy("id")
+    }),
+
+    "q67_incremental_semantic" -> ((s, d) => {
+      // bipartite SemDeDup evidence (Dedup.incrementalSemanticPairs): a new
+      // batch (every corpus embedding re-ingested under +100000) against the
+      // corpus, through the corpus-trained coarse quantizer. The oracle is
+      // the full brute-force bipartite cosine join — identical vectors land
+      // in the same cell, so the cell restriction loses nothing at this
+      // threshold (natural cross pairs top out at cosine 0.51)
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val fresh = emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
+      Dedup.incrementalSemanticPairs(fresh, emb, "vec_id", "embedding",
+          cosineMin = 0.999, nlist = 16)
+        .select("a", "b")
+        .orderBy("a", "b")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -1909,5 +1925,15 @@ object SparkEntry {
          UNION ALL SELECT id, tier, canonical FROM res_near
          UNION ALL SELECT id, 'semantic' AS tier, canon AS canonical FROM sem_rm
          UNION ALL SELECT id, 'kept' AS tier, id AS canonical FROM kept
-         ORDER BY id""")
+         ORDER BY id""",
+
+    "q67_incremental_semantic" ->
+      // full brute-force bipartite cosine join — proves both no false
+      // positives AND nothing above threshold escaped the cell restriction
+      """WITH fresh AS (
+           SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings)
+         SELECT f.vec_id AS a, c.vec_id AS b
+         FROM fresh f, embeddings c
+         WHERE list_cosine_similarity(f.embedding, c.embedding) >= 0.999
+         ORDER BY a, b""")
 }

@@ -546,4 +546,59 @@ object Dedup {
     exactResolved.unionByName(nearResolved).unionByName(semResolved)
       .unionByName(kept)
   }
+
+  /**
+   * Bipartite SemDeDup evidence: a NEW batch's embeddings against an
+   * EXISTING corpus — the semantic member of the incremental evidence
+   * family ([[incrementalNearDupPairs]] covers the text signatures). Never
+   * corpus-corpus or new-new pairs.
+   *
+   * Both sides are assigned to the corpus's coarse-quantizer cells
+   * ([[Ann.cellAssignments]], a narrow zero-shuffle expression) and only
+   * same-cell cross pairs are verified — the SemDeDup restriction (Abbas et
+   * al. 2023), with the same recall caveat: a pair straddling a cell
+   * boundary is not seen. At the daily-ingest shape the quantizer is the
+   * corpus snapshot's persisted artifact — pass `centroids` and no k-means
+   * runs in-call; `nlist > 0` trains on the CORPUS side (never the batch:
+   * the batch distribution must not move the cells its own evidence is
+   * judged in).
+   *
+   * Hot cells are bounded by [[CandidateGen.bipartitePairsFromBuckets]]
+   * (same ceiling + salt/degrade contract as q64); `saltOversized`
+   * defaults TRUE like [[semanticDedupGroups]] — id-order degrade would
+   * silently drop real embedding pairs.
+   *
+   * Vectors attach per SIDE (the a-join reads only the new frame, the
+   * b-join only the corpus), so an id appearing in both frames cannot
+   * alias — no side salting needed here, unlike the text path's unioned
+   * feature table.
+   *
+   * @return (a = new id, b = corpus id, cosine) at cosine >= cosineMin
+   */
+  def incrementalSemanticPairs(newEmb: DataFrame, corpusEmb: DataFrame,
+      idCol: String, vecCol: String, cosineMin: Double,
+      centroids: DataFrame = null, nlist: Int = 0,
+      maxBucketSize: Int = 4096, saltOversized: Boolean = true,
+      persistFeatures: Boolean = true): DataFrame = {
+    require(centroids != null || nlist > 0,
+      "pass centroids, or nlist > 0 to train the quantizer on the corpus")
+    val nf = maybePersist(
+      newEmb.select(col(idCol).as("id"), col(vecCol).as("vec")), persistFeatures)
+    val cf = maybePersist(
+      corpusEmb.select(col(idCol).as("id"), col(vecCol).as("vec")), persistFeatures)
+    val cents = Option(centroids)
+      .getOrElse(Ann.kmeansCentroids(cf, "id", "vec", nlist))
+    val nb = Ann.cellAssignments(nf, cents, "id", "vec")
+      .select(col("id").as("a"), col("cell").as("key"))
+    val cb = Ann.cellAssignments(cf, cents, "id", "vec")
+      .select(col("id").as("b"), col("cell").as("key"))
+    val pairs = CandidateGen.bipartitePairsFromBuckets(nb, cb, maxBucketSize,
+      saltOversized = saltOversized)
+    pairs
+      .join(nf.select(col("id").as("a"), col("vec").as("__va")), "a")
+      .join(cf.select(col("id").as("b"), col("vec").as("__vb")), "b")
+      .withColumn("cosine", cosine_sim(col("__va"), col("__vb")))
+      .where(col("cosine") >= cosineMin)
+      .select("a", "b", "cosine")
+  }
 }

@@ -284,6 +284,16 @@ object DedupPipeline {
    * delta graph then contracts each touched cluster to one node
    * (its cluster_id) and runs CC over O(batch) nodes only.
    *
+   * Batch image ids MUST be disjoint from corpus ids. This is the label
+   * convention's own requirement, not an implementation limit: with a
+   * duplicated id, even a from-scratch re-run over corpus-plus-batch is
+   * ill-defined (two distinct clusters can both claim the duplicated string
+   * as lexico-min root and alias to one cluster_id). A re-crawl pipeline
+   * ingests under fresh ids — or upsert-replaces the old row first, which
+   * is a corpus mutation, not a batch fold. The pair-evidence layer
+   * ([[incrementalPairs]]) deliberately TOLERATES id overlap (side-salted
+   * nids) because evidence rows are id-pair-valued, not label-valued.
+   *
    * @param corpusAssign existing (image_id, cluster_id) — must cover every
    *                     corpus id the evidence references
    * @param crossPairs   [[incrementalPairs]] output: (a = new image_id,
@@ -308,18 +318,24 @@ object DedupPipeline {
     val roots = corpusAssign.join(broadcast(touchedClusters), Seq("cluster_id"))
       .groupBy("cluster_id").agg(min("image_id").as("root_image"))
 
-    // delta graph: new nodes ride as xxhash64(image_id) (the features() nid
-    // scheme), touched clusters as their cluster_id (already a 64-bit hash
-    // in the same space — collisions negligible and merge-only)
+    // delta graph: new nodes ride as SIDE-SALTED hashes, touched clusters as
+    // their cluster_id. Without the salt a batch id equal to some cluster's
+    // lexico-min root would make the new node EQUAL the cluster node by
+    // construction (cluster_id = xxhash64(root)) and silently conflate them;
+    // the documented disjoint-ids contract rules that input out, the salt
+    // keeps the failure structural-impossible rather than contract-enforced.
+    // Node ids are internal to the delta CC — display labels only ever
+    // derive from the `cand` image-id strings — so salting costs nothing.
+    val newNode = (c: org.apache.spark.sql.Column) => xxhash64(lit("new:"), c)
     val crossEdges = crossPairs.join(touchedB, Seq("b"))
-      .select(xxhash64(col("a")).as("src"), col("cluster_id").as("dst"))
+      .select(newNode(col("a")).as("src"), col("cluster_id").as("dst"))
     val newEdges = newPairs
-      .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
+      .select(newNode(col("a")).as("src"), newNode(col("b")).as("dst"))
     val cc = ConnectedComponents.run(crossEdges.union(newEdges))
 
     // per-component display root = lexico-min over member image ids and
     // merged clusters' roots
-    val newMap = newIds.select(xxhash64(col("image_id")).as("id"),
+    val newMap = newIds.select(newNode(col("image_id")).as("id"),
       col("image_id").as("cand"))
     val cluMap = roots.select(col("cluster_id").as("id"),
       col("root_image").as("cand"))

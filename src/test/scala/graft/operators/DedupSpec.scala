@@ -339,4 +339,41 @@ class DedupSpec extends SparkSpec {
     val kept = got.filter(_._2._1 == "kept").keySet
     got.values.foreach { case (_, canon) => assert(kept.contains(canon)) }
   }
+
+  test("incremental semantic pairs: bipartite only, id overlap safe, quantizer parity") {
+    val rng = new scala.util.Random(41)
+    val corpus = (0L until 60L).map(i => (i, Array.fill(12)(rng.nextFloat() - 0.5f)))
+    // batch: 15 re-ingested corpus vectors under new ids, 5 under their
+    // ORIGINAL ids (the re-crawl id-overlap case), 5 fresh unmatched vectors
+    val reing = corpus.take(15).map { case (i, v) => (i + 1000, v) }
+    val sameId = corpus.slice(20, 25)
+    val fresh = (100L until 105L).map(i =>
+      (i + 2000, Array.fill(12)(rng.nextFloat() - 0.5f)))
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val ndf = (reing ++ sameId ++ fresh).toDF("vec_id", "embedding")
+
+    val got = Dedup.incrementalSemanticPairs(ndf, cdf, "vec_id", "embedding",
+        cosineMin = 0.999, nlist = 4)
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    // every planted copy surfaces its original (identical vectors share a
+    // cell by construction); nothing else reaches 0.999
+    val expected = (corpus.take(15).map(c => (c._1 + 1000, c._1)) ++
+      sameId.map(c => (c._1, c._1))).toSet
+    assert(pairs == expected, s"got ${pairs.size}, expected ${expected.size}")
+    got.foreach(r => assert(r._3 >= 0.999))
+
+    // corpus-trained in-call quantizer == the same quantizer supplied
+    val cents = Ann.kmeansCentroids(
+      cdf.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "id", "vec", nlist = 4, iters = 3)
+    val supplied = Dedup.incrementalSemanticPairs(ndf, cdf, "vec_id",
+        "embedding", cosineMin = 0.999, centroids = cents)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(supplied == pairs)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalSemanticPairs(ndf, cdf, "vec_id", "embedding",
+        cosineMin = 0.999)
+    }
+  }
 }
