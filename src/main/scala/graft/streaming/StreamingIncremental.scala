@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.config.DedupConfig
+import graft.io.TableIO
+import graft.operators.Ingest
+import graft.pipeline.DedupPipeline
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Continuous incremental dedup: a live image feed where every micro-batch
+ * runs the SAME path as a `graft.Main --incremental --assignments
+ * --corpus-features --merge-new` daily run — evidence pairs + delta-CC
+ * assignment fold against the persisted corpus state, then the batch merges
+ * into the state so the next micro-batch sees it. This is the `foreachBatch`
+ * shape Structured Streaming documents for stream-to-batch-sink work: the
+ * per-batch body is deterministic batch code ([[DedupPipeline]]), the
+ * streaming engine only owns offsets/triggers. The watermarked operators in
+ * [[StreamingDedup]] remain the low-latency in-stream filters; this is the
+ * stateful corpus-building leg.
+ *
+ * State tables under `stateRoot` ([[TableIO]]): `corpus_features`,
+ * `assignments`, and a `batch_<id>_done` marker per completed batch.
+ * Evidence lands under `outRoot` as one overwrite-idempotent table per
+ * micro-batch (`incremental_pairs_<id>`), so a replayed batch (streaming
+ * retry semantics) rewrites rather than duplicates.
+ *
+ * Exactly-once: a batch whose marker exists is skipped entirely, so a retry
+ * after full completion is a no-op. The parquet backend has no multi-table
+ * transaction, so a crash strictly between the state upserts and the marker
+ * write replays against half-merged state — the Iceberg backend's atomic
+ * snapshot commits are the production answer (TableIO picks it up when the
+ * catalog is present); the marker bounds the damage to one batch either way.
+ *
+ * Scale: identical to the daily-ingest analysis — the corpus is touched by
+ * the bipartite evidence join (hot keys capped) and the two broadcast-semi
+ * scans of the assignment fold; per-batch work is O(batch), state growth is
+ * the appended feature/assignment rows.
+ */
+object StreamingIncremental {
+
+  /** Start the stream. `stream` must carry the images schema ([[Ingest]]):
+    * payload bytes + declared phash/dims + caption. */
+  def start(stream: DataFrame, stateRoot: String, outRoot: String,
+      cfg: DedupConfig, checkpointLocation: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.sparkSession, batch, stateRoot, outRoot, cfg, batchId)
+      }
+      .start()
+
+  /**
+   * One micro-batch — public so tests (and backfills: the function neither
+   * knows nor cares whether the frame came from a stream) can drive it
+   * directly. Batch 0 against empty state BOOTSTRAPS the corpus: the batch
+   * DAG runs alone and its features/assignments become the initial state.
+   */
+  def processBatch(spark: SparkSession, batch: DataFrame, stateRoot: String,
+      outRoot: String, cfg: DedupConfig, batchId: Long): Unit = {
+    val state = TableIO.resolve(spark, stateRoot)
+    val out = TableIO.resolve(spark, outRoot)
+    val marker = s"batch_${batchId}_done"
+    if (state.exists(marker)) return
+
+    val newFeat = Ingest.run(spark, batch, cfg)
+    try {
+      if (!state.exists("corpus_features")) {
+        val result = DedupPipeline.runFromFeatures(spark, newFeat, cfg)
+        out.write(result.dupPairs
+          .select(col("a"), col("b"), col("jaccard"), col("hamming")),
+          s"incremental_pairs_$batchId")
+        state.write(result.assignments, "assignments")
+        state.write(newFeat, "corpus_features")
+      } else {
+        val corpusFeat = state.read("corpus_features")
+        val cross = DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg)
+        out.write(cross, s"incremental_pairs_$batchId")
+        // the fold consumes the WRITTEN table — the evidence join runs once
+        val crossSaved = out.read(s"incremental_pairs_$batchId")
+        val within = DedupPipeline.runFromFeatures(spark, newFeat, cfg)
+          .dupPairs.select("a", "b")
+        val res = DedupPipeline.incrementalAssignments(spark,
+          state.read("assignments"), crossSaved.select("a", "b"), within,
+          newFeat.select(col("id").as("image_id")))
+        // only the touched corpus rows rewrite: semi-filter by the relabel
+        // map, apply, and upsert together with the batch's new rows
+        val touched = DedupPipeline.applyClusterRelabels(
+          state.read("assignments").join(
+            broadcast(res.relabels.select("cluster_id")),
+            Seq("cluster_id"), "left_semi"),
+          res.relabels)
+        state.upsert(touched.unionByName(res.newAssignments),
+          "assignments", Seq("image_id"))
+        state.upsert(newFeat, "corpus_features", Seq("id"))
+      }
+      state.write(spark.range(1).select(lit(batchId).as("batch_id")), marker)
+    } finally newFeat.unpersist()
+  }
+}
