@@ -1044,6 +1044,22 @@ object SparkEntry {
           cosineMin = 0.999, nlist = 16)
         .select("a", "b")
         .orderBy("a", "b")
+    }),
+
+    "q68_canonical_by_quality" -> ((s, d) => {
+      // canonical-by-quality near-dup groups (Dedup.minhashLshGroupsBy) on
+      // the q15 corpus (each doc + a ' zz'-appended near-copy under
+      // +100000), quality = char length. The appended copy is strictly
+      // longer, so every planted pair's canonical flips to the +100000
+      // member — the opposite of the min-id convention — and natural
+      // near-dup chains resolve to their longest member. Oracle recomputes
+      // brute-force trigram-Jaccard edges + recursive min-label CC (the q66
+      // device) + the same (quality desc, id asc) argmax window.
+      val frame = docsWithNearDups(s, d)
+        .withColumn("quality", length(col("text")))
+      Dedup.minhashLshGroupsBy(frame, "doc_id", "text", "quality",
+          DedupConfig.default)
+        .orderBy("doc_id")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -1935,5 +1951,42 @@ object SparkEntry {
          SELECT f.vec_id AS a, c.vec_id AS b
          FROM fresh f, embeddings c
          WHERE list_cosine_similarity(f.embedding, c.embedding) >= 0.999
-         ORDER BY a, b""")
+         ORDER BY a, b""",
+
+    "q68_canonical_by_quality" ->
+      // brute-force trigram-Jaccard edges (the q15 oracle) + recursive
+      // min-label CC (the q66 device) + argmax-quality canonical per
+      // component with min-id tie-break
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
+         toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM corpus),
+         tris AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS t FROM toks),
+         posting AS (SELECT doc_id, unnest(t) AS tri FROM tris),
+         sizes AS (SELECT doc_id, len(t) AS n FROM tris),
+         inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS ic
+           FROM posting p1 JOIN posting p2 ON p1.tri = p2.tri
+           WHERE p1.doc_id < p2.doc_id GROUP BY 1, 2),
+         edges AS (SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5),
+         bi AS (SELECT a AS u, b AS v FROM edges
+           UNION ALL SELECT b AS u, a AS v FROM edges),
+         prop(id, label) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT bi.u, prop.label FROM prop JOIN bi ON bi.v = prop.id
+           WHERE prop.label < bi.u),
+         lab AS (SELECT id, min(label) AS comp FROM prop GROUP BY id),
+         qual AS (SELECT doc_id AS id, length(text) AS quality FROM corpus)
+         SELECT id AS doc_id, canonical, id = canonical AS keep
+         FROM (SELECT l.id, first_value(l.id) OVER (
+               PARTITION BY l.comp ORDER BY q.quality DESC, l.id ASC)
+             AS canonical
+           FROM lab l JOIN qual q ON q.id = l.id)
+         ORDER BY doc_id""")
 }

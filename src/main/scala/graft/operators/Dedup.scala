@@ -204,6 +204,43 @@ object Dedup {
   }
 
   /**
+   * [[minhashLshGroups]] with canonical selection by QUALITY instead of min
+   * id. Production training-data pipelines keep the BEST member of each
+   * near-dup cluster — the longest or highest-quality-scored document (the
+   * FineWeb/CCNet convention) — where the min-id convention keeps an
+   * arbitrary one; the reference's analogue is promoting the top-scored
+   * candidate of a duplicate group rather than the first seen
+   * (ea/sim/main/methods/retrieval.py top-1 promotion shape).
+   *
+   * Same bounded machinery as [[minhashLshGroups]] (LSH pairs -> CC on
+   * hashed nids); the only addition is a component-keyed window picking
+   * argmax(quality) with min-id tie-break. Components are near-dup clusters
+   * — bounded by construction (bucket caps upstream), so the window
+   * partition never degenerates.
+   *
+   * @param qualityCol numeric column in `docs`; higher = better
+   * @return (idCol, canonical, keep): `canonical` is the component's
+   *         max-quality member (ties: min id); singletons keep themselves
+   */
+  def minhashLshGroupsBy(docs: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, cfg: DedupConfig): DataFrame = {
+    val nid = xxhash64(col(idCol).cast("string"))
+    val base = docs.select(col(idCol), col(qualityCol)).withColumn("__nid", nid)
+    val edges = minhashLshPairs(docs, idCol, textCol, cfg)
+      .select(xxhash64(col("a").cast("string")).as("src"),
+        xxhash64(col("b").cast("string")).as("dst"))
+    val cc = ConnectedComponents.run(edges)
+      .select(col("id").as("__nid"), col("component"))
+    base.join(cc, Seq("__nid"), "left")
+      .withColumn("__comp", coalesce(col("component"), col("__nid")))
+      .withColumn("canonical", first(col(idCol)).over(
+        Window.partitionBy("__comp")
+          .orderBy(col(qualityCol).desc, col(idCol).asc)))
+      .select(col(idCol), col("canonical"),
+        (col(idCol) === col("canonical")).as("keep"))
+  }
+
+  /**
    * Brute-force n-gram Jaccard pairs — the exact oracle for the LSH variants
    * (small inputs only: O(n^2) via self-join; the golden recall gate compares
    * [[minhashLshPairs]] against this at identical config,

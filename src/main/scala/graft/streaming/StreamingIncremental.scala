@@ -35,8 +35,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *
  * Scale: identical to the daily-ingest analysis — the corpus is touched by
  * the bipartite evidence join (hot keys capped) and the two broadcast-semi
- * scans of the assignment fold; per-batch work is O(batch), state growth is
- * the appended feature/assignment rows.
+ * scans of the assignment fold; per-batch COMPUTE is O(batch). One honest
+ * caveat on state WRITES: the parquet [[TableIO]] backend implements upsert
+ * as anti-join + full rewrite-and-swap, so each micro-batch rewrites the
+ * state tables — O(corpus) I/O per batch, acceptable at sandbox scale and
+ * for daily cadence, not for minutes-level triggers on a 100 TB corpus.
+ * The Iceberg backend's `MERGE INTO` rewrites only the touched data files
+ * (and the new-assignment/feature rows are pure inserts), which is the
+ * production path; the code is backend-agnostic through [[TableIO.resolve]].
  */
 object StreamingIncremental {
 

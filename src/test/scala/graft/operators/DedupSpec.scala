@@ -376,4 +376,30 @@ class DedupSpec extends SparkSpec {
         cosineMin = 0.999)
     }
   }
+
+  test("canonical-by-quality groups keep the best member, ties go to min id") {
+    val docs = Seq(
+      // near-dup pair (trigram jaccard 0.8): 2 has the higher quality
+      (1L, "a b c d e f", 10.0),
+      (2L, "a b c d e f g", 99.0),
+      // singleton: shares no trigram with anything
+      (3L, "zz yy xx ww vv uu", 5.0),
+      // exact-copy pair with EQUAL quality: tie-break keeps min id 4
+      (4L, "p q r s t u", 7.0),
+      (5L, "p q r s t u", 7.0)
+    ).toDF("doc_id", "text", "q")
+    val got = Dedup.minhashLshGroupsBy(docs, "doc_id", "text", "q",
+        DedupConfig.default)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (2L, false), 2L -> (2L, true),
+      3L -> (3L, true),
+      4L -> (4L, true), 5L -> (4L, false)))
+    // contrast: the min-id convention would have kept 1, not 2
+    val minId = Dedup.minhashLshGroups(docs, "doc_id", "text",
+        DedupConfig.default)
+      .as[(Long, Long)].collect().toMap
+    assert(minId(2L) == 1L)
+  }
 }
