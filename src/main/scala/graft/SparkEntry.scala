@@ -1060,6 +1060,18 @@ object SparkEntry {
       Dedup.minhashLshGroupsBy(frame, "doc_id", "text", "quality",
           DedupConfig.default)
         .orderBy("doc_id")
+    }),
+
+    "q69_dedup_audit" -> ((s, d) => {
+      // per-run dedup audit histogram (Dedup.auditHistogram) over the q15
+      // corpus's near-dup groups: natural chains in `documents` give
+      // cluster sizes beyond the planted 2s, so the histogram has real
+      // shape. Oracle rebuilds the groups via brute-force trigram Jaccard +
+      // recursive min-label CC (the q68 device) and aggregates identically.
+      val groups = Dedup.minhashLshGroups(docsWithNearDups(s, d),
+        "doc_id", "text", DedupConfig.default)
+      Dedup.auditHistogram(groups, "dup_group_id")
+        .orderBy("cluster_size")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -1988,5 +2000,42 @@ object SparkEntry {
                PARTITION BY l.comp ORDER BY q.quality DESC, l.id ASC)
              AS canonical
            FROM lab l JOIN qual q ON q.id = l.id)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    "q69_dedup_audit" ->
+      // same recursive-CC group reconstruction as q68, aggregated to the
+      // cluster-size histogram auditHistogram emits
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
+         toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM corpus),
+         tris AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS t FROM toks),
+         posting AS (SELECT doc_id, unnest(t) AS tri FROM tris),
+         sizes AS (SELECT doc_id, len(t) AS n FROM tris),
+         inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS ic
+           FROM posting p1 JOIN posting p2 ON p1.tri = p2.tri
+           WHERE p1.doc_id < p2.doc_id GROUP BY 1, 2),
+         edges AS (SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5),
+         bi AS (SELECT a AS u, b AS v FROM edges
+           UNION ALL SELECT b AS u, a AS v FROM edges),
+         prop(id, label) AS (
+           SELECT doc_id, doc_id FROM corpus
+           UNION
+           SELECT bi.u, prop.label FROM prop JOIN bi ON bi.v = prop.id
+           WHERE prop.label < bi.u),
+         lab AS (SELECT id, min(label) AS comp FROM prop GROUP BY id),
+         csize AS (SELECT comp, count(*) AS cluster_size FROM lab GROUP BY 1),
+         hist AS (SELECT cluster_size, count(*) AS n_clusters,
+             cluster_size * count(*) AS n_rows
+           FROM csize GROUP BY 1)
+         SELECT cluster_size, n_clusters, n_rows,
+           round(n_rows * 1.0 / (SELECT sum(n_rows) FROM hist), 6)
+             AS row_fraction
+         FROM hist ORDER BY cluster_size""")
 }

@@ -241,6 +241,29 @@ object Dedup {
   }
 
   /**
+   * Dedup audit histogram over a cluster-assignment table — the per-run
+   * monitoring surface a production dedup pipeline publishes next to its
+   * output (dup rate, cluster-size distribution; the numbers a FineWeb-style
+   * run reports per snapshot). One row per distinct cluster size:
+   * (cluster_size, n_clusters, n_rows = size * clusters, row_fraction).
+   *
+   * Scale: two shuffles (assignment-keyed count, then size-keyed count) over
+   * strictly shrinking frames; the grand total attaches by broadcasting a
+   * 1-row aggregate — no single-partition window, no driver collect.
+   */
+  def auditHistogram(assign: DataFrame, groupCol: String): DataFrame = {
+    val sizes = assign.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_rows", col("cluster_size") * col("n_clusters"))
+    val tot = hist.agg(sum("n_rows").as("__t"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("row_fraction", round(col("n_rows") / col("__t"), 6))
+      .drop("__t")
+  }
+
+  /**
    * Brute-force n-gram Jaccard pairs — the exact oracle for the LSH variants
    * (small inputs only: O(n^2) via self-join; the golden recall gate compares
    * [[minhashLshPairs]] against this at identical config,

@@ -402,4 +402,16 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(minId(2L) == 1L)
   }
+
+  test("audit histogram: sizes, counts, row fractions") {
+    // groups: {1,2,3} size 3, {4} singleton, {5,6} size 2
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L),
+      (6L, 5L)).toDF("id", "g")
+    val got = Dedup.auditHistogram(assign, "g")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 0.166667),
+      (2L, 1L, 2L, 0.333333),
+      (3L, 1L, 3L, 0.5)))
+  }
 }
