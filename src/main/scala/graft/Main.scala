@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions.col
  *   [--incremental <new-batch-table-or-dir>] \
  *   [--corpus-features <table-root>] [--merge-new] \
  *   [--assignments <existing-assignment-table>] \
+ *   [--stream <watched-parquet-dir> --state <state-table-root>] \
  *   [--set shingleK=3] [--set hammingMax=3] [--set jaccardMin=0.5] ...
  * }}}
  *
@@ -58,6 +59,8 @@ object Main {
       corpusFeatures: Option[String] = None,
       mergeNew: Boolean = false,
       assignments: Option[String] = None,
+      stream: Option[String] = None,
+      state: Option[String] = None,
       sets: Map[String, String] = Map.empty)
 
   /** A value flag's argument must not itself look like a flag — otherwise
@@ -81,6 +84,10 @@ object Main {
     case "--merge-new" :: rest => parse(rest, acc.copy(mergeNew = true))
     case "--assignments" :: v :: rest if value(v) =>
       parse(rest, acc.copy(assignments = Some(v)))
+    case "--stream" :: v :: rest if value(v) =>
+      parse(rest, acc.copy(stream = Some(v)))
+    case "--state" :: v :: rest if value(v) =>
+      parse(rest, acc.copy(state = Some(v)))
     case "--set" :: kv :: rest if value(kv) =>
       kv.split("=", 2) match {
         case Array(k, v) => parse(rest, acc.copy(sets = acc.sets + (k -> v)))
@@ -95,7 +102,8 @@ object Main {
 
   private val valueFlags = Set(
     "--input", "--output", "--checkpoint", "--run-id", "--partitions",
-    "--incremental", "--corpus-features", "--assignments", "--set")
+    "--incremental", "--corpus-features", "--assignments", "--stream",
+    "--state", "--set")
 
   /** DedupConfig with `--set key=value` overrides applied. */
   private[graft] def configOf(sets: Map[String, String]): DedupConfig = {
@@ -126,16 +134,49 @@ object Main {
 
   def main(argv: Array[String]): Unit = {
     val args = parse(argv.toList, Args())
-    require(args.input != null, "--input is required")
     require(args.output != null, "--output is required")
 
     // the ambient spark-submit session; sane shuffle sizing only if the
     // submitter didn't set one (cluster config wins)
     val spark = SparkSession.builder().getOrCreate()
     val cfg = configOf(args.sets)
-    run(spark, args.input, args.output, cfg, args.checkpoint, args.runId,
-      args.partitions, args.incremental, args.corpusFeatures, args.mergeNew,
-      args.assignments)
+    args.stream match {
+      case Some(dir) =>
+        require(args.input == null,
+          "--stream replaces --input (the watched directory is the source)")
+        require(args.state.nonEmpty, "--stream requires --state")
+        require(args.incremental.isEmpty && args.assignments.isEmpty &&
+          args.corpusFeatures.isEmpty && args.checkpoint.isEmpty,
+          "--stream mode manages its own state/checkpoints; batch-mode " +
+            "flags do not apply")
+        runStream(spark, dir, args.output, args.state.get, cfg)
+      case None =>
+        require(args.input != null, "--input is required")
+        run(spark, args.input, args.output, cfg, args.checkpoint, args.runId,
+          args.partitions, args.incremental, args.corpusFeatures,
+          args.mergeNew, args.assignments)
+    }
+  }
+
+  /**
+   * STREAM mode: watch `streamDir` for new parquet files carrying the images
+   * schema and fold each micro-batch into the persisted corpus state via
+   * [[graft.streaming.StreamingIncremental]] (batch 0 bootstraps). Runs with
+   * `Trigger.AvailableNow` — drain everything new, then exit — so the same
+   * command is a cron-able periodic ingest AND a resumable backfill: the
+   * streaming checkpoint (under `<state>/_stream_checkpoint`) remembers
+   * which files each batch consumed, and completed batches are marker-gated
+   * in the state root, so re-submitting after a crash or on the next cron
+   * tick processes exactly the files that arrived since.
+   */
+  def runStream(spark: SparkSession, streamDir: String, output: String,
+      stateRoot: String, cfg: DedupConfig): Unit = {
+    val schema = org.apache.spark.sql.Encoders.product[graft.model.ImageRow].schema
+    val src = spark.readStream.schema(schema).parquet(streamDir)
+    val q = graft.streaming.StreamingIncremental.start(src, stateRoot, output,
+      cfg, s"$stateRoot/_stream_checkpoint",
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
   }
 
   /** The full job, callable from tests with an existing session.

@@ -6,7 +6,7 @@ import graft.operators.Ingest
 import graft.pipeline.DedupPipeline
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /**
  * Continuous incremental dedup: a live image feed where every micro-batch
@@ -47,21 +47,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingIncremental {
 
   /** Start the stream. `stream` must carry the images schema ([[Ingest]]):
-    * payload bytes + declared phash/dims + caption. */
+    * payload bytes + declared phash/dims + caption. `trigger` defaults to
+    * continuous micro-batches; pass `Trigger.AvailableNow()` for the
+    * drain-everything-then-exit shape (`Main --stream`, cron-driven runs). */
   def start(stream: DataFrame, stateRoot: String, outRoot: String,
-      cfg: DedupConfig, checkpointLocation: String): StreamingQuery =
-    stream.writeStream
+      cfg: DedupConfig, checkpointLocation: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = stream.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.sparkSession, batch, stateRoot, outRoot, cfg, batchId)
       }
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /**
    * One micro-batch — public so tests (and backfills: the function neither
    * knows nor cares whether the frame came from a stream) can drive it
    * directly. Batch 0 against empty state BOOTSTRAPS the corpus: the batch
    * DAG runs alone and its features/assignments become the initial state.
+   *
+   * Image ids must be NEW per batch — the assignment fold inherits
+   * [[DedupPipeline.incrementalAssignments]]'s disjoint-ids contract (a
+   * re-ingested id is a corpus mutation: upsert-replace the state row
+   * first, which is outside this fold's semantics).
    */
   def processBatch(spark: SparkSession, batch: DataFrame, stateRoot: String,
       outRoot: String, cfg: DedupConfig, batchId: Long): Unit = {

@@ -236,6 +236,52 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("stream mode: two cron-style drains bootstrap then fold new files only") {
+    val watched = "/tmp/graft_main_spec/stream_in"
+    val out = "/tmp/graft_main_spec/stream_out"
+    val state = "/tmp/graft_main_spec/stream_state"
+    Seq(watched, out, state).foreach(rmrf)
+
+    val drop0 = ImageGen.generate(spark, bases = 12, seed = 42L).toDF()
+    drop0.write.mode("append").parquet(watched)
+    // first drain: bootstraps the corpus from everything present
+    Main.runStream(spark, watched, out, state, DedupConfig.default)
+    assert(spark.read.parquet(s"$state/assignments.parquet").count() ==
+      drop0.count())
+
+    // second drop lands later: 4 re-ingests of drop0 payloads under fresh
+    // ids + a foreign batch; the next drain must consume ONLY these files
+    val reing = drop0.limit(4)
+      .withColumn("image_id", concat(lit("s_"), col("image_id")))
+    val foreign = ImageGen.generate(spark, bases = 3, seed = 777L).toDF()
+      .withColumn("image_id", concat(lit("f_"), col("image_id")))
+    reing.unionByName(foreign).write.mode("append").parquet(watched)
+    Main.runStream(spark, watched, out, state, DedupConfig.default)
+
+    val asg = spark.read.parquet(s"$state/assignments.parquet")
+    assert(asg.count() == drop0.count() + reing.count() + foreign.count())
+    // the fold equals one batch run over everything seen so far
+    val full = pipeline.DedupPipeline.run(spark,
+      drop0.unionByName(reing).unionByName(foreign),
+      DedupConfig.default).assignments
+    assert(asg.exceptAll(full).count() == 0 && full.exceptAll(asg).count() == 0)
+    // batch 1 evidence is bipartite new-vs-corpus
+    val ev = spark.read.parquet(s"$out/incremental_pairs_1.parquet")
+    assert(ev.count() > 0)
+    // a third drain with nothing new is a no-op (no batch 2 marker/table)
+    Main.runStream(spark, watched, out, state, DedupConfig.default)
+    assert(!new java.io.File(s"$state/batch_2_done.parquet").exists())
+  }
+
+  test("stream mode flags: --state required, batch flags rejected") {
+    val a = Main.parse(List("--stream", "/w", "--state", "/s",
+      "--output", "/o"), Main.Args())
+    assert(a.stream.contains("/w") && a.state.contains("/s"))
+    intercept[IllegalArgumentException] {
+      Main.parse(List("--stream"), Main.Args())
+    }
+  }
+
   test("parse rejects a flag where a value is expected") {
     val ok = Main.parse(List("--input", "/a", "--output", "/b",
       "--checkpoint", "/c", "--run-id", "x"), Main.Args())
