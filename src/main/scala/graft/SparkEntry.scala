@@ -1072,6 +1072,30 @@ object SparkEntry {
         "doc_id", "text", DedupConfig.default)
       Dedup.auditHistogram(groups, "dup_group_id")
         .orderBy("cluster_size")
+    }),
+
+    "q70_tfidf_index_eval" -> ((s, d) => {
+      // the reference's eval-Lerch-as-index END STATE: the TF-IDF retrieval
+      // index (q63) evaluated by the metrics harness (q21's Acc@k/MRR,
+      // evaluator.py:12-18). Corpus = documents (the fitted index); queries
+      // = every doc re-issued with an appended token under +100000 — UNSEEN
+      // by the index, the way the reference queries new reports against the
+      // fitted encoder. Truth: the original. Scores rounded + item-id
+      // tie-break exactly as q63; MRR is rank-truncated at k=5 (only top-5
+      // retrieval results exist, the reference retrieval-model contract).
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val queries = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      val scored = TextScores.tfidfIndexScores(docs, queries, "doc_id", "text")
+        .withColumn("score", round(col("score"), 4))
+      val ranked = Ranking.topKItems(scored, 5)
+        .select(col("query_id"), col("item_id").as("cluster_id"), col("rank"))
+      val truth = queries.select(col("doc_id").as("query_id"),
+        (col("doc_id") - 100000).as("true_cluster_id"))
+      Metrics.accuracyAndMrr(ranked, truth, Seq(1, 5))
+        .select(round(col("acc_at_1"), 6).as("acc_at_1"),
+          round(col("acc_at_5"), 6).as("acc_at_5"),
+          round(col("mrr"), 6).as("mrr"))
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -2037,5 +2061,54 @@ object SparkEntry {
          SELECT cluster_size, n_clusters, n_rows,
            round(n_rows * 1.0 / (SELECT sum(n_rows) FROM hist), 6)
              AS row_fraction
-         FROM hist ORDER BY cluster_size""")
+         FROM hist ORDER BY cluster_size""",
+
+    "q70_tfidf_index_eval" ->
+      // the q63 posting-list retrieval, evaluated: queries are the unseen
+      // ' zz' variants, idf comes from the CORPUS only, truth = the
+      // original doc; Acc@1/Acc@5 + rank-truncated MRR@5 over ALL queries
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+         queries AS (
+           SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(string_split(
+             regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'), ' '), x -> length(x) > 0))) AS token
+           FROM corpus),
+         qtoks AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(string_split(
+             regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'), ' '), x -> length(x) > 0))) AS token
+           FROM queries),
+         idf AS (
+           SELECT token,
+             1.0 + ln((SELECT count(*) FROM corpus) * 1.0 / (count(*) + 1))
+               AS idf
+           FROM toks GROUP BY token),
+         scored AS (
+           SELECT q.doc_id AS query_id, p.doc_id AS item_id,
+             round(sum(i.idf * i.idf), 4) AS score
+           FROM qtoks q
+           JOIN toks p ON q.token = p.token
+           JOIN idf i ON i.token = q.token
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, item_id) AS rank
+           FROM scored),
+         hits AS (
+           SELECT q.doc_id AS query_id, r.rank
+           FROM queries q LEFT JOIN ranked r
+             ON r.query_id = q.doc_id AND r.item_id = q.doc_id - 100000
+               AND r.rank <= 5)
+         SELECT
+           round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS acc_at_1,
+           round(avg(CASE WHEN rank <= 5 THEN 1.0 ELSE 0.0 END), 6)
+             AS acc_at_5,
+           round(avg(CASE WHEN rank IS NOT NULL THEN 1.0 / rank
+             ELSE 0.0 END), 6) AS mrr
+         FROM hits""")
 }
