@@ -67,6 +67,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus shuffled for the relabel map")
   }
 
+  test("q63/q64/q67/q68: round-5 joins are equi-joins, windows partitioned") {
+    Seq("q63_tfidf_index_topk", "q64_bipartite_hotkey",
+        "q67_incremental_semantic", "q68_canonical_by_quality").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in $q")
+      val bad = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"unpartitioned WindowExec in $q: ${bad.headOption}")
+    }
+  }
+
+  test("q69/q70: no cartesian on data-sized frames, no global window") {
+    // q69's single BroadcastNestedLoopJoin is the INTENDED plan: the 1-row
+    // grand-total aggregate broadcast onto the (tiny) histogram — same
+    // device as topFractionGlobal/ARI. The pin here is no CartesianProduct
+    // (unbroadcast product) and no unpartitioned window anywhere.
+    Seq("q69_dedup_audit", "q70_tfidf_index_eval").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+      val bad = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"unpartitioned WindowExec in $q: ${bad.headOption}")
+    }
+  }
+
   test("q66: the dedup cascade plans equi-joins and partitioned windows only") {
     val df = SparkEntry.queries("q66_dedup_cascade")(spark, dir)
     val p = planOf(df)
