@@ -1096,6 +1096,26 @@ object SparkEntry {
         .select(round(col("acc_at_1"), 6).as("acc_at_1"),
           round(col("acc_at_5"), 6).as("acc_at_5"),
           round(col("mrr"), 6).as("mrr"))
+    }),
+
+    "q71_assignment_churn" -> ((s, d) => {
+      // churn between two assignment snapshots (Dedup.assignmentDiff):
+      // `before` = exact-only groups over the corpus minus a tranche
+      // (doc_id % 89 == 7 arrives later -> 'added'); `after` = near-dup
+      // groups over the corpus minus a deletion sweep (doc_id % 97 == 3 ->
+      // 'removed'). Every text in the q15 corpus is unique, so the exact
+      // label is the id itself and 'relabeled' counts exactly the non-min
+      // members of after's near-dup components — the oracle recomputes all
+      // of it (recursive CC over the FILTERED corpus: deleting a chain
+      // member genuinely splits components).
+      val corpus = docsWithNearDups(s, d)
+      val before = Dedup.exactGroups(
+        corpus.where(col("doc_id") % 89 =!= 7), "doc_id", "text")
+      val after = Dedup.minhashLshGroups(
+        corpus.where(col("doc_id") % 97 =!= 3), "doc_id", "text",
+        DedupConfig.default)
+      Dedup.assignmentDiff(before, after, "doc_id", "dup_group_id")
+        .orderBy("status")
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -2110,5 +2130,50 @@ object SparkEntry {
              AS acc_at_5,
            round(avg(CASE WHEN rank IS NOT NULL THEN 1.0 / rank
              ELSE 0.0 END), 6) AS mrr
-         FROM hits""")
+         FROM hits""",
+
+    "q71_assignment_churn" ->
+      // before = exact groups over corpus-minus-late-tranche; after =
+      // near-dup groups (recursive min-label CC, q68 device) over the
+      // corpus minus the deletion sweep — the CC runs on the FILTERED
+      // corpus so deleted chain members genuinely split components
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
+         bef AS (
+           SELECT doc_id AS id,
+             min(doc_id) OVER (PARTITION BY text) AS gb
+           FROM corpus WHERE doc_id % 89 <> 7),
+         aftc AS (SELECT doc_id, text FROM corpus WHERE doc_id % 97 <> 3),
+         toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM aftc),
+         tris AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS t FROM toks),
+         posting AS (SELECT doc_id, unnest(t) AS tri FROM tris),
+         sizes AS (SELECT doc_id, len(t) AS n FROM tris),
+         inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS ic
+           FROM posting p1 JOIN posting p2 ON p1.tri = p2.tri
+           WHERE p1.doc_id < p2.doc_id GROUP BY 1, 2),
+         edges AS (SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5),
+         bi AS (SELECT a AS u, b AS v FROM edges
+           UNION ALL SELECT b AS u, a AS v FROM edges),
+         prop(id, label) AS (
+           SELECT doc_id, doc_id FROM aftc
+           UNION
+           SELECT bi.u, prop.label FROM prop JOIN bi ON bi.v = prop.id
+           WHERE prop.label < bi.u),
+         lab AS (SELECT id, min(label) AS ga FROM prop GROUP BY id),
+         j AS (
+           SELECT b.gb, a.ga FROM bef b FULL OUTER JOIN lab a ON a.id = b.id)
+         SELECT
+           CASE WHEN gb IS NULL THEN 'added'
+                WHEN ga IS NULL THEN 'removed'
+                WHEN ga = gb THEN 'stable'
+                ELSE 'relabeled' END AS status,
+           count(*) AS n_images
+         FROM j GROUP BY 1 ORDER BY status""")
 }

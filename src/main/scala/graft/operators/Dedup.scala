@@ -264,6 +264,32 @@ object Dedup {
   }
 
   /**
+   * Assignment churn between two cluster-assignment snapshots — the other
+   * half of the dedup monitoring surface ([[auditHistogram]] describes one
+   * snapshot; this one describes what a re-run, fold, or deletion sweep
+   * CHANGED). One row per status:
+   *
+   *  - `added`     — id present only in `after`
+   *  - `removed`   — id present only in `before`
+   *  - `stable`    — same cluster label in both
+   *  - `relabeled` — present in both, label moved
+   *
+   * Scale: a single full-outer equi-join on id + one tiny aggregation.
+   */
+  def assignmentDiff(before: DataFrame, after: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
+    val b = before.select(col(idCol).as("id"), col(groupCol).as("__gb"))
+    val a = after.select(col(idCol).as("id"), col(groupCol).as("__ga"))
+    b.join(a, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__gb").isNull, lit("added"))
+          .when(col("__ga").isNull, lit("removed"))
+          .when(col("__ga") === col("__gb"), lit("stable"))
+          .otherwise(lit("relabeled")))
+      .groupBy("status").agg(count(lit(1)).as("n_images"))
+  }
+
+  /**
    * Brute-force n-gram Jaccard pairs — the exact oracle for the LSH variants
    * (small inputs only: O(n^2) via self-join; the golden recall gate compares
    * [[minhashLshPairs]] against this at identical config,

@@ -403,6 +403,17 @@ class DedupSpec extends SparkSpec {
     assert(minId(2L) == 1L)
   }
 
+  test("assignment diff: all four churn statuses") {
+    val before = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("id", "g") // 4 removed later
+    val after = Seq((1L, 1L), (2L, 1L), (3L, 3L), (5L, 5L))
+      .toDF("id", "g") // 2 relabeled into 1's cluster, 5 added
+    val got = Dedup.assignmentDiff(before, after, "id", "g")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("stable" -> 2L, "relabeled" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("audit histogram: sizes, counts, row fractions") {
     // groups: {1,2,3} size 3, {4} singleton, {5,6} size 2
     val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L),
