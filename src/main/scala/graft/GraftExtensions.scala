@@ -141,6 +141,10 @@ object GraftExtensions {
       arity("graft_phash_tokens", args, 1, 1)
       PhashTokens(args.head)
     },
+    reg("graft_phash_canonical", "graft_phash_canonical(phash) - min over the mirror/rotation orbit") { args =>
+      arity("graft_phash_canonical", args, 1, 1)
+      PhashCanonical(args.head)
+    },
     reg("graft_fingerprint", "graft_fingerprint(s[, seed]) - rolling polynomial fingerprint") { args =>
       arity("graft_fingerprint", args, 1, 2)
       RollingFingerprint(args.head, seedArg("graft_fingerprint", args, 1))

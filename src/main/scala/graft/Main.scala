@@ -110,7 +110,7 @@ object Main {
     val base = DedupConfig.default
     val known = Set("shingleK", "numHashes", "bands", "rowsPerBand",
       "hammingMax", "jaccardMin", "lcsMin", "anchorK", "lcsCap", "maxBucketSize", "seed",
-      "forgetDays", "dupAttach", "saltOversized")
+      "forgetDays", "dupAttach", "saltOversized", "mirrorDups")
     sets.keys.find(!known(_)).foreach(k =>
       throw new IllegalArgumentException(s"unknown --set key: $k (known: ${known.mkString(", ")})"))
     def i(k: String, d: Int) = sets.get(k).map(_.toInt).getOrElse(d)
@@ -129,7 +129,9 @@ object Main {
       forgetDays = sets.get("forgetDays").map(_.toInt).orElse(base.forgetDays),
       dupAttach = sets.get("dupAttach").map(_.toBoolean).getOrElse(base.dupAttach),
       saltOversized = sets.get("saltOversized").map(_.toBoolean)
-        .getOrElse(base.saltOversized))
+        .getOrElse(base.saltOversized),
+      mirrorDups = sets.get("mirrorDups").map(_.toBoolean)
+        .getOrElse(base.mirrorDups))
   }
 
   def main(argv: Array[String]): Unit = {

@@ -48,6 +48,15 @@ package graft.config
  *                      ([[graft.operators.CandidateGen.saltedAllPairs]]) —
  *                      EXACT pair semantics at O(m^2) output, spread so no
  *                      task holds a whole bucket
+ * @param mirrorDups    derive the image-side signature from the
+ *                      orbit-canonical phash
+ *                      ([[graft.functions.HashKernels.phashCanonical]]):
+ *                      horizontally/vertically mirrored and 180-rotated
+ *                      re-uploads then share buckets AND pass Hamming
+ *                      verification — mirror-invariant dedup with zero extra
+ *                      decode work (the flip is a bit permutation of the
+ *                      8x8 average-hash). Off by default: a mirrored image
+ *                      is only a duplicate when the PRODUCT says so.
  * @param seed          global RNG / hash seed (reference random_seed=42,
  *                      ea/sim/dev/scripts/data/dataset/nb/main.py:12)
  */
@@ -66,6 +75,7 @@ final case class DedupConfig(
     dupAttach: Boolean = true,
     maxBucketSize: Int = 4096,
     saltOversized: Boolean = false,
+    mirrorDups: Boolean = false,
     seed: Long = 42L) {
   require(bands * rowsPerBand == numHashes,
     s"bands($bands) * rowsPerBand($rowsPerBand) must equal numHashes($numHashes)")

@@ -242,6 +242,24 @@ case class PhashTokens(child: Expression)
     copy(child = newChild)
 }
 
+/** long phash -> orbit-canonical phash (min over {id, flipH, flipV, rot180}
+  * — [[graft.functions.HashKernels.phashCanonical]]): mirrored/rotated
+  * re-uploads share the canonical, making phash-derived bucketing and
+  * verification mirror-invariant. */
+case class PhashCanonical(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phash_canonical"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.phashCanonical(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.phashCanonical($c)")
+  override protected def withNewChildInternal(newChild: Expression): PhashCanonical =
+    copy(child = newChild)
+}
+
 /** (array<string>, array<string>) -> double FaST positional alignment score
   * (was the surface's one Scala UDF; now codegen'd like every other kernel). */
 case class FastAlign(left: Expression, right: Expression,

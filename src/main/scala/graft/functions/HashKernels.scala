@@ -161,6 +161,43 @@ object HashKernels {
     out
   }
 
+  /**
+   * Mirror transforms of the 8x8 average-hash, as pure bit permutations:
+   * bit i of the phash is grid cell (gy = i / 8, gx = i % 8), so each BYTE
+   * of the long is one grid row. A horizontal image flip maps gx -> 7 - gx
+   * (reverse bits within every byte), a vertical flip maps gy -> 7 - gy
+   * (reverse the byte order), and a 180-degree rotation is both (reverse
+   * all 64 bits) — all three are single JDK intrinsics. The cell MEAN is
+   * permutation-invariant, so the identity `averageHash(flip(img)) ==
+   * phashFlipH(averageHash(img))` is EXACT whenever width/height are
+   * multiples of 8 (integer cell boundaries mirror onto themselves); for
+   * other sizes boundary cells differ by at most a pixel row/column and
+   * the transformed hash is within a few Hamming bits — inside the dedup
+   * verify tolerance either way.
+   */
+  def phashFlipH(p: Long): Long =
+    java.lang.Long.reverseBytes(java.lang.Long.reverse(p))
+
+  /** Vertical-flip transform of the phash (see [[phashFlipH]]). */
+  def phashFlipV(p: Long): Long = java.lang.Long.reverseBytes(p)
+
+  /** 180-degree-rotation transform of the phash (see [[phashFlipH]]). */
+  def phashRot180(p: Long): Long = java.lang.Long.reverse(p)
+
+  /**
+   * Orbit-canonical phash: the (signed-long) minimum over the Klein
+   * four-group orbit {p, flipH, flipV, rot180}. Invariant under all four
+   * transforms — two mirrored/rotated re-uploads of one image share the
+   * canonical, so bucketing and Hamming verification on the canonical make
+   * the whole dedup DAG mirror-invariant with zero extra decode work.
+   */
+  def phashCanonical(p: Long): Long = {
+    val h = phashFlipH(p)
+    val v = phashFlipV(p)
+    val r = phashRot180(p)
+    math.min(math.min(p, h), math.min(v, r))
+  }
+
   /** Fused MinHash+banding: band keys straight from shingles without
     * materializing the numHashes-long signature (one output array instead of
     * three intermediates — the signature projection is allocation-bound at

@@ -53,6 +53,11 @@ package object functions {
   def phash_tokens(phash: Column): Column =
     column(PhashTokens(expression(phash)))
 
+  /** Orbit-canonical phash (min over {id, flipH, flipV, rot180}) — mirrored
+    * or 180-rotated re-uploads share the canonical. */
+  def phash_canonical(phash: Column): Column =
+    column(PhashCanonical(expression(phash)))
+
   def rolling_fingerprint(s: Column, seed: Long = 42L): Column =
     column(RollingFingerprint(expression(s), seed))
 

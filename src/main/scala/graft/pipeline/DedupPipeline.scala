@@ -51,7 +51,12 @@ object DedupPipeline {
         col("phash")) ++ carry.map(col): _*)
       .withColumn("band_keys", minhash_band_keys(col("shingles"),
         cfg.numHashes, cfg.bands, cfg.rowsPerBand, cfg.seed))
-      .withColumn("simhash", simhash64(phash_tokens(col("phash")), cfg.seed))
+      // mirrorDups: the signature rides on the ORBIT-CANONICAL phash, so a
+      // flipped/rotated re-upload shares chunk buckets and verifies at
+      // Hamming 0 — the raw `phash` column stays untouched for validation
+      .withColumn("simhash", simhash64(phash_tokens(
+        if (cfg.mirrorDups) phash_canonical(col("phash")) else col("phash")),
+        cfg.seed))
       .withColumn("content_hash", xxhash64(col("norm_text")))
       // dense join identity: CONTENT-derived (image_id is unique by input
       // contract), so a recomputed partition — executor loss, cache eviction,

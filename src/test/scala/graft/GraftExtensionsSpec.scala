@@ -19,6 +19,7 @@ class GraftExtensionsSpec extends SparkSpec {
            size(graft_shingles(array('a','b','c','d'), 3))          AS sh_n,
            graft_simhash64(array(5L, 6L))                           AS sim,
            size(graft_phash_tokens(81985529216486895L))             AS ph_n,
+           graft_phash_canonical(81985529216486895L)                AS ph_c,
            graft_fingerprint('abc')                                 AS fp,
            graft_srp_bucket(array(0.5F, -0.5F), 8)                  AS srp,
            size(graft_winnow_anchors('abcdefghijklmnop', 4, 8))     AS wa_n
@@ -31,6 +32,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("bands_n") === 4)
     assert(row.getAs[Int]("sh_n") === 2)
     assert(row.getAs[Int]("ph_n") === 8)
+    assert(row.getAs[Long]("ph_c") ===
+      graft.functions.HashKernels.phashCanonical(81985529216486895L))
     assert(row.getAs[Long]("fp") !== 0L)
     // 16 chars, k=4 -> 13 grams <= w=8? no: m=13 > w=8 -> winnowed scan;
     // density bound only — exact content equality vs the Column API:

@@ -216,10 +216,12 @@ class MainSpec extends SparkSpec {
 
   test("configOf applies --set overrides and rejects unknown keys") {
     val c = Main.configOf(Map("hammingMax" -> "2", "jaccardMin" -> "0.7",
-      "forgetDays" -> "14", "dupAttach" -> "false", "saltOversized" -> "true"))
+      "forgetDays" -> "14", "dupAttach" -> "false", "saltOversized" -> "true",
+      "mirrorDups" -> "true"))
     assert(c.hammingMax == 2 && c.jaccardMin == 0.7)
     assert(c.forgetDays.contains(14) && !c.dupAttach)
-    assert(c.saltOversized)
+    assert(c.saltOversized && c.mirrorDups)
+    assert(!Main.configOf(Map.empty).mirrorDups)
     assert(!Main.configOf(Map.empty).saltOversized)
     intercept[IllegalArgumentException] {
       Main.configOf(Map("notAKey" -> "1"))

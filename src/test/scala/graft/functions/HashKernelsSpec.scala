@@ -113,6 +113,54 @@ class HashKernelsSpec extends AnyFunSuite {
     assert(HashKernels.srpBucket(v.map(_ * 3.7f), 12, 42L) == HashKernels.srpBucket(v, 12, 42L))
   }
 
+  test("phash orbit canonical: group laws and invariance") {
+    val rng = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val p = rng.nextLong()
+      // involutions + composition law of the Klein four-group
+      assert(HashKernels.phashFlipH(HashKernels.phashFlipH(p)) == p)
+      assert(HashKernels.phashFlipV(HashKernels.phashFlipV(p)) == p)
+      assert(HashKernels.phashRot180(p) ==
+        HashKernels.phashFlipH(HashKernels.phashFlipV(p)))
+      // canonical is orbit-invariant and a member of the orbit
+      val c = HashKernels.phashCanonical(p)
+      assert(HashKernels.phashCanonical(HashKernels.phashFlipH(p)) == c)
+      assert(HashKernels.phashCanonical(HashKernels.phashFlipV(p)) == c)
+      assert(HashKernels.phashCanonical(HashKernels.phashRot180(p)) == c)
+      assert(Set(p, HashKernels.phashFlipH(p), HashKernels.phashFlipV(p),
+        HashKernels.phashRot180(p)).contains(c))
+    }
+  }
+
+  test("phash flip transforms equal real decoded-pixel flips (8-divisible dims)") {
+    import java.awt.image.BufferedImage
+    val rng = new scala.util.Random(11)
+    def randImage(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rng.nextInt())
+      img
+    }
+    def mapped(src: BufferedImage)(f: (Int, Int) => (Int, Int)): BufferedImage = {
+      val out = new BufferedImage(src.getWidth, src.getHeight,
+        BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until src.getHeight; x <- 0 until src.getWidth) {
+        val (nx, ny) = f(x, y)
+        out.setRGB(nx, ny, src.getRGB(x, y))
+      }
+      out
+    }
+    Seq((64, 48), (128, 128), (96, 160)).foreach { case (w, h) =>
+      val img = randImage(w, h)
+      val p = graft.synth.ImageCodec.averageHash(img)
+      val fh = mapped(img)((x, y) => (w - 1 - x, y))
+      val fv = mapped(img)((x, y) => (x, h - 1 - y))
+      val r2 = mapped(img)((x, y) => (w - 1 - x, h - 1 - y))
+      assert(graft.synth.ImageCodec.averageHash(fh) == HashKernels.phashFlipH(p))
+      assert(graft.synth.ImageCodec.averageHash(fv) == HashKernels.phashFlipV(p))
+      assert(graft.synth.ImageCodec.averageHash(r2) == HashKernels.phashRot180(p))
+    }
+  }
+
   test("band keys: r identical minhash rows in a band imply equal band key") {
     val sigA = Array.tabulate(8)(i => i.toLong * 31)
     val sigB = sigA.clone(); sigB(7) = 999L // differs only in last band (b=3, r=2)

@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.config.DedupConfig
+import graft.model.ImageRow
+import graft.synth.{ImageCodec, ImageGen}
+import java.awt.image.BufferedImage
+import org.apache.spark.sql.functions._
+
+class MirrorDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mirrorDups: flipped re-upload clusters with its original; off by default") {
+    val images = ImageGen.generate(spark, bases = 10, seed = 42L).toDF()
+    // flip a real PNG payload's pixels, re-encode losslessly, re-upload under
+    // a new id. The caption is a 2-token string, so the TEXT families cannot
+    // pair it — co-membership can only come through the image signature.
+    val row = images.where(col("fmt") === "png").orderBy("image_id").head()
+    val origId = row.getAs[String]("image_id")
+    val img = ImageCodec.decode(row.getAs[Array[Byte]]("bytes"))
+    val flipped = new BufferedImage(img.getWidth, img.getHeight,
+      BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      flipped.setRGB(img.getWidth - 1 - x, y, img.getRGB(x, y))
+    val fBytes = ImageCodec.encodePng(flipped)
+    val mirror = ImageRow(s"mirror_$origId", fBytes, img.getWidth,
+      img.getHeight, "png", "mirror reupload", ImageCodec.averageHash(flipped))
+    val frame = images.unionByName(Seq(mirror).toDF())
+
+    def clusterOf(cfg: DedupConfig): (Long, Long) = {
+      val m = DedupPipeline.run(spark, frame, cfg).assignments
+        .as[(String, Long)].collect().toMap
+      (m(origId), m(mirror.image_id))
+    }
+    val (o1, m1) = clusterOf(DedupConfig.default.copy(mirrorDups = true))
+    assert(o1 == m1, "mirrorDups=true must cluster the flipped re-upload " +
+      "with its original through the canonical-phash signature")
+    val (o0, m0) = clusterOf(DedupConfig.default)
+    assert(o0 != m0, "with mirrorDups off a flipped image is NOT a dup")
+  }
+}
