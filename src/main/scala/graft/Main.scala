@@ -241,7 +241,18 @@ object Main {
         val corpusFeat = featIo match {
           case Some(io) if io.exists("corpus_features") =>
             // later runs: the persisted table IS the corpus — `input` is
-            // not read at all (MainSpec proves it with a bogus input path)
+            // not read at all (MainSpec proves it with a bogus input path).
+            // Fail fast if this run's feature config differs from the one
+            // the table was built with: joining across signature spaces
+            // (other bands/seed/mirrorDups) silently loses every pair.
+            if (io.exists("corpus_features_meta")) {
+              val stored = io.read("corpus_features_meta")
+                .select("feature_config").head().getString(0)
+              require(stored == cfg.featureConfigId,
+                s"persisted corpus_features were built with [$stored] but " +
+                  s"this run uses [${cfg.featureConfigId}] — re-featurize " +
+                  "the corpus or restore the original --set values")
+            }
             io.read("corpus_features")
           case other =>
             val f = Ingest.run(spark, TableIO.readLocation(spark, input),
@@ -249,6 +260,9 @@ object Main {
             other match {
               case Some(io) =>
                 io.write(f, "corpus_features")
+                io.write(spark.range(1).select(
+                  org.apache.spark.sql.functions.lit(cfg.featureConfigId)
+                    .as("feature_config")), "corpus_features_meta")
                 f.unpersist()
                 // downstream consumers scan the written parquet instead of
                 // holding the Ingest plan + cache

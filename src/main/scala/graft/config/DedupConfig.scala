@@ -86,6 +86,18 @@ final case class DedupConfig(
       " (it is what guarantees long-match recall)")
   require(lcsCap >= math.max(lcsMin, 1),
     s"lcsCap($lcsCap) below lcsMin($lcsMin) can never verify a long match")
+
+  /**
+   * Identity of the FEATURE space this config produces — exactly the fields
+   * [[graft.pipeline.DedupPipeline.features]] bakes into persisted feature
+   * rows (shingles/band keys/simhash). Two feature tables are join-compatible
+   * iff their ids match; verify/bucket-time knobs (hammingMax, jaccardMin,
+   * lcs*, maxBucketSize, ...) deliberately excluded — they may change
+   * between runs without invalidating persisted features.
+   */
+  def featureConfigId: String =
+    s"shingleK=$shingleK|numHashes=$numHashes|bands=$bands" +
+      s"|rowsPerBand=$rowsPerBand|seed=$seed|mirrorDups=$mirrorDups"
 }
 
 object DedupConfig {

@@ -88,7 +88,19 @@ object StreamingIncremental {
           s"incremental_pairs_$batchId")
         state.write(result.assignments, "assignments")
         state.write(newFeat, "corpus_features")
+        state.write(spark.range(1).select(lit(cfg.featureConfigId)
+          .as("feature_config")), "corpus_features_meta")
       } else {
+        // a config drift against the persisted feature space (other bands/
+        // seed/mirrorDups) would silently lose every cross pair — fail fast
+        if (state.exists("corpus_features_meta")) {
+          val stored = state.read("corpus_features_meta")
+            .select("feature_config").head().getString(0)
+          require(stored == cfg.featureConfigId,
+            s"stream state was built with [$stored] but this run uses " +
+              s"[${cfg.featureConfigId}] — keep the config stable or " +
+              "rebootstrap the state")
+        }
         val corpusFeat = state.read("corpus_features")
         val cross = DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg)
         out.write(cross, s"incremental_pairs_$batchId")

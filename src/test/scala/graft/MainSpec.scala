@@ -128,6 +128,21 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Main.run(spark, in, out1, DedupConfig.default, mergeNew = true)
     }
+
+    // a config drift against the persisted feature space must fail fast,
+    // not silently join across signature spaces
+    val drift = intercept[IllegalArgumentException] {
+      Main.run(spark, "/nonexistent/never_read", out3,
+        DedupConfig.default.copy(seed = 43L), partitions = 4,
+        incremental = Some(nb), corpusFeatures = Some(cf))
+    }
+    assert(drift.getMessage.contains("seed=43"))
+    val mirrorDrift = intercept[IllegalArgumentException] {
+      Main.run(spark, "/nonexistent/never_read", out3,
+        DedupConfig.default.copy(mirrorDups = true), partitions = 4,
+        incremental = Some(nb), corpusFeatures = Some(cf))
+    }
+    assert(mirrorDrift.getMessage.contains("mirrorDups=true"))
   }
 
   test("incremental --assignments: delta fold equals a full re-run over corpus + batch") {

@@ -65,6 +65,15 @@ class StreamingIncrementalSpec extends SparkSpec {
     val after = spark.read.parquet(s"$state/assignments.parquet")
       .orderBy("image_id").collect().toSeq
     assert(before == after)
+
+    // a config drift against the bootstrapped feature space fails fast
+    val b2 = ImageGen.generate(spark, bases = 2, seed = 5L).toDF()
+      .withColumn("image_id", concat(lit("x_"), col("image_id")))
+    val drift = intercept[IllegalArgumentException] {
+      StreamingIncremental.processBatch(spark, b2, state, out,
+        cfg.copy(bands = 32, rowsPerBand = 4), 2L)
+    }
+    assert(drift.getMessage.contains("bands=32"))
   }
 
   test("end-to-end through a real stream (foreachBatch)") {
