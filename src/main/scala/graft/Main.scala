@@ -148,9 +148,10 @@ object Main {
           "--stream replaces --input (the watched directory is the source)")
         require(args.state.nonEmpty, "--stream requires --state")
         require(args.incremental.isEmpty && args.assignments.isEmpty &&
-          args.corpusFeatures.isEmpty && args.checkpoint.isEmpty,
-          "--stream mode manages its own state/checkpoints; batch-mode " +
-            "flags do not apply")
+          args.corpusFeatures.isEmpty && args.checkpoint.isEmpty &&
+          !args.mergeNew && args.runId == "run" && args.partitions == 0,
+          "--stream mode manages its own state/checkpoints/merging; " +
+            "batch-mode flags do not apply")
         runStream(spark, dir, args.output, args.state.get, cfg)
       case None =>
         require(args.input != null, "--input is required")
@@ -283,13 +284,15 @@ object Main {
         // table (delta CC — the corpus is touched by two broadcast-semi
         // scans, never re-clustered). Within-batch dups come from the batch
         // DAG over the batch alone, so two new near-dup images land in one
-        // cluster even when neither matches the corpus.
+        // cluster even when neither matches the corpus. The fold consumes
+        // the WRITTEN evidence table — the candidate-join + verify DAG (the
+        // expensive half of the run) executes exactly once.
         assignments.foreach { loc =>
           val corpusAssign = TableIO.readLocation(spark, loc)
           val newPairs = DedupPipeline.runFromFeatures(spark, newFeat, cfg)
             .dupPairs.select("a", "b")
           val res = DedupPipeline.incrementalAssignments(spark, corpusAssign,
-            pairs.select("a", "b"), newPairs,
+            outIo.read("incremental_pairs").select("a", "b"), newPairs,
             newFeat.select(col("id").as("image_id")))
           outIo.write(res.newAssignments, "new_assignments")
           outIo.write(res.relabels, "relabels")
@@ -301,6 +304,10 @@ object Main {
         if (mergeNew)
           featIo.foreach(_.upsert(newFeat, "corpus_features", Seq("id")))
         newFeat.unpersist()
+        // the no-persistence-root path returned Ingest.run's cached frame
+        // directly — release it (Ingest documents the caller owns the
+        // lifecycle; the Some(io) paths already swapped to the written table)
+        if (featIo.isEmpty) corpusFeat.unpersist()
       case None =>
         val feat = Ingest.run(spark, TableIO.readLocation(spark, input), cfg,
           partitions = parts)

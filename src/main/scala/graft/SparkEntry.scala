@@ -198,8 +198,7 @@ object SparkEntry {
         .select(col("doc_id"), stopword_ratio(col("text")).as("__sr"))
         .select(col("doc_id"),
           round(col("__sr"), 4).as("stop_ratio"),
-          when(col("__sr") >= 0.08, lit("en")).otherwise(lit("other"))
-            .as("pred_lang"))
+          lang_id_from_ratio(col("__sr")).as("pred_lang"))
         .orderBy("doc_id")
     }),
 

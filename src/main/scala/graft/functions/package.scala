@@ -157,7 +157,13 @@ package object functions {
   /** n-gram-free language ID heuristic: 'en' when stopword density clears a
     * threshold, 'other' otherwise. */
   def lang_id(c: Column, threshold: Double = 0.08): Column =
-    F.when(stopword_ratio(c) >= threshold, F.lit("en")).otherwise(F.lit("other"))
+    lang_id_from_ratio(stopword_ratio(c), threshold)
+
+  /** [[lang_id]] over a PRE-COMPUTED stopword ratio column — for plans that
+    * project the (expensive) ratio once and derive several outputs from it
+    * (q14); keeps the threshold/label contract in exactly one place. */
+  def lang_id_from_ratio(ratio: Column, threshold: Double = 0.08): Column =
+    F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other"))
 
   /** Quality score in [0,1]: mean-word-length band + punctuation sparsity +
     * stopword presence (length/punct/stopword ratios per the brief). */

@@ -24,16 +24,26 @@ object VerifyStage {
    * @return pairs with `jaccard`, `hamming`, `lcs`, `is_dup`
    */
   def verify(pairs: DataFrame, features: DataFrame, cfg: DedupConfig): DataFrame = {
-    val fa = features.select(
-      col("id").as("a"), col("shingles").as("sh_a"),
-      col("simhash").as("sim_a"), col("norm_text").as("txt_a"))
-    val fb = features.select(
-      col("id").as("b"), col("shingles").as("sh_b"),
-      col("simhash").as("sim_b"), col("norm_text").as("txt_b"))
+    // mirrorDups: the image distance is the MIN of the raw and the
+    // orbit-canonical simhash Hamming — the raw leg keeps ordinary
+    // near-dups exactly as without the flag (the canonical argmin can flip
+    // under small phash noise), the canonical leg catches mirrored copies
+    val mirrorCols =
+      if (cfg.mirrorDups) Seq("simhash_m") else Seq.empty[String]
+    def side(tag: String, idAs: String) = features.select(
+      (Seq(col("id").as(idAs), col("shingles").as(s"sh_$tag"),
+        col("simhash").as(s"sim_$tag"), col("norm_text").as(s"txt_$tag")) ++
+        mirrorCols.map(c => col(c).as(s"${c}_$tag"))): _*)
+    val fa = side("a", "a")
+    val fb = side("b", "b")
 
     val joined = pairs.join(fa, "a").join(fb, "b")
       .withColumn("jaccard", jaccard_sim(col("sh_a"), col("sh_b")))
-      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")).cast("int"))
+      .withColumn("hamming",
+        (if (cfg.mirrorDups)
+          least(hamming64(col("sim_a"), col("sim_b")),
+            hamming64(col("simhash_m_a"), col("simhash_m_b")))
+        else hamming64(col("sim_a"), col("sim_b"))).cast("int"))
 
     // LCS is the expensive detector: compute it only when enabled and only on
     // pairs the cheap detectors did not already settle.

@@ -51,12 +51,7 @@ object DedupPipeline {
         col("phash")) ++ carry.map(col): _*)
       .withColumn("band_keys", minhash_band_keys(col("shingles"),
         cfg.numHashes, cfg.bands, cfg.rowsPerBand, cfg.seed))
-      // mirrorDups: the signature rides on the ORBIT-CANONICAL phash, so a
-      // flipped/rotated re-upload shares chunk buckets and verifies at
-      // Hamming 0 — the raw `phash` column stays untouched for validation
-      .withColumn("simhash", simhash64(phash_tokens(
-        if (cfg.mirrorDups) phash_canonical(col("phash")) else col("phash")),
-        cfg.seed))
+      .withColumn("simhash", simhash64(phash_tokens(col("phash")), cfg.seed))
       .withColumn("content_hash", xxhash64(col("norm_text")))
       // dense join identity: CONTENT-derived (image_id is unique by input
       // contract), so a recomputed partition — executor loss, cache eviction,
@@ -67,6 +62,23 @@ object DedupPipeline {
       // negligible below); a collision can only merge two rows' signatures,
       // never corrupt unrelated joins.
       .withColumn("nid", xxhash64(col("id")))
+      // mirrorDups adds the mirror-space signature NEXT TO the raw one (the
+      // flag-off schema and plan stay byte-identical): `phash_key` collapses
+      // bit-exact mirrors with the exact-identity family, `simhash_m` rides
+      // the orbit-canonical phash for bucketing + verification. The raw
+      // simhash stays primary so ordinary near-dups never regress — the
+      // canonical argmin can flip under small phash noise, so the canonical
+      // distance alone is NOT a mirror-invariant metric; verify takes the
+      // MIN of the raw and canonical Hamming instead (lossy mirrored
+      // re-encodes whose argmin lands misaligned remain best-effort, and
+      // bit-exact mirrors are caught structurally).
+      .transform { base =>
+        if (!cfg.mirrorDups) base
+        else base
+          .withColumn("phash_key", phash_canonical(col("phash")))
+          .withColumn("simhash_m",
+            simhash64(phash_tokens(phash_canonical(col("phash"))), cfg.seed))
+      }
   }
 
   /** (rep star edges, representative bucket rows) for one exact-identity
@@ -102,8 +114,12 @@ object DedupPipeline {
       checkpoint.map(_.stage(name)(df)).getOrElse(df)
 
     // --- exact-identity collapse per family --------------------------------
+    // mirrorDups: the image-identity family collapses on the orbit-canonical
+    // phash, so a bit-exact mirrored re-upload is an exact-identity member
+    // (star edge + hamming-0 evidence), not even a candidate to verify
     val (capStars, capReps) = collapse(feat, "content_hash")
-    val (phStars, phReps) = collapse(feat, "phash")
+    val (phStars, phReps) =
+      collapse(feat, if (cfg.mirrorDups) "phash_key" else "phash")
 
     // --- candidate generation on representatives ----------------------------
     // feat is persisted above, so this count is one cheap pass over the
@@ -113,8 +129,17 @@ object DedupPipeline {
     val nFeat = feat.count()
     val capBuckets = CandidateGen.explodeBands(
       capReps.where(size(col("shingles")) > 0), "nid", "band_keys")
-    val chunkBuckets = CandidateGen.simhashChunkBuckets(
-      phReps, "nid", "simhash", cfg.hammingMax, nFeat)
+    val chunkBuckets = {
+      val raw = CandidateGen.simhashChunkBuckets(
+        phReps, "nid", "simhash", cfg.hammingMax, nFeat)
+      // mirror-space chunk keys ride alongside the raw ones — a mirrored
+      // near-copy collides in the canonical space, an ordinary near-dup in
+      // the raw one; cross-space key collisions only add re-verified pairs
+      if (cfg.mirrorDups)
+        raw.union(CandidateGen.simhashChunkBuckets(
+          phReps, "nid", "simhash_m", cfg.hammingMax, nFeat))
+      else raw
+    }
     // third candidate family (north-rule suffix-array substring pass,
     // distributed as winnowed anchors): active with the LCS detector
     // (DedupConfig requires anchorK < lcsMin whenever lcsMin > 0), it
@@ -153,8 +178,10 @@ object DedupPipeline {
       saltOversized = cfg.saltOversized)
 
     // --- verify (full OR rule on every candidate) ---------------------------
-    val featByNid = feat.select(col("nid").as("id"),
-      col("shingles"), col("simhash"), col("norm_text"))
+    val featByNid = feat.select(
+      (Seq(col("nid").as("id"), col("shingles"), col("simhash"),
+        col("norm_text")) ++
+        (if (cfg.mirrorDups) Seq(col("simhash_m")) else Nil)): _*)
     // not persisted: the CC loop localCheckpoints its canonical edge set
     // immediately, so the assignment path reads this exactly once; dupPairs
     // consumers that need it materialized pass a CheckpointStore (staged)
@@ -246,10 +273,18 @@ object DedupPipeline {
     val nf = salted(newFeat, 0)
     val cf = salted(corpusFeat, 1)
     def buckets(f: DataFrame): DataFrame = {
+      val chunks = {
+        val raw = CandidateGen.simhashChunkBuckets(f, "nid", "simhash",
+          cfg.hammingMax, nCorpus)
+        // mirror-space chunk keys, same as the batch DAG
+        if (cfg.mirrorDups)
+          raw.union(CandidateGen.simhashChunkBuckets(f, "nid", "simhash_m",
+            cfg.hammingMax, nCorpus))
+        else raw
+      }
       val base = CandidateGen.explodeBands(f.where(size(col("shingles")) > 0),
           "nid", "band_keys")
-        .union(CandidateGen.simhashChunkBuckets(f, "nid", "simhash",
-          cfg.hammingMax, nCorpus))
+        .union(chunks)
       if (cfg.lcsMin > cfg.anchorK)
         base.union(f.select(col("nid").as("id"),
           explode(winnow_anchors(col("norm_text"), cfg.anchorK,
@@ -261,8 +296,9 @@ object DedupPipeline {
       buckets(cf).select(col("id").as("b"), col("key")),
       cfg.maxBucketSize, saltOversized = cfg.saltOversized)
     val featByNid = nf.unionByName(cf)
-      .select(col("nid").as("id"), col("shingles"), col("simhash"),
-        col("norm_text"))
+      .select((Seq(col("nid").as("id"), col("shingles"), col("simhash"),
+        col("norm_text")) ++
+        (if (cfg.mirrorDups) Seq(col("simhash_m")) else Nil)): _*)
     val verified = VerifyStage.verify(cand, featByNid, cfg)
       .where(col("is_dup"))
     verified

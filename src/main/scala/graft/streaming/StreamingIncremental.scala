@@ -77,7 +77,23 @@ object StreamingIncremental {
     val state = TableIO.resolve(spark, stateRoot)
     val out = TableIO.resolve(spark, outRoot)
     val marker = s"batch_${batchId}_done"
-    if (state.exists(marker)) return
+    if (state.exists(marker)) {
+      // a GENUINE replay's rows were all merged into the state before the
+      // marker was written, so every id must already be assigned. Unknown
+      // ids mean the streaming checkpoint was reset/repointed against this
+      // state root and the source renumbered FRESH files into an old batch
+      // id — skipping would drop them forever (the new checkpoint commits
+      // the files as consumed), so fail fast instead.
+      val unknown = batch.select(col("image_id"))
+        .join(state.read("assignments").select("image_id"),
+          Seq("image_id"), "left_anti")
+        .limit(1).count()
+      require(unknown == 0,
+        s"batch $batchId is marked done but carries rows absent from the " +
+          "state — the stream checkpoint was reset against an existing " +
+          "state root; use a fresh --state or restore the checkpoint")
+      return
+    }
 
     val newFeat = Ingest.run(spark, batch, cfg)
     try {

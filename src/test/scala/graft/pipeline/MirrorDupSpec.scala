@@ -38,4 +38,18 @@ class MirrorDupSpec extends SparkSpec {
     val (o0, m0) = clusterOf(DedupConfig.default)
     assert(o0 != m0, "with mirrorDups off a flipped image is NOT a dup")
   }
+
+  test("mirrorDups on a mirror-free corpus never regresses ordinary dups") {
+    // the raw-signature leg stays primary, so on a corpus with NO mirrored
+    // rows the flag must reproduce the flag-off clustering exactly — the
+    // canonical argmin's noise sensitivity must never LOSE a pair the raw
+    // metric finds (verify takes the min of the two Hammings)
+    val images = ImageGen.generate(spark, bases = 40, seed = 99L).toDF()
+    val off = DedupPipeline.run(spark, images, DedupConfig.default)
+      .assignments
+    val on = DedupPipeline.run(spark, images,
+      DedupConfig.default.copy(mirrorDups = true)).assignments
+    assert(on.exceptAll(off).count() == 0 && off.exceptAll(on).count() == 0,
+      "mirrorDups=true changed clustering on a corpus without mirrors")
+  }
 }
