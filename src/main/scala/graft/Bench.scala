@@ -359,27 +359,31 @@ object Bench {
          |sustained noise the pair median reads low while the per-leg minima
          |are untouched; agreement of the two marks a quiet run.
          |
-         |## QueryDiag confirmation of the round-3 wall deltas (2026-08-18)
+         |## Mover-diag record (standing protocol)
          |
-         |Round 3's bench showed q46/q37/q40/q23 +0.7-1.8 s vs round 2 with
-         |unchanged plans. graft.tools.QueryDiag (3 reps, rep-3 warm figures,
-         |sf0.1 local[32]; task_cpu = summed executor cpu across all stages —
-         |steal-immune, the job-level figure the round-2 protocol lesson says
-         |to judge; an earlier same-day run had the drain-sleep inside the
-         |wall timer, +1.0 s on every wall — re-measured after the fix):
+         |Any query whose round-over-round wall moves >= 2x gets a
+         |graft.tools.MoverDiag cpu-time row the same round (3 reps, rep-3
+         |warm figures, sf0.1 local[32]; task_cpu is steal-immune and judged
+         |at job level). Round-5 run vs the round-4 table:
          |
-         || query | r2 bench wall | r3 bench wall | diag warm wall | task_cpu |
-         ||---|---|---|---|---|
-         || q46_ngram_jaccard_exact | 3.80 | 5.58 | 2.61 | 8.22 |
-         || q37_event_ranking | 5.40 | 6.46 | 4.00 | 9.31 |
-         || q40_lcs_verify | 2.36 | 3.08 | 2.32 | 1.62 |
-         || q23_image_pipeline | 2.41 | 3.16 | 2.03 | 2.39 |
+         || query | r4 wall | r5 wall | ratio | diag warm wall | diag warm cpu |
+         ||---|---|---|---|---|---|
+         || q57_incremental_neardup | 0.69 | 1.46 | 2.10x | 1.95 | 3.22 |
+         || q48_last_update_window | 5.00 | 2.06 | 0.41x | 1.79 | 6.07 |
+         || q14_lang_stopwords | 11.30 | 1.05 | 0.09x | 1.18 | 1.02 |
          |
-         |Every warm wall is at or below its round-2 level in this window —
-         |the round-3 readings were steal windows, not regressions (plans
-         |unchanged and PlanSpec-pinned). q40/q23 task_cpu (1.6-2.4 s) also
-         |shows the data work is small; their wall is scheduling/AQE latency
-         |on ~32-task jobs.
+         |(q13/q11/q10/q49 also moved down 0.36-0.41x, diag-confirmed.) The
+         |one UPWARD mover, q57, is a real and intended cost, cpu-confirmed:
+         |the bipartite hot-key ceiling (CandidateGen.bipartitePairsFromBuckets,
+         |the round-4 "What's wrong #2" fix) profiles per-side key counts
+         |before generating candidates — the bound that stops a degenerate
+         |band key from emitting 1e9 pairs at corpus scale; +0.8 s at sf0.1,
+         |scales linearly. q14's 0.09x is the round-4 fix (stopword_ratio
+         |projected once, lang_id derived from the column; r4's 11.3 s was
+         |the doubled regex subtree plus steal). Historical round-3 lesson
+         |stands: never conclude a regression from one wall-clock window —
+         |q46/q37/q40/q23's round-3 deltas were all steal (diag'd at or below
+         |round-2 warm walls, plans unchanged and PlanSpec-pinned).
          |""".stripMargin
     Files.writeString(Paths.get("BENCH.md"), md)
 
