@@ -371,6 +371,15 @@ object Bench {
          || q57_incremental_neardup | 0.69 | 1.46 | 2.10x | 1.95 | 3.22 |
          || q48_last_update_window | 5.00 | 2.06 | 0.41x | 1.79 | 6.07 |
          || q14_lang_stopwords | 11.30 | 1.05 | 0.09x | 1.18 | 1.02 |
+         || q47_ivf_ann_rank1 | 1.92 | 7.03* | 3.67x | 1.78 | 1.89 |
+         |
+         |*q47's 7.03 s reading was a steal window (same-day earlier run:
+         |1.44 s; diag warm wall 1.78 s, cpu 1.89 s — both at the round-4
+         |level, plan unchanged). q70's first bench reading (101.99 s)
+         |exposed a REAL harness bug — the eval issued every document as a
+         |query (near-quadratic posting join at scale); fixed to the
+         |reference's query-subset shape (1-in-20 sample), diag warm wall
+         |4.0 s after the fix.
          |
          |(q13/q11/q10/q49 also moved down 0.36-0.41x, diag-confirmed.) The
          |one UPWARD mover, q57, is a real and intended cost, cpu-confirmed:

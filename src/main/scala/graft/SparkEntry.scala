@@ -1077,14 +1077,18 @@ object SparkEntry {
       // the reference's eval-Lerch-as-index END STATE: the TF-IDF retrieval
       // index (q63) evaluated by the metrics harness (q21's Acc@k/MRR,
       // evaluator.py:12-18). Corpus = documents (the fitted index); queries
-      // = every doc re-issued with an appended token under +100000 — UNSEEN
-      // by the index, the way the reference queries new reports against the
-      // fitted encoder. Truth: the original. Scores rounded + item-id
-      // tie-break exactly as q63; MRR is rank-truncated at k=5 (only top-5
-      // retrieval results exist, the reference retrieval-model contract).
+      // = a 1-in-20 SAMPLE of docs re-issued with an appended token under
+      // +100000 — UNSEEN by the index, the way the reference queries new
+      // reports against the fitted encoder (and sampled the way the
+      // reference evaluates on a query subset, not the corpus crossed with
+      // itself: all-docs-as-queries measured 102 s at sf0.1 and is
+      // near-quadratic at scale). Truth: the original. Scores rounded +
+      // item-id tie-break exactly as q63; MRR is rank-truncated at k=5
+      // (only top-5 retrieval results exist, the retrieval-model contract).
       val docs = t(s, d, "documents").select("doc_id", "text")
-      val queries = docs.select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" zz")).as("text"))
+      val queries = docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
       val scored = TextScores.tfidfIndexScores(docs, queries, "doc_id", "text")
         .withColumn("score", round(col("score"), 4))
       val ranked = Ranking.topKItems(scored, 5)
@@ -2089,7 +2093,7 @@ object SparkEntry {
       """WITH corpus AS (SELECT doc_id, text FROM documents),
          queries AS (
            SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
-           FROM documents),
+           FROM documents WHERE doc_id % 20 = 0),
          toks AS (
            SELECT doc_id, unnest(list_distinct(list_filter(string_split(
              regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
