@@ -97,6 +97,11 @@ object StreamingIncremental {
 
     val newFeat = Ingest.run(spark, batch, cfg)
     try {
+      // per-batch validation report — the same per-row invariant surface
+      // the batch and incremental Main modes publish (decode + phash +
+      // dims), one overwrite-idempotent table per micro-batch
+      out.write(graft.operators.Validate.report(newFeat),
+        s"validation_$batchId")
       if (!state.exists("corpus_features")) {
         val result = DedupPipeline.runFromFeatures(spark, newFeat, cfg)
         out.write(result.dupPairs

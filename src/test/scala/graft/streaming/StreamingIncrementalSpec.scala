@@ -46,6 +46,11 @@ class StreamingIncrementalSpec extends SparkSpec {
       assert(byId(nid) == byId(nid.stripPrefix("n_")),
         s"$nid not clustered with its original")
     }
+    // per-batch validation report written, all synthetic payloads valid
+    val v1 = spark.read.parquet(s"$out/validation_1.parquet").head()
+    assert(v1.getAs[Long]("rows") == b1.count())
+    assert(v1.getAs[Long]("valid") == b1.count())
+
     // evidence table written, bipartite only
     val ev = spark.read.parquet(s"$out/incremental_pairs_1.parquet")
     assert(ev.count() > 0)
