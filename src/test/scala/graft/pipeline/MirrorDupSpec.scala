@@ -39,6 +39,31 @@ class MirrorDupSpec extends SparkSpec {
     assert(o0 != m0, "with mirrorDups off a flipped image is NOT a dup")
   }
 
+  test("mirrorDups in the incremental path: flipped re-upload matches the corpus") {
+    // the bipartite daily-ingest evidence join must catch a mirrored
+    // re-upload of a corpus image the same way the batch DAG does
+    val cfg = DedupConfig.default.copy(mirrorDups = true)
+    val corpus = ImageGen.generate(spark, bases = 8, seed = 42L).toDF()
+    val row = corpus.where(col("fmt") === "png").orderBy("image_id").head()
+    val origId = row.getAs[String]("image_id")
+    val img = ImageCodec.decode(row.getAs[Array[Byte]]("bytes"))
+    val flipped = new BufferedImage(img.getWidth, img.getHeight,
+      BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      flipped.setRGB(img.getWidth - 1 - x, y, img.getRGB(x, y))
+    val batch = Seq(ImageRow(s"m_$origId", ImageCodec.encodePng(flipped),
+      img.getWidth, img.getHeight, "png", "mirror reupload",
+      ImageCodec.averageHash(flipped))).toDF()
+
+    val corpusFeat = graft.operators.Ingest.run(spark, corpus, cfg)
+    val newFeat = graft.operators.Ingest.run(spark, batch, cfg)
+    val pairs = DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg)
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(pairs.contains((s"m_$origId", origId)),
+      s"mirrored batch row must match its corpus original, got $pairs")
+    corpusFeat.unpersist(); newFeat.unpersist()
+  }
+
   test("mirrorDups on a mirror-free corpus never regresses ordinary dups") {
     // the raw-signature leg stays primary, so on a corpus with NO mirrored
     // rows the flag must reproduce the flag-off clustering exactly — the
