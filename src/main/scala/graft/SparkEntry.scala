@@ -1119,6 +1119,24 @@ object SparkEntry {
         DedupConfig.default)
       Dedup.assignmentDiff(before, after, "doc_id", "dup_group_id")
         .orderBy("status")
+    }),
+
+    "q72_contamination" -> ((s, d) => {
+      // decontamination report (Dedup.contaminationReport): benchmark =
+      // every 7th doc perturbed by one appended token (leaks — near-dups
+      // its corpus original at jaccard ~0.97) plus clean probes ('probe
+      // <id>', two tokens -> a single whole-sequence shingle no corpus
+      // trigram can match). Oracle recomputes the bipartite brute-force
+      // jaccard evidence (the q57 device) and the same three aggregates.
+      val corpus = t(s, d, "documents").select("doc_id", "text")
+      val leaked = corpus.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      val clean = corpus.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("probe "), col("doc_id").cast("string")).as("text"))
+      Dedup.contaminationReport(leaked.unionByName(clean), corpus,
+        "doc_id", "text", DedupConfig.default)
     }))
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
@@ -2178,5 +2196,40 @@ object SparkEntry {
                 WHEN ga = gb THEN 'stable'
                 ELSE 'relabeled' END AS status,
            count(*) AS n_images
-         FROM j GROUP BY 1 ORDER BY status""")
+         FROM j GROUP BY 1 ORDER BY status""",
+
+    "q72_contamination" ->
+      // bipartite brute-force jaccard evidence (the q57 device) over
+      // corpus + benchmark, aggregated to the three report columns. Clean
+      // probes have two tokens -> zero trigrams in DuckDB and one
+      // unmatched whole-sequence shingle in Spark: zero evidence either way
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+         bench AS (
+           SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 300000, 'probe ' || doc_id
+           FROM documents WHERE doc_id % 20 = 0),
+         allr AS (SELECT doc_id, text FROM corpus
+           UNION ALL SELECT doc_id, text FROM bench),
+         toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM allr),
+         tris AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS t FROM toks),
+         posting AS (SELECT doc_id, unnest(t) AS tri FROM tris),
+         sizes AS (SELECT doc_id, len(t) AS n FROM tris),
+         inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS ic
+           FROM posting p1 JOIN posting p2 ON p1.tri = p2.tri
+           WHERE p1.doc_id >= 100000 AND p2.doc_id < 100000
+           GROUP BY 1, 2),
+         hits AS (SELECT DISTINCT a FROM inter
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5)
+         SELECT
+           (SELECT count(*) FROM bench) AS n_bench,
+           (SELECT count(*) FROM hits) AS n_contaminated,
+           round((SELECT count(*) FROM hits) * 1.0 /
+             (SELECT count(*) FROM bench), 6) AS contamination_rate""")
 }

@@ -420,6 +420,29 @@ object Dedup {
   }
 
   /**
+   * Decontamination report: what fraction of a BENCHMARK set near-duplicates
+   * the training corpus — the eval-leakage check a production training run
+   * publishes before shipping a corpus (benchmark contamination; the
+   * GPT-3-appendix/FineWeb decontamination step, run here in the detection
+   * direction: which eval rows leak). Evidence is
+   * [[incrementalNearDupPairs]] — bipartite only, hot keys bounded — with
+   * the benchmark as the (small) new side, so the cost is one daily-ingest
+   * evidence join regardless of corpus size.
+   *
+   * @return one row: (n_bench, n_contaminated, contamination_rate)
+   */
+  def contaminationReport(bench: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, cfg: DedupConfig): DataFrame = {
+    val hits = incrementalNearDupPairs(bench, corpus, idCol, textCol, cfg)
+      .select("a").distinct()
+    val tot = bench.agg(countDistinct(col(idCol)).as("n_bench"))
+    val hit = hits.agg(count(lit(1)).as("n_contaminated"))
+    tot.crossJoin(hit)
+      .withColumn("contamination_rate",
+        round(col("n_contaminated") / col("n_bench"), 6))
+  }
+
+  /**
    * Mergeable per-group MinHash signatures: the group signature is the
    * ELEMENTWISE MIN of member signatures, which by the min-merge property of
    * MinHash equals the signature of the UNION of the members' shingle sets.

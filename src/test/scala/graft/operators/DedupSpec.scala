@@ -414,6 +414,22 @@ class DedupSpec extends SparkSpec {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("contamination report: counts leaked benchmark rows, ignores clean ones") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (3L, "zz yy xx ww vv uu tt ss")
+    ).toDF("id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog zz"), // leaks vs 1
+      (11L, "completely different words nothing shared here at all")
+    ).toDF("id", "text")
+    val got = Dedup.contaminationReport(bench, corpus, "id", "text",
+        DedupConfig.default)
+      .as[(Long, Long, Double)].head()
+    assert(got == ((2L, 1L, 0.5)))
+  }
+
   test("audit histogram: sizes, counts, row fractions") {
     // groups: {1,2,3} size 3, {4} singleton, {5,6} size 2
     val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L),
