@@ -145,6 +145,19 @@ object GraftExtensions {
       arity("graft_phash_canonical", args, 1, 1)
       PhashCanonical(args.head)
     },
+    reg("graft_phash_transpose", "graft_phash_transpose(phash) - 8x8 bit-grid transpose") { args =>
+      arity("graft_phash_transpose", args, 1, 1)
+      PhashTranspose(args.head)
+    },
+    reg("graft_phash_rot90", "graft_phash_rot90(phash) - 90-degree-clockwise grid rotation") { args =>
+      arity("graft_phash_rot90", args, 1, 1)
+      PhashRot90(args.head)
+    },
+    reg("graft_phash_canonical_d4",
+        "graft_phash_canonical_d4(phash) - min over all eight dihedral grid symmetries") { args =>
+      arity("graft_phash_canonical_d4", args, 1, 1)
+      PhashCanonicalD4(args.head)
+    },
     reg("graft_fingerprint", "graft_fingerprint(s[, seed]) - rolling polynomial fingerprint") { args =>
       arity("graft_fingerprint", args, 1, 2)
       RollingFingerprint(args.head, seedArg("graft_fingerprint", args, 1))

@@ -110,7 +110,7 @@ object Main {
     val base = DedupConfig.default
     val known = Set("shingleK", "numHashes", "bands", "rowsPerBand",
       "hammingMax", "jaccardMin", "lcsMin", "anchorK", "lcsCap", "maxBucketSize", "seed",
-      "forgetDays", "dupAttach", "saltOversized", "mirrorDups")
+      "forgetDays", "dupAttach", "saltOversized", "mirrorDups", "rotationDups")
     sets.keys.find(!known(_)).foreach(k =>
       throw new IllegalArgumentException(s"unknown --set key: $k (known: ${known.mkString(", ")})"))
     def i(k: String, d: Int) = sets.get(k).map(_.toInt).getOrElse(d)
@@ -131,7 +131,9 @@ object Main {
       saltOversized = sets.get("saltOversized").map(_.toBoolean)
         .getOrElse(base.saltOversized),
       mirrorDups = sets.get("mirrorDups").map(_.toBoolean)
-        .getOrElse(base.mirrorDups))
+        .getOrElse(base.mirrorDups),
+      rotationDups = sets.get("rotationDups").map(_.toBoolean)
+        .getOrElse(base.rotationDups))
   }
 
   def main(argv: Array[String]): Unit = {

@@ -1137,7 +1137,46 @@ object SparkEntry {
           concat(lit("probe "), col("doc_id").cast("string")).as("text"))
       Dedup.contaminationReport(leaked.unionByName(clean), corpus,
         "doc_id", "text", DedupConfig.default)
+    }),
+
+    "q73_phash_orbit" -> ((s, d) => {
+      // the D4 orbit kernels (transpose / rot90 / full-dihedral canonical —
+      // the rotation-invariant image-dedup signature space) validated
+      // against an independent engine: p is a deterministic 64-bit grid
+      // hash built from (doc_id, n_chars) with overflow-safe arithmetic
+      // BOTH engines evaluate exactly (xor/shift/mask only; bit 63 set via
+      // the two's-complement +MinValue device), and the oracle re-derives
+      // every transform as an explicit 64-term bit permutation, LEAST-ing
+      // the eight symmetries for the canonical. Hash-equality here proves
+      // the delta-swap transpose and the whole orbit algebra bit-for-bit.
+      val p0 = col("doc_id") * lit(2654435761L) + col("n_chars") * lit(40503L)
+      val p1 = p0.bitwiseXOR(shiftleft(p0.bitwiseAND(lit(4294967295L)), 31))
+      val p2 = p1.bitwiseXOR(shiftright(p1, 17))
+      val p3 = p2.bitwiseXOR(shiftleft(p2.bitwiseAND(lit(65535L)), 47))
+      val p = p3 + shiftright(p3, 5).bitwiseAND(lit(1L)) * lit(Long.MinValue)
+      t(s, d, "documents")
+        .select(col("doc_id"), p.as("p"))
+        .select(col("doc_id"), col("p"),
+          phash_transpose(col("p")).as("p_t"),
+          phash_rot90(col("p")).as("p_r90"),
+          phash_canonical_d4(col("p")).as("p_canon"))
+        .orderBy("doc_id")
     }))
+
+  /** One D4 grid symmetry as an explicit 64-term SQL bit permutation of
+    * BIGINT column/alias `x`: destination bit d reads source bit `src(d)`;
+    * bits 0..62 OR together, bit 63 lands via the two's-complement
+    * `+ MinValue` device (DuckDB refuses `1 << 63`). Feeds the q73 oracle. */
+  private def permSql(x: String, src: Int => Int): String = {
+    val low = (0 to 62).map(d => s"((($x >> ${src(d)}) & 1) << $d)")
+      .mkString("|")
+    s"(($low) + ((($x >> ${src(63)}) & 1) * (-9223372036854775807 - 1)))"
+  }
+  // destination bit d = 8*row + col of the 8x8 grid
+  private def srcTranspose(d: Int): Int = ((d & 7) << 3) | (d >> 3)
+  private def srcFlipH(d: Int): Int = (d & ~7) | (7 - (d & 7))
+  private def srcFlipV(d: Int): Int = ((7 - (d >> 3)) << 3) | (d & 7)
+  private def srcRot180(d: Int): Int = 63 - d
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
     * (q23, q24 — DuckDB cannot decode images) get the driver's weaker
@@ -2231,5 +2270,30 @@ object SparkEntry {
            (SELECT count(*) FROM bench) AS n_bench,
            (SELECT count(*) FROM hits) AS n_contaminated,
            round((SELECT count(*) FROM hits) * 1.0 /
-             (SELECT count(*) FROM bench), 6) AS contamination_rate""")
+             (SELECT count(*) FROM bench), 6) AS contamination_rate""",
+
+    "q73_phash_orbit" ->
+      // independent re-derivation of the D4 orbit: the same overflow-safe
+      // mixed value p, then transpose / flipH / flipV / rot180 of p and of
+      // transpose(p) as generated 64-term bit permutations (D4 = the Klein
+      // four-group union its transpose coset), LEAST of the eight = the
+      // full-dihedral canonical; rot90cw = flipH(transpose(p))
+      s"""WITH m0 AS (SELECT doc_id,
+           (doc_id * 2654435761 + n_chars * 40503) AS p0 FROM documents),
+         m1 AS (SELECT doc_id, xor(p0, ((p0 & 4294967295) << 31)) AS p1 FROM m0),
+         m2 AS (SELECT doc_id, xor(p1, (p1 >> 17)) AS p2 FROM m1),
+         m3 AS (SELECT doc_id, xor(p2, ((p2 & 65535) << 47)) AS p3 FROM m2),
+         m AS (SELECT doc_id,
+           (p3 + ((p3 >> 5) & 1) * (-9223372036854775807 - 1)) AS p FROM m3),
+         t1 AS (SELECT doc_id, p, ${permSql("p", srcTranspose)} AS p_t FROM m),
+         t2 AS (SELECT doc_id, p, p_t,
+           ${permSql("p", srcFlipH)} AS fh_p,
+           ${permSql("p", srcFlipV)} AS fv_p,
+           ${permSql("p", srcRot180)} AS r_p,
+           ${permSql("p_t", srcFlipH)} AS fh_t,
+           ${permSql("p_t", srcFlipV)} AS fv_t,
+           ${permSql("p_t", srcRot180)} AS r_t FROM t1)
+         SELECT doc_id, p, p_t, fh_t AS p_r90,
+           LEAST(p, fh_p, fv_p, r_p, p_t, fh_t, fv_t, r_t) AS p_canon
+         FROM t2 ORDER BY doc_id""")
 }

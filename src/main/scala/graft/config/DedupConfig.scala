@@ -57,6 +57,14 @@ package graft.config
  *                      decode work (the flip is a bit permutation of the
  *                      8x8 average-hash). Off by default: a mirrored image
  *                      is only a duplicate when the PRODUCT says so.
+ * @param rotationDups  widen the canonical-phash orbit from the mirror
+ *                      four-group to the full dihedral group D4
+ *                      ([[graft.functions.HashKernels.phashCanonicalD4]]):
+ *                      90/270-degree rotated re-uploads (portrait/landscape
+ *                      re-posts, stripped EXIF orientation) also share the
+ *                      canonical. Requires mirrorDups — D4 contains the
+ *                      mirror group, so rotation invariance without mirror
+ *                      invariance is not a coherent orbit.
  * @param seed          global RNG / hash seed (reference random_seed=42,
  *                      ea/sim/dev/scripts/data/dataset/nb/main.py:12)
  */
@@ -76,6 +84,7 @@ final case class DedupConfig(
     maxBucketSize: Int = 4096,
     saltOversized: Boolean = false,
     mirrorDups: Boolean = false,
+    rotationDups: Boolean = false,
     seed: Long = 42L) {
   require(bands * rowsPerBand == numHashes,
     s"bands($bands) * rowsPerBand($rowsPerBand) must equal numHashes($numHashes)")
@@ -86,6 +95,9 @@ final case class DedupConfig(
       " (it is what guarantees long-match recall)")
   require(lcsCap >= math.max(lcsMin, 1),
     s"lcsCap($lcsCap) below lcsMin($lcsMin) can never verify a long match")
+  require(!rotationDups || mirrorDups,
+    "rotationDups widens the mirrorDups orbit to D4 — enable mirrorDups too" +
+      " (rotation invariance without mirror invariance is not a subgroup orbit)")
 
   /**
    * Identity of the FEATURE space this config produces — exactly the fields
@@ -97,7 +109,8 @@ final case class DedupConfig(
    */
   def featureConfigId: String =
     s"shingleK=$shingleK|numHashes=$numHashes|bands=$bands" +
-      s"|rowsPerBand=$rowsPerBand|seed=$seed|mirrorDups=$mirrorDups"
+      s"|rowsPerBand=$rowsPerBand|seed=$seed|mirrorDups=$mirrorDups" +
+      s"|rotationDups=$rotationDups"
 }
 
 object DedupConfig {

@@ -260,6 +260,56 @@ case class PhashCanonical(child: Expression)
     copy(child = newChild)
 }
 
+/** long phash -> transpose of the 8x8 bit grid (flip about the main
+  * diagonal — [[graft.functions.HashKernels.phashTranspose]]); generates
+  * the D4 rotations together with the byte-level mirrors. */
+case class PhashTranspose(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phash_transpose"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.phashTranspose(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.phashTranspose($c)")
+  override protected def withNewChildInternal(newChild: Expression): PhashTranspose =
+    copy(child = newChild)
+}
+
+/** long phash -> 90-degree-clockwise-rotation transform
+  * ([[graft.functions.HashKernels.phashRot90]]). */
+case class PhashRot90(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phash_rot90"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.phashRot90(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.phashRot90($c)")
+  override protected def withNewChildInternal(newChild: Expression): PhashRot90 =
+    copy(child = newChild)
+}
+
+/** long phash -> full-dihedral orbit-canonical phash (min over all eight
+  * grid symmetries — [[graft.functions.HashKernels.phashCanonicalD4]]):
+  * extends the mirror-invariant canonical to 90/270-degree rotations. */
+case class PhashCanonicalD4(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phash_canonical_d4"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.phashCanonicalD4(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.phashCanonicalD4($c)")
+  override protected def withNewChildInternal(newChild: Expression): PhashCanonicalD4 =
+    copy(child = newChild)
+}
+
 /** (array<string>, array<string>) -> double FaST positional alignment score
   * (was the surface's one Scala UDF; now codegen'd like every other kernel). */
 case class FastAlign(left: Expression, right: Expression,

@@ -198,6 +198,54 @@ object HashKernels {
     math.min(math.min(p, h), math.min(v, r))
   }
 
+  /**
+   * Transpose of the 8x8 bit grid (cell (gy, gx) -> (gx, gy)): the classic
+   * three-delta-swap flip about the main diagonal for row-major 64-bit bit
+   * boards (Hacker's Delight fig. 7-3; the chess-programming
+   * "flipDiagA1H8"). Together with the byte-level mirrors it generates the
+   * full dihedral group D4 of the grid: rot90cw = flipH . transpose,
+   * rot270cw = flipV . transpose, anti-transpose = rot180 . transpose.
+   */
+  def phashTranspose(p: Long): Long = {
+    var x = p
+    var t = 0x0f0f0f0f00000000L & (x ^ (x << 28))
+    x ^= t ^ (t >>> 28)
+    t = 0x3333000033330000L & (x ^ (x << 14))
+    x ^= t ^ (t >>> 14)
+    t = 0x5500550055005500L & (x ^ (x << 7))
+    x ^= t ^ (t >>> 7)
+    x
+  }
+
+  /**
+   * 90-degree-CLOCKWISE-rotation transform of the phash: the rotated
+   * image's grid cell (r, c) is the original's (7-c, r), i.e. flipH after
+   * transpose. Exact (`averageHash(rot90(img)) == phashRot90(averageHash
+   * (img))`) whenever BOTH dimensions are multiples of 8 — the grid blocks
+   * of the rotated HxW image map 1:1 onto blocks of the original WxH one
+   * and the block mean is permutation-invariant (see [[phashFlipH]] for
+   * the non-multiple boundary argument).
+   */
+  def phashRot90(p: Long): Long = phashFlipH(phashTranspose(p))
+
+  /** 90-degree-counter-clockwise (= 270 cw) transform: flipV after
+    * transpose (see [[phashRot90]]). */
+  def phashRot270(p: Long): Long = phashFlipV(phashTranspose(p))
+
+  /**
+   * Full-dihedral orbit-canonical phash: the signed-long minimum over all
+   * EIGHT grid symmetries {id, flipH, flipV, rot180, transpose, rot90,
+   * rot270, anti-transpose}. D4 factors as the Klein four-group union its
+   * transpose coset, so the canonical is `min(phashCanonical(p),
+   * phashCanonical(phashTranspose(p)))` — invariant under every element
+   * (each symmetry permutes the orbit). Extends [[phashCanonical]]'s
+   * mirror-invariant dedup to 90/270-degree rotated re-uploads (portrait/
+   * landscape re-posts, EXIF-orientation strips) with zero extra decode
+   * work.
+   */
+  def phashCanonicalD4(p: Long): Long =
+    math.min(phashCanonical(p), phashCanonical(phashTranspose(p)))
+
   /** Fused MinHash+banding: band keys straight from shingles without
     * materializing the numHashes-long signature (one output array instead of
     * three intermediates — the signature projection is allocation-bound at

@@ -58,6 +58,19 @@ package object functions {
   def phash_canonical(phash: Column): Column =
     column(PhashCanonical(expression(phash)))
 
+  /** Transpose of the phash's 8x8 bit grid (main-diagonal flip). */
+  def phash_transpose(phash: Column): Column =
+    column(PhashTranspose(expression(phash)))
+
+  /** 90-degree-clockwise-rotation transform of the phash. */
+  def phash_rot90(phash: Column): Column =
+    column(PhashRot90(expression(phash)))
+
+  /** Full-dihedral orbit-canonical phash (min over all eight D4 grid
+    * symmetries) — mirrored AND 90/270-rotated re-uploads share it. */
+  def phash_canonical_d4(phash: Column): Column =
+    column(PhashCanonicalD4(expression(phash)))
+
   def rolling_fingerprint(s: Column, seed: Long = 42L): Column =
     column(RollingFingerprint(expression(s), seed))
 

@@ -4,7 +4,7 @@ import graft.config.DedupConfig
 import graft.functions._
 import graft.io.CheckpointStore
 import graft.operators.{CandidateGen, ConnectedComponents, SkewStats, VerifyStage}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -74,10 +74,16 @@ object DedupPipeline {
       // bit-exact mirrors are caught structurally).
       .transform { base =>
         if (!cfg.mirrorDups) base
-        else base
-          .withColumn("phash_key", phash_canonical(col("phash")))
-          .withColumn("simhash_m",
-            simhash64(phash_tokens(phash_canonical(col("phash"))), cfg.seed))
+        else {
+          // rotationDups widens the orbit to the full dihedral group: the
+          // canonical also collapses 90/270-degree rotated re-uploads
+          val canon: Column => Column =
+            if (cfg.rotationDups) phash_canonical_d4 else phash_canonical
+          base
+            .withColumn("phash_key", canon(col("phash")))
+            .withColumn("simhash_m",
+              simhash64(phash_tokens(canon(col("phash"))), cfg.seed))
+        }
       }
   }
 

@@ -20,6 +20,9 @@ class GraftExtensionsSpec extends SparkSpec {
            graft_simhash64(array(5L, 6L))                           AS sim,
            size(graft_phash_tokens(81985529216486895L))             AS ph_n,
            graft_phash_canonical(81985529216486895L)                AS ph_c,
+           graft_phash_transpose(81985529216486895L)                AS ph_t,
+           graft_phash_rot90(81985529216486895L)                    AS ph_r,
+           graft_phash_canonical_d4(81985529216486895L)             AS ph_d4,
            graft_fingerprint('abc')                                 AS fp,
            graft_srp_bucket(array(0.5F, -0.5F), 8)                  AS srp,
            size(graft_winnow_anchors('abcdefghijklmnop', 4, 8))     AS wa_n
@@ -34,6 +37,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("ph_n") === 8)
     assert(row.getAs[Long]("ph_c") ===
       graft.functions.HashKernels.phashCanonical(81985529216486895L))
+    assert(row.getAs[Long]("ph_t") ===
+      graft.functions.HashKernels.phashTranspose(81985529216486895L))
+    assert(row.getAs[Long]("ph_r") ===
+      graft.functions.HashKernels.phashRot90(81985529216486895L))
+    assert(row.getAs[Long]("ph_d4") ===
+      graft.functions.HashKernels.phashCanonicalD4(81985529216486895L))
     assert(row.getAs[Long]("fp") !== 0L)
     // 16 chars, k=4 -> 13 grams <= w=8? no: m=13 > w=8 -> winnowed scan;
     // density bound only — exact content equality vs the Column API:

@@ -97,6 +97,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q73: the orbit projection is narrow — no exchange, join, or window") {
+    // one parquet scan + whole-stage-codegen'd expressions; any shuffle here
+    // would mean the permutation kernels stopped being pure projections
+    val df = SparkEntry.queries("q73_phash_orbit")(spark, dir)
+    val p = planOf(df)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-orderBy exchange in q73: $exchanges")
+    assert(!p.contains("Join"), "join in a pure-projection plan")
+    // the kernels are codegen'd expressions feeding one FileScan projection
+    assert(p.contains("FileScan parquet [doc_id"), p.take(1500))
+  }
+
   test("q66: the dedup cascade plans equi-joins and partitioned windows only") {
     val df = SparkEntry.queries("q66_dedup_cascade")(spark, dir)
     val p = planOf(df)

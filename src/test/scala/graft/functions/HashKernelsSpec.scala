@@ -132,6 +132,66 @@ class HashKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("phash D4 orbit: transpose vs naive, group laws, canonical invariance") {
+    def transposeNaive(p: Long): Long = {
+      var out = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (((p >>> (8 * r + c)) & 1L) == 1L) out |= 1L << (8 * c + r)
+      out
+    }
+    val rng = new scala.util.Random(13)
+    (1 to 500).foreach { _ =>
+      val p = rng.nextLong()
+      val t = HashKernels.phashTranspose(p)
+      // the delta-swap transpose is the literal (gy,gx)->(gx,gy) permutation
+      assert(t == transposeNaive(p))
+      assert(HashKernels.phashTranspose(t) == p) // involution
+      // rotation group laws: rot90 has order 4, rot90^2 = rot180,
+      // rot270 = rot90^3 (i.e. rot90 . rot270 = id)
+      val r1 = HashKernels.phashRot90(p)
+      assert(HashKernels.phashRot90(r1) == HashKernels.phashRot180(p))
+      assert(HashKernels.phashRot90(HashKernels.phashRot270(p)) == p)
+      // full-dihedral canonical: invariant under ALL eight symmetries and a
+      // member of the orbit; never above the four-group canonical
+      val orbit = {
+        val k4 = Seq(p, HashKernels.phashFlipH(p), HashKernels.phashFlipV(p),
+          HashKernels.phashRot180(p))
+        k4 ++ k4.map(HashKernels.phashTranspose) // K4 union its transpose coset
+      }
+      val c = HashKernels.phashCanonicalD4(p)
+      assert(orbit.toSet.contains(c))
+      orbit.foreach(q => assert(HashKernels.phashCanonicalD4(q) == c))
+      assert(c <= HashKernels.phashCanonical(p))
+    }
+  }
+
+  test("phash rot90/rot270 equal real decoded-pixel rotations (8-divisible dims)") {
+    import java.awt.image.BufferedImage
+    val rng = new scala.util.Random(17)
+    def randImage(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rng.nextInt())
+      img
+    }
+    // rotating swaps the dimensions, so the mapped image is h x w
+    def rotCw(src: BufferedImage): BufferedImage = {
+      val (w, h) = (src.getWidth, src.getHeight)
+      val out = new BufferedImage(h, w, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        out.setRGB(h - 1 - y, x, src.getRGB(x, y))
+      out
+    }
+    // exact for non-square images too: both dims %8 keep grid blocks aligned
+    Seq((64, 48), (128, 128), (96, 160)).foreach { case (w, h) =>
+      val img = randImage(w, h)
+      val p = graft.synth.ImageCodec.averageHash(img)
+      val cw = rotCw(img)
+      val ccw = rotCw(rotCw(cw)) // three clockwise turns = one counter-clockwise
+      assert(graft.synth.ImageCodec.averageHash(cw) == HashKernels.phashRot90(p))
+      assert(graft.synth.ImageCodec.averageHash(ccw) == HashKernels.phashRot270(p))
+    }
+  }
+
   test("phash flip transforms equal real decoded-pixel flips (8-divisible dims)") {
     import java.awt.image.BufferedImage
     val rng = new scala.util.Random(11)

@@ -64,6 +64,58 @@ class MirrorDupSpec extends SparkSpec {
     corpusFeat.unpersist(); newFeat.unpersist()
   }
 
+  test("rotationDups: 90-degree-rotated re-upload clusters with its original;" +
+      " mirror-only orbit does not catch it") {
+    val images = ImageGen.generate(spark, bases = 10, seed = 42L).toDF()
+    val row = images.where(col("fmt") === "png").orderBy("image_id").head()
+    val origId = row.getAs[String]("image_id")
+    val img = ImageCodec.decode(row.getAs[Array[Byte]]("bytes"))
+    // rotate the real pixels 90 degrees clockwise (dims swap), re-encode
+    // losslessly, re-upload under a new id with a text-invisible caption
+    val rot = new BufferedImage(img.getHeight, img.getWidth,
+      BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      rot.setRGB(img.getHeight - 1 - y, x, img.getRGB(x, y))
+    val rRow = ImageRow(s"rot_$origId", ImageCodec.encodePng(rot),
+      rot.getWidth, rot.getHeight, "png", "rot reupload",
+      ImageCodec.averageHash(rot))
+    val frame = images.unionByName(Seq(rRow).toDF())
+
+    def clusterOf(cfg: DedupConfig): (Long, Long) = {
+      val m = DedupPipeline.run(spark, frame, cfg).assignments
+        .as[(String, Long)].collect().toMap
+      (m(origId), m(rRow.image_id))
+    }
+    val (o1, m1) = clusterOf(
+      DedupConfig.default.copy(mirrorDups = true, rotationDups = true))
+    assert(o1 == m1, "rotationDups=true must cluster the 90-degree-rotated " +
+      "re-upload with its original through the D4 canonical signature")
+    val (o0, m0) = clusterOf(DedupConfig.default.copy(mirrorDups = true))
+    assert(o0 != m0, "the mirror four-group orbit must NOT already contain " +
+      "a 90-degree rotation (it would make the rotationDups test vacuous)")
+  }
+
+  test("rotationDups on a rotation-free corpus never regresses the mirror orbit") {
+    // same argument as the mirror parity test one level up: the raw leg
+    // stays primary and the D4 canonical only ADDS collapse opportunities,
+    // so without rotated rows the clustering must match mirrorDups exactly
+    val images = ImageGen.generate(spark, bases = 40, seed = 99L).toDF()
+    val mirror = DedupPipeline.run(spark, images,
+      DedupConfig.default.copy(mirrorDups = true)).assignments
+    val d4 = DedupPipeline.run(spark, images,
+      DedupConfig.default.copy(mirrorDups = true, rotationDups = true))
+      .assignments
+    assert(d4.exceptAll(mirror).count() == 0 &&
+      mirror.exceptAll(d4).count() == 0,
+      "rotationDups=true changed clustering on a corpus without rotations")
+  }
+
+  test("rotationDups requires mirrorDups") {
+    intercept[IllegalArgumentException] {
+      DedupConfig.default.copy(rotationDups = true)
+    }
+  }
+
   test("mirrorDups on a mirror-free corpus never regresses ordinary dups") {
     // the raw-signature leg stays primary, so on a corpus with NO mirrored
     // rows the flag must reproduce the flag-off clustering exactly — the
