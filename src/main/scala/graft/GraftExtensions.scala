@@ -93,6 +93,19 @@ object GraftExtensions {
       MinHashSignature(args.head, intOf(args(1), "graft_minhash", "numHashes"),
         seedArg("graft_minhash", args, 2))
     },
+    reg("graft_oph", "graft_oph(shingles, numHashes[, seed]) - one-permutation MinHash signature (optimal densification)") { args =>
+      arity("graft_oph", args, 2, 3)
+      OphSignature(args.head, intOf(args(1), "graft_oph", "numHashes"),
+        seedArg("graft_oph", args, 2))
+    },
+    reg("graft_oph_band_keys",
+        "graft_oph_band_keys(shingles, numHashes, bands, rowsPerBand[, seed]) - fused OPH+LSH") { args =>
+      arity("graft_oph_band_keys", args, 4, 5)
+      OphBandKeys(args.head, intOf(args(1), "graft_oph_band_keys", "numHashes"),
+        intOf(args(2), "graft_oph_band_keys", "bands"),
+        intOf(args(3), "graft_oph_band_keys", "rowsPerBand"),
+        seedArg("graft_oph_band_keys", args, 4))
+    },
     reg("graft_simhash64", "graft_simhash64(tokenHashes[, seed]) - 64-bit SimHash") { args =>
       arity("graft_simhash64", args, 1, 2)
       SimHash64(args.head, seedArg("graft_simhash64", args, 1))

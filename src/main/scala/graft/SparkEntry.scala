@@ -1161,6 +1161,74 @@ object SparkEntry {
           phash_rot90(col("p")).as("p_r90"),
           phash_canonical_d4(col("p")).as("p_canon"))
         .orderBy("doc_id")
+    }),
+
+    "q74_oph_dup_pairs" -> ((s, d) => {
+      // one-permutation MinHash (cfg.oph: OPH + optimal densification,
+      // HashKernels.ophArray — ONE hash per shingle instead of numHashes
+      // multiply-adds, the web-scale featurization kernel) through the SAME
+      // LSH band + exact-Jaccard verify DAG as q15. The brute-force oracle
+      // is signature-scheme-independent: verify makes precision exact, and
+      // OPH band recall is complete on this corpus — so the pair set must
+      // EQUAL q15's, proving kernel swap changes cost, not semantics.
+      Dedup.minhashLshPairs(docsWithNearDups(s, d), "doc_id", "text",
+          DedupConfig.default.copy(oph = true))
+        .select("a", "b").orderBy("a")
+    }),
+
+    "q75_bloom_known" -> ((s, d) => {
+      // Bloom-prefiltered exact membership (Dedup.bloomKnownExact): batch =
+      // every 3rd doc re-crawled verbatim (known) + fresh probe pages
+      // (unknown). The sketch probe is a narrow zero-shuffle projection;
+      // only might_known rows reach the exact verify join, and is_known is
+      // EXACT — the oracle recomputes plain raw-text membership.
+      val corpus = t(s, d, "documents").select("doc_id", "text")
+      val recrawled = corpus.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      val fresh = corpus.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(lit("fresh page "), col("doc_id").cast("string")).as("text"))
+      Dedup.bloomKnownExact(recrawled.unionByName(fresh), corpus,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q76_stratified_sample" -> ((s, d) => {
+      // reproducible-by-construction corpus mixture (Curation
+      // .stratifiedSample): per-lang keep rates as a narrow md5-threshold
+      // filter — membership is a pure function of (salt, doc_id), never of
+      // rand() or execution order, so the oracle re-derives the exact sample
+      // by recomputing the hash compare in SQL
+      Curation.stratifiedSample(
+          t(s, d, "documents").select("doc_id", "lang")
+            .where(col("lang").isNotNull),
+          "doc_id", "lang", Map("en" -> 0.8), defaultRate = 0.25)
+        .orderBy("doc_id")
+    }),
+
+    "q77_sequence_packing" -> ((s, d) => {
+      // LLM-pretraining sequence packing (Curation.packAssignments):
+      // concat-then-chunk layout over 512-token context windows; the global
+      // running offset is OrderedScan.cumSums (value-bucketed prefix sums,
+      // no single-partition window — the q62 machinery), the rest is narrow
+      Curation.packAssignments(
+          t(s, d, "documents")
+            .select(col("doc_id"), token_count(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", 512L)
+        .select("doc_id", "n_tokens", "start_offset", "bin_first", "bin_last")
+        .orderBy("doc_id")
+    }),
+
+    "q78_per_source_cap" -> ((s, d) => {
+      // RefinedWeb-style per-domain cap (Curation.capPerKey): at most 5 docs
+      // per source, best-first by (n_chars desc, doc_id asc) — one shuffle
+      // on the key, per-key window
+      Curation.capPerKey(
+          t(s, d, "documents").select("doc_id", "source", "n_chars")
+            .where(col("source").isNotNull),
+          "source", 5, Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     }))
 
   /** One D4 grid symmetry as an explicit 64-term SQL bit permutation of
@@ -1177,6 +1245,29 @@ object SparkEntry {
   private def srcFlipH(d: Int): Int = (d & ~7) | (7 - (d & 7))
   private def srcFlipV(d: Int): Int = ((7 - (d >> 3)) << 3) | (d & 7)
   private def srcRot180(d: Int): Int = 63 - d
+
+  /** Brute-force trigram-Jaccard pair oracle over the docsWithNearDups
+    * corpus — shared by q15 (classic MinHash) and q74 (OPH): the oracle is
+    * signature-scheme-independent. */
+  private val bruteJaccardPairsOracle: String =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
+       toks AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+         FROM corpus),
+       tris AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(l) - 2),
+           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tset FROM toks),
+       posting AS (SELECT doc_id, unnest(tset) AS tri FROM tris),
+       inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS ic
+         FROM posting p1 JOIN posting p2
+           ON p1.tri = p2.tri AND p1.doc_id < p2.doc_id
+         GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, len(tset) AS n FROM tris)
+       SELECT a, b FROM inter
+       JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5 ORDER BY a, b"""
 
   /** DuckDB oracles for every SQL-expressible query above. Keys absent here
     * (q23, q24 — DuckDB cannot decode images) get the driver's weaker
@@ -1286,25 +1377,58 @@ object SparkEntry {
     // exact brute-force trigram Jaccard via an inverted index — the SQL form
     // of the golden oracle (Dedup.bruteForceJaccardPairs); also asserts LSH
     // recall = 1.0 at this config/data (miss probability < 1e-8 per pair)
-    "q15_minhash_dup_pairs" ->
-      """WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
-         toks AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
-           FROM corpus),
-         tris AS (SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, len(l) - 2),
-             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tset FROM toks),
-         posting AS (SELECT doc_id, unnest(tset) AS tri FROM tris),
-         inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS ic
-           FROM posting p1 JOIN posting p2
-             ON p1.tri = p2.tri AND p1.doc_id < p2.doc_id
-           GROUP BY 1, 2),
-         sizes AS (SELECT doc_id, len(tset) AS n FROM tris)
-         SELECT a, b FROM inter
-         JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-         WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5 ORDER BY a, b""",
+    "q15_minhash_dup_pairs" -> bruteJaccardPairsOracle,
+
+    // same brute-force oracle by construction: the signature kernel (classic
+    // vs OPH) changes candidate-generation cost only — verify semantics and
+    // the exact pair set are identical
+    "q74_oph_dup_pairs" -> bruteJaccardPairsOracle,
+
+    "q75_bloom_known" ->
+      // exact raw-text membership — the bloom is a prefilter only, so the
+      // engine's is_known must equal plain EXISTS semantics
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+         batch AS (
+           SELECT doc_id + 500000 AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 700000, 'fresh page ' || doc_id FROM documents
+           WHERE doc_id % 5 = 0)
+         SELECT b.doc_id,
+           EXISTS(SELECT 1 FROM corpus c WHERE c.text = b.text) AS is_known
+         FROM batch b ORDER BY doc_id""",
+
+    "q76_stratified_sample" ->
+      // same md5-prefix threshold compare the engine runs: fixed-width
+      // lowercase hex compares as its numeric value; 0.8 -> floor(0.8*2^32)
+      // = 0xcccccccc, 0.25 -> 0x40000000
+      """SELECT doc_id, lang FROM documents
+         WHERE lang IS NOT NULL
+           AND substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) <
+             CASE WHEN lang = 'en' THEN 'cccccccc' ELSE '40000000' END
+         ORDER BY doc_id""",
+
+    "q77_sequence_packing" ->
+      // window cumsum re-derivation; casts pin BIGINT (DuckDB window sum
+      // yields HUGEINT) and n > 0 mirrors the empty-doc convention
+      """WITH t AS (SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n
+           FROM documents),
+         c AS (SELECT doc_id, n,
+             CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+         SELECT doc_id, n AS n_tokens,
+           CAST(cum - n AS BIGINT) AS start_offset,
+           CAST((cum - n) // 512 AS BIGINT) AS bin_first,
+           CAST(CASE WHEN n > 0 THEN (cum - 1) // 512
+                     ELSE (cum - n) // 512 END AS BIGINT) AS bin_last
+         FROM c ORDER BY doc_id""",
+
+    "q78_per_source_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents WHERE source IS NOT NULL)
+         WHERE rn <= 5 ORDER BY doc_id""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -65,6 +65,20 @@ package graft.config
  *                      canonical. Requires mirrorDups — D4 contains the
  *                      mirror group, so rotation invariance without mirror
  *                      invariance is not a coherent orbit.
+ * @param oph           compute MinHash signatures with the one-permutation
+ *                      kernel (OPH + optimal densification,
+ *                      [[graft.functions.HashKernels.ophArray]]): one hash
+ *                      per shingle instead of numHashes multiply-adds —
+ *                      same per-bin Jaccard collision law, so banding,
+ *                      verification, and recall semantics are unchanged;
+ *                      the signatures themselves differ from the classic
+ *                      kernel's (a corpus must be featurized under ONE
+ *                      scheme — featureConfigId records it). Off by
+ *                      default: classic MinHash signatures are ELEMENTWISE
+ *                      MIN-mergeable ([[graft.operators.Dedup
+ *                      .groupSignatures]]) while densified OPH bins are
+ *                      not; flip it on when per-row featurization cost
+ *                      dominates (long documents at web scale)
  * @param seed          global RNG / hash seed (reference random_seed=42,
  *                      ea/sim/dev/scripts/data/dataset/nb/main.py:12)
  */
@@ -85,6 +99,7 @@ final case class DedupConfig(
     saltOversized: Boolean = false,
     mirrorDups: Boolean = false,
     rotationDups: Boolean = false,
+    oph: Boolean = false,
     seed: Long = 42L) {
   require(bands * rowsPerBand == numHashes,
     s"bands($bands) * rowsPerBand($rowsPerBand) must equal numHashes($numHashes)")
@@ -110,7 +125,7 @@ final case class DedupConfig(
   def featureConfigId: String =
     s"shingleK=$shingleK|numHashes=$numHashes|bands=$bands" +
       s"|rowsPerBand=$rowsPerBand|seed=$seed|mirrorDups=$mirrorDups" +
-      s"|rotationDups=$rotationDups"
+      s"|rotationDups=$rotationDups|oph=$oph"
 }
 
 object DedupConfig {

@@ -46,6 +46,40 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** array<long> shingles -> array<long> one-permutation MinHash signature
+  * with optimal densification (see HashKernels.ophArray — one hash per
+  * element instead of numHashes; same per-bin Jaccard collision law). */
+case class OphSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "oph_signature"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.oph(input.asInstanceOf[ArrayData], numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.oph($c, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): OphSignature =
+    copy(child = newChild)
+}
+
+/** array<long> shingles -> array<long> LSH band keys over the OPH signature,
+  * fused (the MinHashBandKeys counterpart for the one-permutation kernel). */
+case class OphBandKeys(child: Expression, numHashes: Int, bands: Int,
+    rowsPerBand: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "oph_band_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.ophBandKeys(input.asInstanceOf[ArrayData],
+      numHashes, bands, rowsPerBand, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.ophBandKeys($c, $numHashes, $bands, $rowsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): OphBandKeys =
+    copy(child = newChild)
+}
+
 /** array<long> token hashes -> long SimHash64. */
 case class SimHash64(child: Expression, seed: Long)
     extends UnaryExpression {

@@ -116,6 +116,92 @@ object HashKernels {
     sig
   }
 
+  /**
+   * One-permutation MinHash (Li/Owen/Zhang NIPS'12) with OPTIMAL
+   * DENSIFICATION (Shrivastava ICML'17): hash every element ONCE, route it
+   * to bin `h mod numHashes`, keep the per-bin minimum, then fill each empty
+   * bin by probing h(bin, attempt)-selected bins until an occupied one is
+   * hit and copying its value. Collision probability per bin is the Jaccard
+   * similarity — the same LSH property as [[minhashArray]] — at 1 mix per
+   * element instead of numHashes multiply-adds: the signature pass over a
+   * 100 TB corpus drops from O(|S| * numHashes) to O(|S| + numHashes) per
+   * row, which is the difference between featurization dominating ingest
+   * and disappearing into it.
+   *
+   * Two sets sharing an empty bin probe the SAME deterministic sequence
+   * (the probe hash reads only (seed, bin, attempt)), so densified bins
+   * compare borrowed values from identically-selected source bins — the
+   * property that keeps the densified estimator unbiased (op. cit. §4).
+   *
+   * NOT min-mergeable: a densified bin copies another bin's value, and the
+   * elementwise min of two densified signatures is not the densified
+   * signature of the union (occupancy differs per side) — group-level
+   * signature merging ([[graft.operators.Dedup.groupSignatures]]) stays on
+   * the classic kernel by design.
+   *
+   * Empty input yields all-[[EMPTY_MIN]] (same contract as [[minhashArray]];
+   * callers filter empty shingle sets before banding).
+   */
+  def ophArray(sh: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, EMPTY_MIN)
+    var occupied = 0
+    var s = 0
+    while (s < sh.length) {
+      val h = mix64(sh(s) ^ seed)
+      val bin = java.lang.Long.remainderUnsigned(h, numHashes).toInt
+      if (sig(bin) == EMPTY_MIN) occupied += 1
+      if (h < sig(bin)) sig(bin) = h
+      s += 1
+    }
+    if (occupied == 0 || occupied == numHashes) return sig
+    // densify: probe targets must be ORIGINALLY-occupied bins, never ones
+    // another densification pass just filled — fill order independence is
+    // what makes the signature a pure function of the input set
+    val src = java.util.Arrays.copyOf(sig, numHashes)
+    var i = 0
+    while (i < numHashes) {
+      if (src(i) == EMPTY_MIN) {
+        var t = 1L
+        var j = 0
+        do {
+          j = java.lang.Long.remainderUnsigned(
+            mix64(seed ^ (i.toLong * GOLDEN) ^ (t * 0xC2B2AE3D27D4EB4FL)),
+            numHashes).toInt
+          t += 1
+        } while (src(j) == EMPTY_MIN)
+        sig(i) = src(j)
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def oph(shingles: ArrayData, numHashes: Int, seed: Long): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      ophArray(shingles.toLongArray(), numHashes, seed))
+
+  /** Fused OPH+banding (the [[minhashBandKeys]] counterpart): band keys
+    * straight from shingles without materializing the signature column.
+    * Bit-identical to bandKeys(ophArray(...)). */
+  def ophBandKeys(shingles: ArrayData, numHashes: Int, bands: Int,
+      rowsPerBand: Int, seed: Long): ArrayData = {
+    val sig = ophArray(shingles.toLongArray(), numHashes, seed)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix64(seed ^ (b.toLong * GOLDEN))
+      var r = 0
+      while (r < rowsPerBand) {
+        h = mix64(h * 0x100000001B3L ^ sig(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ---------------------------------------------------------------------
   // SimHash (replaces the S3M neural scorer over phash-derived image tokens)
   // ---------------------------------------------------------------------

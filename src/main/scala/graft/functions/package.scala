@@ -19,6 +19,26 @@ package object functions {
   def minhash_signature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     column(MinHashSignature(expression(shingles), numHashes, seed))
 
+  /** One-permutation MinHash with optimal densification — same LSH collision
+    * law as [[minhash_signature]] at one hash per element instead of
+    * numHashes (the web-scale featurization kernel; see HashKernels.ophArray). */
+  def oph_signature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    column(OphSignature(expression(shingles), numHashes, seed))
+
+  /** Fused OPH + LSH banding (the [[minhash_band_keys]] counterpart). */
+  def oph_band_keys(shingles: Column, numHashes: Int, bands: Int,
+      rowsPerBand: Int, seed: Long = 42L): Column =
+    column(OphBandKeys(expression(shingles), numHashes, bands, rowsPerBand, seed))
+
+  /** Kernel-dispatching fused banding: every band-key producer (batch
+    * pipeline, streaming, incremental) routes through this so the
+    * `DedupConfig.oph` choice cannot silently diverge between them —
+    * cross-run compatibility is guarded by `featureConfigId`. */
+  def signature_band_keys(shingles: Column, numHashes: Int, bands: Int,
+      rowsPerBand: Int, seed: Long, oph: Boolean): Column =
+    if (oph) oph_band_keys(shingles, numHashes, bands, rowsPerBand, seed)
+    else minhash_band_keys(shingles, numHashes, bands, rowsPerBand, seed)
+
   def simhash64(tokenHashes: Column, seed: Long = 42L): Column =
     column(SimHash64(expression(tokenHashes), seed))
 
@@ -81,6 +101,18 @@ package object functions {
 
   /** Hamming distance between two 64-bit hashes — pure built-ins (codegen'd). */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
+
+  /** Probe a serialized Bloom sketch with a 64-bit hash column — Spark's own
+    * codegen'd `BloomFilterMightContain` (the runtime-row-filter expression)
+    * over an inlined literal sketch: the filter deserializes ONCE at plan
+    * init, then each row is a few bit tests. Build the sketch with
+    * [[graft.operators.Dedup.bloomSketch]] (hash contract: both sides must
+    * hash the same way — `xxhash64` here and there). */
+  def bloom_might_contain(sketch: Array[Byte], hash: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        sketch, org.apache.spark.sql.types.BinaryType),
+      expression(hash)))
 
   // --- normalization / tokenization (reference parsers/base.py:21-32,
   // preprocess/char_filter.py:4-14 — grafted to caption text) -------------

@@ -44,14 +44,17 @@ object Dedup {
         min(col(idCol)).over(Window.partitionBy("__h")))
       .drop("__h")
 
-  /** Per-row MinHash/LSH feature projection for text. */
+  /** Per-row MinHash/LSH feature projection for text. `cfg.oph` swaps the
+    * signature kernel for one-permutation hashing (same banding downstream). */
   def textFeatures(docs: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig): DataFrame =
     docs.select(
       col(idCol).as("id"),
       normalize_text(col(textCol)).as("norm_text"),
       shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed).as("shingles"))
-      .withColumn("sig", minhash_signature(col("shingles"), cfg.numHashes, cfg.seed))
+      .withColumn("sig",
+        if (cfg.oph) oph_signature(col("shingles"), cfg.numHashes, cfg.seed)
+        else minhash_signature(col("shingles"), cfg.numHashes, cfg.seed))
       .withColumn("band_keys",
         lsh_band_keys(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed))
       .withColumn("simhash",
@@ -420,6 +423,65 @@ object Dedup {
   }
 
   /**
+   * Serialized Bloom sketch over a corpus's exact content hashes — the O(1)
+   * membership artifact a daily ingest probes INSTEAD of touching the corpus
+   * (the exact-identity counterpart of [[graft.streaming.StreamingDedup
+   * .corpusBands]]): built once per corpus snapshot by one distributed
+   * aggregation pass (`DataFrameStatFunctions.bloomFilter` — mergeable
+   * per-partition sketches, bit-OR combine), persisted next to the snapshot,
+   * reused across every batch until the corpus changes.
+   *
+   * Size is set by (expectedItems, fpp), NOT by corpus rows — ~1.2 GB at
+   * 10^9 items / 1% fpp is the practical broadcast ceiling; past that,
+   * partition the corpus and sketch per partition, or fall back to the
+   * hash-join path. Hash contract: `xxhash64(textCol)` raw-text identity,
+   * the same as [[exact]] (equal-hash => treated equal; 64-bit collision
+   * odds as documented there).
+   */
+  def bloomSketch(corpus: DataFrame, textCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): Array[Byte] = {
+    val bf = corpus.select(xxhash64(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Bloom-prefiltered exact membership of a NEW batch against an EXISTING
+   * corpus: (id, is_known) for every new row, where `is_known` is EXACT
+   * (bloom false positives are re-checked; `might_contain = false` rows are
+   * definitely new — Bloom filters have no false negatives — and SKIP the
+   * verify join entirely). The daily-ingest economics: the probe is a
+   * narrow zero-shuffle projection at wire speed, so only the known-dup
+   * fraction plus fpp of the batch ever shuffles, and corpus contact is one
+   * column-pruned 8-byte-hash scan on just that slice's verify join —
+   * nothing corpus-sized moves for the clean bulk of the batch. With a
+   * persisted [[bloomSketch]], use [[bloomProbe]] + your own verify join
+   * and the common path touches the corpus not at all.
+   */
+  def bloomKnownExact(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val sketch = bloomSketch(corpus, textCol, expectedItems, fpp)
+    val probed = bloomProbe(newDocs, idCol, textCol, sketch)
+    val corpusH = corpus.select(xxhash64(col(textCol)).as("__h")).distinct()
+    val known = probed.where(col("might_known"))
+      .join(corpusH, Seq("__h"), "left_semi")
+      .select(col(idCol)).withColumn("__known", lit(true))
+    probed.join(known, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__known"), lit(false)).as("is_known"))
+  }
+
+  /** Narrow probe stage of [[bloomKnownExact]]: (id, __h, might_known) —
+    * zero shuffle, sketch deserialized once per task. No false negatives:
+    * `might_known = false` is a definite non-member. */
+  def bloomProbe(newDocs: DataFrame, idCol: String, textCol: String,
+      sketch: Array[Byte]): DataFrame =
+    newDocs.select(col(idCol), xxhash64(col(textCol)).as("__h"))
+      .withColumn("might_known", bloom_might_contain(sketch, col("__h")))
+
+  /**
    * Decontamination report: what fraction of a BENCHMARK set near-duplicates
    * the training corpus — the eval-leakage check a production training run
    * publishes before shipping a corpus (benchmark contamination; the
@@ -470,6 +532,9 @@ object Dedup {
   def groupSignatures(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, cfg: DedupConfig,
       persistFeatures: Boolean = true, verifyUnion: Boolean = false): DataFrame = {
+    require(!cfg.oph, "groupSignatures requires the classic MinHash kernel:" +
+      " densified OPH bins copy values across bins, so the elementwise min of" +
+      " member signatures is NOT the signature of the union (HashKernels.ophArray)")
     val feat = maybePersist(
       docs.select(col(groupCol).as("group"),
           shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed).as("shingles"))

@@ -49,8 +49,8 @@ object DedupPipeline {
         normalize_text(col("caption")).as("norm_text"),
         shingle_hashes(tokens(col("caption")), cfg.shingleK, cfg.seed).as("shingles"),
         col("phash")) ++ carry.map(col): _*)
-      .withColumn("band_keys", minhash_band_keys(col("shingles"),
-        cfg.numHashes, cfg.bands, cfg.rowsPerBand, cfg.seed))
+      .withColumn("band_keys", signature_band_keys(col("shingles"),
+        cfg.numHashes, cfg.bands, cfg.rowsPerBand, cfg.seed, cfg.oph))
       .withColumn("simhash", simhash64(phash_tokens(col("phash")), cfg.seed))
       .withColumn("content_hash", xxhash64(col("norm_text")))
       // dense join identity: CONTENT-derived (image_id is unique by input

@@ -15,6 +15,8 @@ class GraftExtensionsSpec extends SparkSpec {
            graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))          AS dot,
            graft_lcs_length('hello world', 'say hello')             AS lcs,
            size(graft_minhash(array(7L, 8L, 9L), 16))               AS sig_n,
+           size(graft_oph(array(7L, 8L, 9L), 16))                   AS oph_n,
+           size(graft_oph_band_keys(array(7L, 8L, 9L), 16, 4, 4))   AS oph_b,
            size(graft_band_keys(graft_minhash(array(7L), 16), 4, 4)) AS bands_n,
            size(graft_shingles(array('a','b','c','d'), 3))          AS sh_n,
            graft_simhash64(array(5L, 6L))                           AS sim,
@@ -32,6 +34,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Double]("dot") === 11.0)
     assert(row.getAs[Int]("lcs") === 5)
     assert(row.getAs[Int]("sig_n") === 16)
+    assert(row.getAs[Int]("oph_n") === 16)
+    assert(row.getAs[Int]("oph_b") === 4)
     assert(row.getAs[Int]("bands_n") === 4)
     assert(row.getAs[Int]("sh_n") === 2)
     assert(row.getAs[Int]("ph_n") === 8)

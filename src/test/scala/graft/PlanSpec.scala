@@ -81,6 +81,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q74: OPH dedup keeps the q15 plan shape — equi-joins, no global window") {
+    val df = SparkEntry.queries("q74_oph_dup_pairs")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), "cartesian product in q74")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in q74")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned WindowExec in q74: ${bad.headOption}")
+  }
+
+  test("q75: bloom probe is narrow; verify joins are equi-joins") {
+    val df = SparkEntry.queries("q75_bloom_known")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), "cartesian product in q75")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in q75")
+    // the probe stage alone must stay a zero-shuffle projection
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val sketch = graft.operators.Dedup.bloomSketch(docs, "text")
+    val probe = graft.operators.Dedup.bloomProbe(docs, "doc_id", "text", sketch)
+    assert(!planOf(probe).contains("Exchange"),
+      "bloom probe must be a narrow projection")
+  }
+
+  test("q76/q77/q78: curation plans — narrow sample, bucketed cumsum, keyed window") {
+    // q76: the stratified sample is a pure filter — no join, no shuffle
+    // beyond the final orderBy
+    val q76 = SparkEntry.queries("q76_stratified_sample")(spark, dir)
+    val p76 = planOf(q76)
+    assert(!p76.contains("Join"), "join in a pure-filter sample plan")
+    val ex76 = p76.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex76.forall(_.contains("rangepartitioning")),
+      s"non-orderBy exchange in q76: $ex76")
+    // q77/q78: windows stay partitioned (cumSums buckets / per-key cap)
+    Seq("q77_sequence_packing", "q78_per_source_cap").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      assert(!planOf(df).contains("CartesianProduct"), s"cartesian in $q")
+      val bad = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"unpartitioned WindowExec in $q: ${bad.headOption}")
+    }
+  }
+
   test("q69/q70: no cartesian on data-sized frames, no global window") {
     // q69's single BroadcastNestedLoopJoin is the INTENDED plan: the 1-row
     // grand-total aggregate broadcast onto the (tiny) histogram — same

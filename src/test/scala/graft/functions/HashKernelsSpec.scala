@@ -54,6 +54,59 @@ class HashKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("oph: deterministic, order-free, densification fills every bin") {
+    val s = Array(11L, 22L, 33L) // 3 elements into 64 bins: most bins densified
+    val sig = HashKernels.ophArray(s, 64, 42L)
+    assert(sig.sameElements(HashKernels.ophArray(s.reverse, 64, 42L)))
+    assert(!sig.contains(HashKernels.EMPTY_MIN)) // no empty bin survives
+    // every densified value is a copy of some occupied bin's value
+    assert(sig.distinct.length <= 3)
+    // empty input keeps the minhash sentinel contract
+    assert(HashKernels.ophArray(Array.emptyLongArray, 8, 42L)
+      .forall(_ == HashKernels.EMPTY_MIN))
+  }
+
+  test("oph is a pure function of the input SET (fill-order independence)") {
+    val rng = new scala.util.Random(31)
+    val base = Array.fill(40)(rng.nextLong())
+    val sig = HashKernels.ophArray(base, 128, 42L)
+    // duplicated elements and permutations change nothing
+    assert(sig.sameElements(HashKernels.ophArray(base ++ base.take(7), 128, 42L)))
+    assert(sig.sameElements(HashKernels.ophArray(rng.shuffle(base.toSeq).toArray, 128, 42L)))
+  }
+
+  test("oph agreement approximates Jaccard (property)") {
+    // the same harness as the classic-minhash property: J = k/(400-k)
+    val rng = new scala.util.Random(7)
+    for (k <- Seq(0, 50, 100, 150, 200)) {
+      val common = Array.fill(k)(rng.nextLong())
+      val a = common ++ Array.fill(200 - k)(rng.nextLong())
+      val b = common ++ Array.fill(200 - k)(rng.nextLong())
+      val j = k.toDouble / (400 - k)
+      val sa = HashKernels.ophArray(a, 256, 42L)
+      val sb = HashKernels.ophArray(b, 256, 42L)
+      val agree = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+      assert(math.abs(agree - j) < 0.11, s"k=$k j=$j agree=$agree")
+    }
+  }
+
+  test("oph fused band keys equal bandKeys over the materialized signature") {
+    val rng = new scala.util.Random(19)
+    val sh = Array.fill(60)(rng.nextLong())
+    val viaSig = {
+      val sig = HashKernels.ophArray(sh, 128, 42L)
+      import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      HashKernels.bandKeys(UnsafeArrayData.fromPrimitiveArray(sig), 64, 2, 42L)
+        .toLongArray()
+    }
+    val fused = {
+      import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      HashKernels.ophBandKeys(UnsafeArrayData.fromPrimitiveArray(sh), 128, 64, 2, 42L)
+        .toLongArray()
+    }
+    assert(fused.sameElements(viaSig))
+  }
+
   test("simhash: deterministic, equal inputs equal outputs, disjoint inputs far") {
     val rng = new scala.util.Random(13)
     val a = Array.fill(300)(rng.nextLong())

@@ -43,6 +43,55 @@ class DedupSpec extends SparkSpec {
       s"verified LSH pairs not in oracle: ${(lsh diff oracle).take(5)}")
   }
 
+  test("golden gate holds under the OPH kernel (cfg.oph = true)") {
+    // same corpus, same thresholds — only the signature kernel changes;
+    // verify keeps precision exact and band recall must stay >= 0.99
+    val docs = corpus.toDF("doc_id", "text")
+    val ophCfg = cfg.copy(oph = true)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", ophCfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val oracle = Dedup.bruteForceJaccardPairs(docs, "doc_id", "text", cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(oracle.nonEmpty, "oracle produced no dup pairs — corpus broken")
+    val recall = (oracle intersect lsh).size.toDouble / oracle.size
+    assert(recall >= 0.99, s"recall=$recall oracle=${oracle.size} lsh=${lsh.size}")
+    assert((lsh diff oracle).isEmpty,
+      s"verified LSH pairs not in oracle: ${(lsh diff oracle).take(5)}")
+  }
+
+  test("groupSignatures rejects the OPH kernel (densified bins are not min-mergeable)") {
+    val docs = corpus.toDF("doc_id", "text").withColumn("g", col("doc_id") % 5)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.groupSignatures(docs, "doc_id", "text", "g", cfg.copy(oph = true))
+    }
+    assert(e.getMessage.contains("classic MinHash"))
+  }
+
+  test("bloom membership: exact vs brute force, no false negatives, probe prunes") {
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val texts = corpus.map(_._2).toSet
+    // batch: half re-crawls (known), half fresh rows (unknown)
+    val batch = corpus.filter(_._1 % 2 == 0).map { case (id, t) => (id + 10000L, t) } ++
+      (0 until 80).map(i => (20000L + i, s"fresh page $i about nothing"))
+    val got = Dedup.bloomKnownExact(batch.toDF("doc_id", "text"), corpusDf,
+        "doc_id", "text")
+      .as[(Long, Boolean)].collect().toMap
+    batch.foreach { case (id, t) =>
+      assert(got(id) == texts.contains(t), s"is_known wrong for $id")
+    }
+    // probe stage: no false negatives (every true member flagged), and the
+    // prefilter prunes — fresh rows passing it are fpp-rare (deterministic
+    // for this fixed corpus/sketch; bound is loose on purpose)
+    val sketch = Dedup.bloomSketch(corpusDf, "text")
+    val probed = Dedup.bloomProbe(batch.toDF("doc_id", "text"), "doc_id", "text", sketch)
+      .select("doc_id", "might_known").as[(Long, Boolean)].collect().toMap
+    batch.foreach { case (id, t) =>
+      if (texts.contains(t)) assert(probed(id), s"false negative at $id")
+    }
+    val freshFlagged = batch.count { case (id, t) => !texts.contains(t) && probed(id) }
+    assert(freshFlagged <= 8, s"bloom prefilter not pruning: $freshFlagged/80 fresh rows flagged")
+  }
+
   test("simhash pairs match driver-side brute force at same config") {
     val docs = corpus.toDF("doc_id", "text")
     val got = Dedup.simhashPairs(docs, "doc_id", "text", cfg)
