@@ -1229,6 +1229,44 @@ object SparkEntry {
           "source", 5, Seq(col("n_chars").desc, col("doc_id").asc))
         .select("doc_id", "source")
         .orderBy("doc_id")
+    }),
+
+    "q79_ngram_novelty" -> ((s, d) => {
+      // exact n-gram novelty vs the corpus (TextScores.noveltyExact —
+      // posting equi-join on 8-byte shingle hashes): re-crawls score 0.0,
+      // one appended token scores 1/(n-1) (one new tail trigram), 3-novel-
+      // token probes score 1.0. The zero-shuffle bloom path is spec-gated
+      // (lower bound only — fpp); this oracled query pins the exact one.
+      val corpus = t(s, d, "documents").select("doc_id", "text")
+      val batch =
+        corpus.where(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+        .unionByName(corpus.where(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text")))
+        .unionByName(corpus.where(col("doc_id") % 4 === 2)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat(lit("qq"), col("doc_id").cast("string"),
+              lit(" ww"), col("doc_id").cast("string"),
+              lit(" ee"), col("doc_id").cast("string")).as("text")))
+      TextScores.noveltyExact(batch, corpus, "doc_id", "text",
+          DedupConfig.default)
+        .orderBy("id")
+    }),
+
+    "q80_quality_gate_by_lang" -> ((s, d) => {
+      // per-group exact top-fraction (Ranking.topFractionByGroup): keep the
+      // best 25% of EACH language by quality score, tie-inclusive — the
+      // FineWeb per-language threshold. The window runs over distinct
+      // (lang, quality) rows only (quality is rounded to 2 places), never
+      // data-sized partitions.
+      val docs = t(s, d, "documents")
+        .where(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          quality_score(col("text")).as("quality"))
+      Ranking.topFractionByGroup(docs, "lang", "quality", 0.25)
+        .select("doc_id", "lang", "quality", "kept")
+        .orderBy("doc_id")
     }))
 
   /** One D4 grid symmetry as an explicit 64-term SQL bit permutation of
@@ -1429,6 +1467,72 @@ object SparkEntry {
              PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
            FROM documents WHERE source IS NOT NULL)
          WHERE rn <= 5 ORDER BY doc_id""",
+
+    "q79_ngram_novelty" ->
+      // batch trigram sets vs the corpus's distinct-trigram posting set;
+      // probe rows are exactly 3 tokens -> one (novel) whole-sequence
+      // trigram in both engines
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+         batch AS (
+           SELECT doc_id + 500000 AS doc_id, text FROM documents
+           WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id + 600000, text || ' zz' FROM documents
+           WHERE doc_id % 4 = 1
+           UNION ALL
+           SELECT doc_id + 700000,
+             'qq' || doc_id || ' ww' || doc_id || ' ee' || doc_id
+           FROM documents WHERE doc_id % 4 = 2),
+         ctoks AS (SELECT
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM corpus),
+         cpost AS (SELECT DISTINCT unnest(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tri FROM ctoks),
+         btoks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM batch),
+         btris AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS t FROM btoks),
+         seen AS (SELECT doc_id, count(*) AS c
+           FROM (SELECT doc_id, unnest(t) AS tri FROM btris) b
+           WHERE tri IN (SELECT tri FROM cpost) GROUP BY 1)
+         SELECT b.doc_id AS id, len(b.t) AS n_shingles,
+           round(CASE WHEN len(b.t) = 0 THEN 0.0
+             ELSE 1.0 - coalesce(s.c, 0) * 1.0 / len(b.t) END, 6) AS novelty
+         FROM btris b LEFT JOIN seen s ON s.doc_id = b.doc_id
+         ORDER BY id""",
+
+    "q80_quality_gate_by_lang" ->
+      // per-lang tie-inclusive top-25%: kept iff rank()-1 (= strictly
+      // greater count) < max(1, floor(0.25 * n_lang)); quality re-derived
+      // with the q31 expression
+      """WITH s AS (
+           SELECT doc_id, lang,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_toks,
+             list_filter(string_split(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' '),
+               x -> length(x) > 0) AS toks
+           FROM documents WHERE lang IS NOT NULL),
+         q AS (SELECT doc_id, lang, round(
+           (CASE WHEN n_toks > 0 AND n_chars * 1.0 / n_toks BETWEEN 3.0 AND 12.0
+                 THEN 0.4 ELSE 0.0 END) +
+           (CASE WHEN n_chars > 0 AND n_punct * 1.0 / n_chars <= 0.1
+                 THEN 0.3 ELSE 0.0 END) +
+           (CASE WHEN len(toks) > 0 AND
+                 len(list_filter(toks, x -> x IN ('the','a','an','and','or','of',
+                   'to','in','is','it','that','for','on','with','as','was','at','by')))
+                 * 1.0 / len(toks) >= 0.05 THEN 0.3 ELSE 0.0 END)::DOUBLE, 2) AS quality
+           FROM s),
+         r AS (SELECT doc_id, lang, quality,
+             rank() OVER (PARTITION BY lang ORDER BY quality DESC) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n FROM q)
+         SELECT doc_id, lang, quality,
+           (rk - 1 < greatest(1, CAST(floor(0.25 * n) AS BIGINT))) AS kept
+         FROM r ORDER BY doc_id""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -108,6 +108,12 @@ package object functions {
     * init, then each row is a few bit tests. Build the sketch with
     * [[graft.operators.Dedup.bloomSketch]] (hash contract: both sides must
     * hash the same way — `xxhash64` here and there). */
+  /** Count of a hash array's elements the inlined Bloom sketch might
+    * contain — the zero-shuffle novelty-scoring kernel (see
+    * [[BloomCountContained]]; sketch deserialized once per task). */
+  def bloom_count_contained(sketch: Array[Byte], hashes: Column): Column =
+    column(BloomCountContained(expression(hashes), sketch))
+
   def bloom_might_contain(sketch: Array[Byte], hash: Column): Column =
     column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       org.apache.spark.sql.catalyst.expressions.Literal(

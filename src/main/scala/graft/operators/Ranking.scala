@@ -70,4 +70,38 @@ object Ranking {
       .select(col(scoreCol), (col("__cum") > lit((n - k).toDouble)).as("kept"))
     df.join(kept, scoreCol)
   }
+
+  /**
+   * PER-GROUP exact top-fraction gate — the FineWeb-style per-language
+   * quality threshold ("keep the best `frac` of EACH language/source"),
+   * with [[topFractionGlobal]]'s tie-inclusive semantics per group: a row
+   * is kept iff #{same-group rows with a strictly greater score} < k_g,
+   * k_g = max(1, floor(frac * n_g)).
+   *
+   * Distributed shape: per-group counts (one shuffle), per-(group, score)
+   * counts (one shuffle), then a window over DISTINCT SCORES within each
+   * group — bounded by the distinct-score cardinality, not the group size,
+   * so it needs the same coarse-score contract as q62's distinct-score
+   * aggregation (quality scores are rounded by construction; round a
+   * continuous score first or the per-group frame degenerates back to data
+   * size). The kept bits join back on (group, score).
+   *
+   * @return the input plus a `kept` boolean column
+   */
+  def topFractionByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac($frac) must be in (0, 1]")
+    val ks = df.groupBy(col(groupCol))
+      .agg(greatest(lit(1L), floor(count(lit(1)) * frac).cast("long")).as("__k"))
+    val byScore = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = byScore
+      .withColumn("__geq", sum(col("__c")).over(w))
+      .join(ks, groupCol)
+      .select(col(groupCol), col(scoreCol),
+        (col("__geq") - col("__c") < col("__k")).as("kept"))
+    df.join(kept, Seq(groupCol, scoreCol))
+  }
 }

@@ -128,6 +128,82 @@ object TextScores {
       idCol: String, textCol: String, k: Int, minIdf: Double = 0.0): DataFrame =
     Ranking.topKItems(tfidfIndexScores(corpus, queries, idCol, textCol, minIdf), k)
 
+  /** Shared novelty projection: (id, sh = DISTINCT shingle hashes). */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      cfg: graft.config.DedupConfig): DataFrame =
+    docs.select(col(idCol).as("id"),
+      array_distinct(shingle_hashes(tokens(col(textCol)),
+        cfg.shingleK, cfg.seed)).as("sh"))
+
+  /**
+   * EXACT n-gram novelty of a NEW batch against an EXISTING corpus: per new
+   * doc, the fraction of its DISTINCT shingles that occur in NO corpus
+   * document — the data-selection signal a pretraining pipeline uses to
+   * prioritize genuinely new content (and the inverse of boilerplate
+   * coverage). 0.0 = every shingle already in the corpus (a re-crawl),
+   * 1.0 = fully novel; shingle-less docs (empty text) score 0.0 — no
+   * evidence of novelty.
+   *
+   * Scale shape: a posting equi-join on 8-byte shingle hashes — the new
+   * side ships (id, shingle) rows, the corpus side DISTINCT shingles only;
+   * never a doc-by-doc comparison. For the zero-shuffle scoring path
+   * against a persisted corpus artifact see [[noveltyBloom]].
+   *
+   * @return (id, n_shingles, novelty) with novelty rounded to 6 places
+   */
+  def noveltyExact(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, cfg: graft.config.DedupConfig): DataFrame = {
+    val bsh = shingleSets(newDocs, idCol, textCol, cfg)
+    val cpost = shingleSets(corpus, idCol, textCol, cfg)
+      .select(explode(col("sh")).as("g")).distinct()
+    val seen = bsh.select(col("id"), explode(col("sh")).as("g"))
+      .join(cpost, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("__seen"))
+    bsh.select(col("id"), size(col("sh")).as("n_shingles"))
+      .join(seen, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        round(when(col("n_shingles") === 0, 0.0)
+          .otherwise(lit(1.0) -
+            coalesce(col("__seen"), lit(0L)).cast("double") / col("n_shingles")),
+          6).as("novelty"))
+  }
+
+  /** One mergeable Bloom sketch over the corpus's DISTINCT shingle hashes —
+    * the persisted novelty artifact [[noveltyBloom]] probes (size set by
+    * (expectedItems, fpp), not corpus rows; the [[graft.operators.Dedup
+    * .bloomSketch]] ceiling discussion applies). */
+  def shingleSketch(corpus: DataFrame, textCol: String,
+      cfg: graft.config.DedupConfig, expectedItems: Long = 4000000L,
+      fpp: Double = 0.01): Array[Byte] = {
+    val bf = corpus.select(explode(array_distinct(
+        shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed))).as("__g"))
+      .stat.bloomFilter("__g", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Zero-shuffle novelty scoring against a persisted [[shingleSketch]]: the
+   * whole computation is one narrow projection (the per-array membership
+   * count is a single codegen'd expression, sketch deserialized once per
+   * task) — novelty at scan speed with NO corpus contact at score time.
+   * Bloom false positives make this a LOWER BOUND on [[noveltyExact]]
+   * (never an overestimate: no false negatives means every truly-seen
+   * shingle counts as seen), within fpp of exact when the sketch is sized
+   * to the corpus's distinct-shingle count.
+   */
+  def noveltyBloom(newDocs: DataFrame, idCol: String, textCol: String,
+      cfg: graft.config.DedupConfig, sketch: Array[Byte]): DataFrame =
+    shingleSets(newDocs, idCol, textCol, cfg)
+      .select(col("id"), size(col("sh")).as("n_shingles"),
+        bloom_count_contained(sketch, col("sh")).as("__seen"))
+      .select(col("id"), col("n_shingles"),
+        round(when(col("n_shingles") === 0, 0.0)
+          .otherwise(lit(1.0) -
+            col("__seen").cast("double") / col("n_shingles")),
+          6).as("novelty"))
+
   /**
    * Repetition-based quality signals per document — the Gopher/FineWeb
    * heuristic family (Rae et al. 2021 §A1.1 repetition filters): the

@@ -114,8 +114,10 @@ class PlanSpec extends SparkSpec {
     val ex76 = p76.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(ex76.forall(_.contains("rangepartitioning")),
       s"non-orderBy exchange in q76: $ex76")
-    // q77/q78: windows stay partitioned (cumSums buckets / per-key cap)
-    Seq("q77_sequence_packing", "q78_per_source_cap").foreach { q =>
+    // q77/q78/q80: windows stay partitioned (cumSums buckets / per-key cap /
+    // distinct-score per-group gate)
+    Seq("q77_sequence_packing", "q78_per_source_cap",
+        "q80_quality_gate_by_lang").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       assert(!planOf(df).contains("CartesianProduct"), s"cartesian in $q")
       val bad = df.queryExecution.executedPlan.collect {
@@ -123,6 +125,10 @@ class PlanSpec extends SparkSpec {
       }
       assert(bad.isEmpty, s"unpartitioned WindowExec in $q: ${bad.headOption}")
     }
+    // q79: novelty is a posting equi-join — no cartesian, no nested loop
+    val q79 = planOf(SparkEntry.queries("q79_ngram_novelty")(spark, dir))
+    assert(!q79.contains("CartesianProduct"), "cartesian in q79")
+    assert(!q79.contains("BroadcastNestedLoopJoin"), "nested-loop join in q79")
   }
 
   test("q69/q70: no cartesian on data-sized frames, no global window") {

@@ -99,4 +99,25 @@ class OrderedScanSpec extends SparkSpec {
       .where(col("kept")).count()
     assert(all == rows.size)
   }
+
+  test("topFractionByGroup: per-group tie-inclusive rule, partitioning-independent") {
+    // unequal group sizes and coarse (tie-heavy) scores per group
+    val rows = (1L to 500L).map { i =>
+      val g = if (i <= 300) "a" else if (i <= 450) "b" else "c"
+      (i, g, (i % 4) * 0.5)
+    }
+    val df = rows.toDF("id", "grp", "score")
+    for (frac <- Seq(0.1, 0.25, 1.0); parts <- Seq(1, 7)) {
+      val got = Ranking.topFractionByGroup(df.repartition(parts), "grp", "score", frac)
+        .select("id", "kept").as[(Long, Boolean)].collect().toMap
+      rows.groupBy(_._2).foreach { case (g, members) =>
+        val k = math.max(1L, math.floor(frac * members.size).toLong)
+        members.foreach { case (id, _, s) =>
+          val greater = members.count(_._3 > s)
+          assert(got(id) == (greater < k),
+            s"frac=$frac parts=$parts grp=$g id=$id score=$s greater=$greater k=$k")
+        }
+      }
+    }
+  }
 }

@@ -121,4 +121,34 @@ class TextScoresSpec extends SparkSpec {
     assert(got(4L) == ((4L, 1, 1.0, 0.0)))
     assert(got(5L) == ((5L, 0, 1.0, 0.0)))
   }
+
+  test("noveltyExact: hand-computed fractions; bloom path is an exact lower bound") {
+    val cfg = graft.config.DedupConfig.default
+    // corpus with enough token variety that probe trigrams cannot collide
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, s"w${i % 30} w${(i + 7) % 30} w${(i + 13) % 30} w${(i + 21) % 30} w${(i + 2) % 30}")
+    }.toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, "w3 w10 w16 w24 w5"),   // verbatim corpus doc 3 -> novelty 0
+      (2000L, "zz1 zz2 zz3"),         // one fully novel trigram -> 1.0
+      (3000L, "w0 w7 w13 qq qq")      // trigrams: (w0 w7 w13) seen; (w7 w13 qq), (w13 qq qq) novel
+    ).toDF("doc_id", "text")
+    val got = TextScores.noveltyExact(batch, corpus, "doc_id", "text", cfg)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1000L) == ((1000L, 3, 0.0)))
+    assert(got(2000L) == ((2000L, 1, 1.0)))
+    assert(got(3000L)._2 == 3 &&
+      got(3000L)._3 == math.rint(2.0 / 3 * 1e6) / 1e6)
+    // bloom path: no false negatives -> seen_bloom >= seen_exact -> novelty
+    // lower-bounds exact; generously-sized sketch keeps the gap at zero here
+    val sketch = TextScores.shingleSketch(corpus, "text", cfg,
+      expectedItems = 100000L)
+    val bloom = TextScores.noveltyBloom(batch, "doc_id", "text", cfg, sketch)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    got.foreach { case (id, (_, n, nov)) =>
+      assert(bloom(id)._2 == n)
+      assert(bloom(id)._3 <= nov + 1e-9, s"bloom novelty exceeds exact at $id")
+    }
+    assert(bloom(1000L)._3 == 0.0) // a re-crawl can never look novel
+  }
 }
