@@ -1267,7 +1267,51 @@ object SparkEntry {
       Ranking.topFractionByGroup(docs, "lang", "quality", 0.25)
         .select("doc_id", "lang", "quality", "kept")
         .orderBy("doc_id")
+    }),
+
+    "q81_line_dedup" -> ((s, d) => {
+      // corpus-wide boilerplate-LINE removal (Curation
+      // .removeBoilerplateLines — the CCNet/RefinedWeb line-dedup pass):
+      // plant a shared header on every 5th doc and a shared footer on every
+      // 3rd; any line >= 5 chars appearing in >= 10 distinct docs is removed
+      // from ALL of them, per-doc line order preserved, every doc returned
+      // (possibly empty). Lines shuffle as 8-byte hashes; the heavy set is
+      // boilerplate-sized so the flag join broadcasts.
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("SHARED HEADER LINE\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nCOOKIE BANNER ACCEPT"))
+            .otherwise(lit(""))).as("text"))
+      Curation.removeBoilerplateLines(planted, "doc_id", "text", minDf = 10)
+        .orderBy("doc_id")
+    }),
+
+    "q82_mixture_sample" -> ((s, d) => {
+      // data-mixing sampler (Curation.mixtureSample): per-lang char budgets
+      // at weights en/de/fr = 0.5/0.35/0.15 over an 80k-char budget; rates
+      // derive from EXACT long char totals (fixed-order IEEE arithmetic both
+      // engines), the keep test is the q76 md5-threshold device, so the
+      // oracle re-derives rates AND membership in SQL. de clamps to rate 1.0
+      // at sf<=0.01 (smaller than its allotment); es/zh are unweighted ->
+      // excluded.
+      Curation.mixtureSample(
+          t(s, d, "documents").select("doc_id", "lang", "n_chars")
+            .where(col("lang").isNotNull),
+          "doc_id", "lang", "n_chars", q82Weights, q82Budget)
+        .orderBy("doc_id")
     }))
+
+  /** q82's mixing config, shared by the query and its oracle: the oracle
+    * SQL interpolates the SCALA-computed per-stratum target (Double.toString
+    * round-trips, DuckDB parses decimal literals to the nearest double), so
+    * both engines threshold on bit-identical rates. */
+  private val q82Weights: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.35, "fr" -> 0.15)
+  private val q82Budget: Long = 80000L
+  private def q82Target(k: String): Double =
+    q82Budget * q82Weights(k) / q82Weights.values.sum
 
   /** One D4 grid symmetry as an explicit 64-term SQL bit permutation of
     * BIGINT column/alias `x`: destination bit d reads source bit `src(d)`;
@@ -1533,6 +1577,55 @@ object SparkEntry {
          SELECT doc_id, lang, quality,
            (rk - 1 < greatest(1, CAST(floor(0.25 * n) AS BIGINT))) AS kept
          FROM r ORDER BY doc_id""",
+
+    "q81_line_dedup" ->
+      // same planted corpus, line df over raw lines (the engine groups
+      // 8-byte line hashes — equal modulo xxhash64 collisions); string_agg
+      // skips the removed lines' NULLs and NULLs out all-removed docs ->
+      // coalesce('') mirrors concat_ws over an empty array
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'SHARED HEADER LINE' || chr(10)
+                  ELSE '' END
+             || text ||
+             CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'COOKIE BANNER ACCEPT'
+                  ELSE '' END AS text
+           FROM documents),
+         lines AS (
+           SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                  generate_subscripts(string_split(text, chr(10)), 1) AS pos
+           FROM t),
+         heavy AS (
+           SELECT line FROM lines WHERE length(line) >= 5
+           GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+         flagged AS (
+           SELECT l.doc_id, l.pos, l.line, (h.line IS NOT NULL) AS rm
+           FROM lines l LEFT JOIN heavy h ON l.line = h.line)
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT rm THEN line END,
+             chr(10) ORDER BY pos), '') AS clean_text,
+           CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    "q82_mixture_sample" ->
+      // rates from exact BIGINT char totals + Scala-interpolated target
+      // literals; membership is the md5-prefix threshold compare of q76
+      s"""WITH d AS (
+           SELECT doc_id, lang, n_chars FROM documents WHERE lang IS NOT NULL),
+         a AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail
+           FROM d GROUP BY lang),
+         r AS (SELECT lang, least(1.0,
+             CASE lang WHEN 'en' THEN ${q82Target("en")}
+                       WHEN 'de' THEN ${q82Target("de")}
+                       WHEN 'fr' THEN ${q82Target("fr")} END
+             / CAST(avail AS DOUBLE)) AS rate
+           FROM a WHERE lang IN ('en', 'de', 'fr'))
+         SELECT doc_id, lang, n_chars FROM d JOIN r USING (lang)
+         WHERE rate >= 1.0
+            OR substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) <
+               lower(lpad(to_hex(CAST(least(floor(rate * 4294967296.0),
+                 4294967295.0) AS BIGINT)), 8, '0'))
+         ORDER BY doc_id""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -91,6 +91,55 @@ object Curation {
   }
 
   /**
+   * Corpus-wide boilerplate-LINE removal (the CCNet/RefinedWeb line-dedup
+   * pass): a line occurring in >= `minDf` DISTINCT documents is boilerplate
+   * (cookie banners, nav footers, license headers) and is removed from every
+   * document; per-doc line order is preserved and every input doc comes back
+   * exactly once (possibly with empty `clean_text`). Lines shorter than
+   * `minLineLen` chars are never removal candidates — blank/separator lines
+   * are ubiquitous and removing them would mangle formatting, the same
+   * short-line exemption CCNet applies.
+   *
+   * Scale shape: lines shuffle as 8-byte `xxhash64` keys for the df count
+   * (equal-hash => treated equal, the [[graft.operators.Dedup.exact]]
+   * identity contract); the heavy-line set is boilerplate-sized (tiny next
+   * to the corpus) so AQE broadcasts the flag join; reassembly is one
+   * doc-keyed aggregation whose rows are bounded by the doc's own size.
+   * Nothing corpus-sized is collected or broadcast unconditionally.
+   *
+   * Reference analogue: the unique-member listing that drops repeated
+   * content before scoring (ea/sim/main/data/objects/issue.py:56-73), moved
+   * from whole-record to line granularity.
+   *
+   * @return (idCol, clean_text, n_removed) — `n_removed` counts removed
+   *         line INSTANCES in that doc
+   */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int, minLineLen: Int = 5): DataFrame = {
+    require(minDf >= 2, s"minDf($minDf) < 2 would remove every line")
+    require(minLineLen >= 1, s"minLineLen must be positive, got $minLineLen")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
+      .select(col(idCol), col("pos"), col("col").as("line"),
+        xxhash64(col("col")).as("__lh"))
+    val heavy = lines.where(length(col("line")) >= minLineLen)
+      .groupBy("__lh").agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("__lh"), lit(true).as("__hv"))
+    lines.join(heavy, Seq("__lh"), "left")
+      .withColumn("__rm", col("__hv").isNotNull)
+      .groupBy(col(idCol))
+      .agg(
+        // collect_list drops the nulls the `when` leaves for removed lines;
+        // array_sort on (pos, line) structs restores document order
+        concat_ws("\n", transform(
+          array_sort(collect_list(
+            when(!col("__rm"), struct(col("pos"), col("line"))))),
+          s => s("line"))).as("clean_text"),
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  /**
    * Sequence packing for LLM pretraining export: documents are concatenated
    * in `orderCol` order into one token stream and split into fixed
    * `budget`-token context windows; each doc gets its stream start offset
@@ -120,5 +169,69 @@ object Curation {
           floor((col("__cum") - 1) / lit(budget)).cast("long"))
           .otherwise(col("bin_first")))
       .drop("__cum")
+  }
+
+  /**
+   * Per-stratum sampling rates that hit a global TOKEN budget at target
+   * mixture weights — the data-mixing step of a pretraining pipeline (the
+   * Pile/Dolma-style source reweighting): stratum `s` with weight `w_s` is
+   * allotted `budget * w_s / sum(w)` tokens, and its keep rate is that
+   * allotment over the stratum's available tokens, clamped to 1.0 (a
+   * stratum smaller than its allotment is taken whole — the shortfall is
+   * NOT redistributed, keeping every rate a pure function of (weights,
+   * budget, stratum total) so the sample stays re-derivable from the corpus
+   * snapshot alone). Strata absent from `weights` (and NULL strata) are
+   * excluded.
+   *
+   * Scale: one aggregation on the stratum key; the result has one row per
+   * weighted stratum — a broadcast-sized mixing table.
+   *
+   * All rate arithmetic is fixed-order IEEE double over EXACT long token
+   * sums, so an independent engine (the DuckDB oracle) reproduces the rates
+   * — and therefore the sample — bit-identically.
+   *
+   * @return (stratum, avail_tokens, target_tokens, rate)
+   */
+  def mixtureRates(df: DataFrame, strataCol: String, tokenCol: String,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one stratum")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val wSum = weights.values.sum
+    // literal when-chain: the mixing table is config, not data
+    val target = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, w)) =>
+        when(col("stratum") === lit(k), lit(budget * w / wSum)).otherwise(acc)
+    }
+    df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(sum(col(tokenCol).cast("long")).as("avail_tokens"))
+      .withColumn("target_tokens", target)
+      .where(col("target_tokens").isNotNull)
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens") / col("avail_tokens").cast("double")))
+  }
+
+  /**
+   * Deterministic mixture sample: keeps each row iff its stratum's
+   * [[mixtureRates]] rate admits the row's md5 selection value — the same
+   * by-key threshold device as [[deterministicSample]], with the rate now
+   * DERIVED from the corpus's per-stratum token totals instead of given.
+   * The rates frame is broadcast (one row per weighted stratum), so the
+   * sample itself is a zero-shuffle filter after one stratum aggregation.
+   * `rate >= 1.0` strata keep every row (no threshold edge case at the
+   * top of the hash range).
+   */
+  def mixtureSample(df: DataFrame, keyCol: String, strataCol: String,
+      tokenCol: String, weights: Map[String, Double], budget: Long,
+      salt: String = "graft"): DataFrame = {
+    val rates = mixtureRates(df, strataCol, tokenCol, weights, budget)
+      .select(col("stratum"), col("rate"))
+    val thr = lower(lpad(hex(least(
+      floor(col("rate") * lit(4294967296.0)).cast("long"),
+      lit(4294967295L))), 8, "0"))
+    df.join(broadcast(rates), df(strataCol) === rates("stratum"))
+      .where(col("rate") >= 1.0 || hashHex(col(keyCol), salt) < thr)
+      .drop("stratum", "rate")
   }
 }

@@ -97,4 +97,83 @@ class CurationSpec extends SparkSpec {
       .select("bin_first", "bin_last").as[(Long, Long)].head()
     assert(e._1 == e._2)
   }
+
+  test("removeBoilerplateLines: heavy lines cut everywhere, order kept, " +
+      "short lines exempt, all docs returned") {
+    val corpus = (0 until 30).map { i =>
+      val body = s"unique body line $i\nsecond unique $i"
+      val header = if (i % 2 == 0) "SHARED HEADER\n" else ""
+      val footer = if (i % 3 == 0) "\nok\nFOOTER BOILERPLATE" else ""
+      (i.toLong, header + body + footer)
+    }.toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(corpus, "doc_id", "text",
+        minDf = 5, minLineLen = 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out.size == 30, "every doc comes back exactly once")
+    out.foreach { case (id, clean, nRemoved) =>
+      assert(!clean.contains("SHARED HEADER"), s"header survived in $id")
+      assert(!clean.contains("FOOTER BOILERPLATE"), s"footer survived in $id")
+      // unique body stays, in order; the short 'ok' line is exempt
+      val expected = s"unique body line $id\nsecond unique $id" +
+        (if (id % 3 == 0) "\nok" else "")
+      assert(clean == expected, s"doc $id: got '$clean'")
+      val expRemoved = (if (id % 2 == 0) 1L else 0L) + (if (id % 3 == 0) 1L else 0L)
+      assert(nRemoved == expRemoved, s"doc $id removed count")
+    }
+    // a doc that is ALL boilerplate comes back empty, not missing
+    val allBoiler = corpus.union(
+      Seq((999L, "SHARED HEADER\nSHARED HEADER")).toDF("doc_id", "text"))
+    val e = Curation.removeBoilerplateLines(allBoiler, "doc_id", "text",
+        minDf = 5, minLineLen = 5)
+      .where(col("doc_id") === 999L)
+      .as[(Long, String, Long)].head()
+    assert(e._2 == "" && e._3 == 2L)
+  }
+
+  test("mixtureRates: exact allotments, clamp at 1.0, unweighted excluded") {
+    // strata: stratum0..3, 500 rows each; n_tokens totals are exact longs
+    val weights = Map("stratum0" -> 0.6, "stratum1" -> 0.4)
+    val totals = docs.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    val budget = 30000L
+    val rates = Curation.mixtureRates(docs, "lang", "n_tokens", weights, budget)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rates.keySet == Set("stratum0", "stratum1"), "unweighted strata leak")
+    val w = weights.values.sum
+    rates.foreach { case (k, (_, avail, target, rate)) =>
+      assert(avail == totals(k))
+      assert(target == budget * weights(k) / w)
+      assert(rate == math.min(1.0, target / avail.toDouble))
+    }
+    // a budget above every stratum's total clamps all rates to exactly 1.0
+    val clamped = Curation.mixtureRates(docs, "lang", "n_tokens",
+        weights, 10000000L)
+      .select("rate").as[Double].collect()
+    assert(clamped.nonEmpty && clamped.forall(_ == 1.0))
+  }
+
+  test("mixtureSample: per-stratum token take tracks the allotment; " +
+      "rate-1.0 strata keep every row; sample nests across budgets") {
+    val weights = Map("stratum0" -> 0.6, "stratum1" -> 0.4)
+    val sampled = Curation.mixtureSample(docs, "doc_id", "lang", "n_tokens",
+      weights, 30000L)
+    val take = sampled.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    // allotments: 18000 / 12000 tokens; md5 thresholding is uniform so the
+    // realized take lands near the allotment (not exact — rows are lumpy)
+    assert(math.abs(take("stratum0") - 18000.0) / 18000.0 < 0.15, take.toString)
+    assert(math.abs(take("stratum1") - 12000.0) / 12000.0 < 0.15, take.toString)
+    // huge budget -> every weighted row kept verbatim
+    val all = Curation.mixtureSample(docs, "doc_id", "lang", "n_tokens",
+      weights, 10000000L)
+    assert(all.count() ==
+      docs.where(col("lang").isin("stratum0", "stratum1")).count())
+    // monotone nesting: smaller budget selects a subset
+    val small = Curation.mixtureSample(docs, "doc_id", "lang", "n_tokens",
+        weights, 10000L).select("doc_id").as[Long].collect().toSet
+    val big = Curation.mixtureSample(docs, "doc_id", "lang", "n_tokens",
+        weights, 30000L).select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
 }
