@@ -1301,6 +1301,47 @@ object SparkEntry {
             .where(col("lang").isNotNull),
           "doc_id", "lang", "n_chars", q82Weights, q82Budget)
         .orderBy("doc_id")
+    }),
+
+    "q83_pii_redaction" -> ((s, d) => {
+      // PII scrub (Curation.redactPii — the Dolma/CCNet redaction tier):
+      // the synthetic docs are PII-free word salad, so plant deterministic
+      // PII — every 4th doc an email, every 6th an IPv4, every 5th an
+      // international phone; redaction replaces each family with its token
+      // and counts matches on the text state its redaction sees. One narrow
+      // codegen projection; the oracle re-runs the same RE2-compatible
+      // patterns in DuckDB.
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, concat(lit(" mail user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" call +1 555 01"),
+            (col("doc_id") % 100).cast("string"), lit(" ok")))
+            .otherwise(lit(""))).as("text"))
+      Curation.redactPii(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "q84_leakfree_split" -> ((s, d) => {
+      // cluster-coherent train/eval split (Curation.leakFreeSplit): plant
+      // exact dups (every 4th doc re-appears as doc_id+100000), assignments
+      // = Dedup.exactGroups min-id labels; the split unit is the CLUSTER so
+      // a dup pair can never straddle train and eval — the leakage
+      // contaminationReport (q72) measures, prevented at split time. Unit
+      // membership is the md5-threshold device at evalFrac=0.3, re-derived
+      // exactly by the oracle.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.union(
+        docs.where(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val assignments = Dedup.exactGroups(planted, "doc_id", "text")
+      Curation.leakFreeSplit(planted, "doc_id", assignments,
+          "doc_id", "dup_group_id", evalFrac = 0.3)
+        .select("doc_id", "split_unit", "split")
+        .orderBy("doc_id")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -1626,6 +1667,62 @@ object SparkEntry {
                lower(lpad(to_hex(CAST(least(floor(rate * 4294967296.0),
                  4294967295.0) AS BIGINT)), 8, '0'))
          ORDER BY doc_id""",
+
+    "q83_pii_redaction" ->
+      // same planted PII; DuckDB's RE2 evaluates the identical patterns
+      // (no backrefs/lookaround by construction), counts via
+      // regexp_extract_all on the same pre-redaction text states
+      """WITH t AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 4 = 0 THEN ' mail user' ||
+               CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+             CASE WHEN doc_id % 6 = 0 THEN ' from 10.0.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 01' ||
+               CAST(doc_id % 100 AS VARCHAR) || ' ok' ELSE '' END AS text
+           FROM documents),
+         s1 AS (
+           SELECT doc_id,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+           FROM t),
+         s2 AS (
+           SELECT doc_id, n_emails,
+             regexp_replace(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2,
+             len(regexp_extract_all(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+           FROM s1)
+         SELECT doc_id,
+           regexp_replace(t2, '\+\d[\d ]{7,}\d', '<PHONE>', 'g') AS clean_text,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '\+\d[\d ]{7,}\d')) AS BIGINT)
+             AS n_phones
+         FROM s2 ORDER BY doc_id""",
+
+    "q84_leakfree_split" ->
+      // same planted dups; clusters group raw text (the engine groups
+      // xxhash64(text) — equal modulo collisions, the q81 note); unit
+      // membership is the md5-prefix threshold at floor(0.3 * 2^32)
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 4 = 0),
+         a AS (
+           SELECT doc_id, CAST(min(doc_id) OVER (PARTITION BY text)
+             AS VARCHAR) AS split_unit
+           FROM planted)
+         SELECT doc_id, split_unit,
+           CASE WHEN substr(md5('graft-split' || split_unit), 1, 8) <
+             lower(lpad(to_hex(CAST(floor(0.3 * 4294967296.0) AS BIGINT)),
+               8, '0'))
+           THEN 'eval' ELSE 'train' END AS split
+         FROM a ORDER BY doc_id""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -234,4 +234,76 @@ object Curation {
       .where(col("rate") >= 1.0 || hashHex(col(keyCol), salt) < thr)
       .drop("stratum", "rate")
   }
+
+  /** PII patterns restricted to the regex subset Java (Spark) and RE2
+    * (DuckDB, the oracle) evaluate identically: no backreferences, no
+    * lookaround — `\b`, `\d`, char classes, and greedy quantifiers agree
+    * between the engines, so redaction is reproducible across them. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\+\\d[\\d ]{7,}\\d"
+
+  /**
+   * PII redaction — the Dolma/CCNet scrub step every released pretraining
+   * corpus runs: emails, IPv4 addresses, and international-format phone
+   * numbers are replaced by `<EMAIL>`/`<IP>`/`<PHONE>` tokens, with per-type
+   * match counts for the removal-rate report a curation run publishes.
+   * Redaction order is fixed (email, then IP, then phone) and each count is
+   * taken on the text state its redaction sees, so the output is a pure
+   * deterministic function of the input text.
+   *
+   * Scale shape: a single NARROW projection — chained codegen'd
+   * `regexp_replace`/`regexp_count`, no shuffle, no UDF; at 100 TB this is
+   * scan-speed work that fuses into whatever stage reads the text.
+   *
+   * Phone matching requires the leading `+` (international form): a bare
+   * 8-digit-run pattern would eat years, ids, and quantities in running
+   * text — precision over recall, the same trade Dolma's regex tier makes.
+   *
+   * @return (idCol, clean_text, n_emails, n_ips, n_phones)
+   */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Re, "<IP>")
+    docs.select(col(idCol),
+      regexp_replace(afterIp, phoneRe, "<PHONE>").as("clean_text"),
+      regexp_count(col(textCol), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(afterIp, lit(phoneRe)).cast("long").as("n_phones"))
+  }
+
+  /**
+   * Leak-free train/eval split: the split unit is the near-dup CLUSTER, not
+   * the document — every member of a cluster lands on the same side, so no
+   * near-duplicate of an eval document can sit in train (the contamination
+   * mode [[Dedup.contaminationReport]] measures; this operator prevents it
+   * at split time). Docs absent from `assignments` are singletons and split
+   * as their own unit. Membership is the [[deterministicSample]]
+   * md5-threshold device on the unit key — reproducible across runs,
+   * engines, and partial recomputes, and stable under corpus growth: a
+   * cluster's side never changes when unrelated docs arrive.
+   *
+   * Scale shape: one equi-join on the id (assignments is a 2-narrow-column
+   * table — AQE broadcasts it when small, sort-merge otherwise), then a
+   * narrow hash filter. Contract: `assignments` has at most one row per id
+   * (a dedup output); duplicate ids would fan the corpus out.
+   *
+   * @param evalFrac expected fraction of CLUSTERS (not docs) in eval
+   * @return docs columns + (split_unit, split∈{train,eval})
+   */
+  def leakFreeSplit(docs: DataFrame, idCol: String, assignments: DataFrame,
+      assignIdCol: String, clusterCol: String, evalFrac: Double,
+      salt: String = "graft-split"): DataFrame = {
+    require(evalFrac >= 0.0 && evalFrac <= 1.0,
+      s"evalFrac must be in [0,1], got $evalFrac")
+    val a = assignments.select(col(assignIdCol).as(idCol),
+      col(clusterCol).as("__cl"))
+    docs.join(a, Seq(idCol), "left")
+      .withColumn("split_unit", coalesce(col("__cl").cast("string"),
+        concat(lit("solo:"), col(idCol).cast("string"))))
+      .withColumn("split",
+        when(hashHex(col("split_unit"), salt) < lit(thresholdHex(evalFrac)),
+          lit("eval")).otherwise(lit("train")))
+      .drop("__cl")
+  }
 }

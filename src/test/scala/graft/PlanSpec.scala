@@ -131,6 +131,34 @@ class PlanSpec extends SparkSpec {
     assert(!q79.contains("BroadcastNestedLoopJoin"), "nested-loop join in q79")
   }
 
+  test("q81-q84: line-dedup/mixture/pii/split plans — equi-joins, " +
+      "broadcast mixing table, narrow redaction, partitioned windows") {
+    // q81: the heavy-line flag join is an equi-join on the 8-byte line hash
+    val q81 = planOf(SparkEntry.queries("q81_line_dedup")(spark, dir))
+    assert(!q81.contains("CartesianProduct"), "cartesian in q81")
+    assert(!q81.contains("BroadcastNestedLoopJoin"), "nested loop in q81")
+    // q82: the one-row-per-stratum mixing table is the broadcast build side
+    val q82 = planOf(SparkEntry.queries("q82_mixture_sample")(spark, dir))
+    assert(q82.contains("BroadcastHashJoin"), q82.take(2000))
+    // q83: redaction is a pure narrow projection — the only exchange is the
+    // display orderBy
+    val q83 = planOf(SparkEntry.queries("q83_pii_redaction")(spark, dir))
+    assert(!q83.contains("Join"), "join in the redaction plan")
+    val ex83 = q83.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex83.forall(_.contains("rangepartitioning")),
+      s"non-orderBy exchange in q83: $ex83")
+    // q84: split-unit join is an equi-join; the exact-group window stays
+    // partitioned by the content hash
+    val q84df = SparkEntry.queries("q84_leakfree_split")(spark, dir)
+    val q84 = planOf(q84df)
+    assert(!q84.contains("CartesianProduct"), "cartesian in q84")
+    assert(!q84.contains("BroadcastNestedLoopJoin"), "nested loop in q84")
+    val bad84 = q84df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad84.isEmpty, s"unpartitioned WindowExec in q84: ${bad84.headOption}")
+  }
+
   test("q69/q70: no cartesian on data-sized frames, no global window") {
     // q69's single BroadcastNestedLoopJoin is the INTENDED plan: the 1-row
     // grand-total aggregate broadcast onto the (tiny) histogram — same

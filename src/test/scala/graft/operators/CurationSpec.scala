@@ -176,4 +176,61 @@ class CurationSpec extends SparkSpec {
         weights, 30000L).select("doc_id").as[Long].collect().toSet
     assert(small.subsetOf(big))
   }
+
+  test("redactPii: each family redacted and counted on its own text state; " +
+      "clean text untouched") {
+    val in = Seq(
+      (1L, "reach me at jane.doe+spam@mail-host.example.org or"
+        + " bob@x.io thanks"),
+      (2L, "server 192.168.0.1 and 10.0.255.7 up"),
+      (3L, "call +1 555 0123 456 today"),
+      (4L, "mixed alice@a.co from 8.8.8.8 dial +44 20 7946 0958 end"),
+      (5L, "no pii here, just words and 42 numbers like 3.14")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(in, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "reach me at <EMAIL> or <EMAIL> thanks")
+    assert((out(1L)._3, out(1L)._4, out(1L)._5) == ((2L, 0L, 0L)))
+    assert(out(2L)._2 == "server <IP> and <IP> up")
+    assert((out(2L)._3, out(2L)._4, out(2L)._5) == ((0L, 2L, 0L)))
+    assert(out(3L)._2 == "call <PHONE> today")
+    assert((out(3L)._3, out(3L)._4, out(3L)._5) == ((0L, 0L, 1L)))
+    assert(out(4L)._2 == "mixed <EMAIL> from <IP> dial <PHONE> end")
+    assert((out(4L)._3, out(4L)._4, out(4L)._5) == ((1L, 1L, 1L)))
+    // 3.14 is not an IPv4, 42 is not a phone (no leading +): untouched
+    assert(out(5L)._2 == "no pii here, just words and 42 numbers like 3.14")
+    assert((out(5L)._3, out(5L)._4, out(5L)._5) == ((0L, 0L, 0L)))
+  }
+
+  test("leakFreeSplit: cluster members never straddle the split; " +
+      "unassigned docs split solo; frac tracks on units") {
+    // 600 docs in 200 clusters of 3, plus 400 singletons missing from the
+    // assignment table entirely (the left-join solo path)
+    val clustered = (0 until 600).map(i => (i.toLong, s"text ${i % 200}"))
+    val solo = (1000 until 1400).map(i => (i.toLong, s"solo text $i"))
+    val corpus = (clustered ++ solo).toDF("doc_id", "text")
+    val assignments = (0 until 600)
+      .map(i => (i.toLong, (i % 200).toLong)).toDF("id", "cluster")
+    val out = Curation.leakFreeSplit(corpus, "doc_id", assignments,
+        "id", "cluster", evalFrac = 0.3)
+      .select("doc_id", "split_unit", "split")
+      .as[(Long, String, String)].collect()
+    assert(out.length == 1000, "every doc comes back exactly once")
+    // coherence: one split per unit — no cluster straddles train/eval
+    val perUnit = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perUnit.values.forall(_.size == 1), "a split unit straddled")
+    // solo docs got their own unit; clustered docs share theirs
+    assert(out.filter(_._1 >= 1000).forall(r => r._2 == s"solo:${r._1}"))
+    assert(out.filter(_._1 < 600).groupBy(_._2).forall(_._2.length == 3))
+    // the eval FRACTION is on units, within sampling noise of 0.3
+    val units = out.map(r => (r._2, r._3)).distinct
+    val evalFrac = units.count(_._2 == "eval").toDouble / units.length
+    assert(math.abs(evalFrac - 0.3) < 0.07, s"unit eval frac $evalFrac")
+    // reproducible: a second run selects identically
+    val again = Curation.leakFreeSplit(corpus, "doc_id", assignments,
+        "id", "cluster", evalFrac = 0.3)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again == out.map(r => (r._1, r._3)).toSet)
+  }
 }
