@@ -1342,6 +1342,74 @@ object SparkEntry {
           "doc_id", "dup_group_id", evalFrac = 0.3)
         .select("doc_id", "split_unit", "split")
         .orderBy("doc_id")
+    }),
+
+    "q85_heavy_ngrams" -> ((s, d) => {
+      // corpus-wide boilerplate n-gram report (TextScores.heavyNgrams):
+      // plant a shared cookie-banner sentence on every 3rd doc; every word
+      // trigram in >= 20 distinct docs comes back with its df and total
+      // count. One explode + one aggregation (map-side partial combine);
+      // the n-gram string shuffles because the report needs the text back.
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" accept all cookies to continue browsing this site"))
+            .otherwise(lit(""))).as("text"))
+      TextScores.heavyNgrams(planted, "doc_id", "text", n = 3, minDf = 20)
+        .orderBy("ngram")
+    }),
+
+    "q86_exact_quantiles" -> ((s, d) => {
+      // exact distributed quantiles (SkewStats.exactQuantiles —
+      // PERCENTILE_DISC semantics, no approxQuantile error, no
+      // single-partition sort): doc-length profile that sizes the length
+      // filters / token budgets. Distinct-value collapse + value-bucketed
+      // cumSums + literal probe explode; the oracle is DuckDB's own
+      // quantile_disc — an independent implementation of the definition.
+      SkewStats.exactQuantiles(t(s, d, "documents"), "n_chars",
+          Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+        .orderBy("q")
+    }),
+
+    "q87_dup_line_signals" -> ((s, d) => {
+      // intra-doc duplicate-line signals (TextScores.duplicateLineSignals):
+      // plant a looping doc shape on every 2nd doc (its text twice plus a
+      // unique tail); the dup-line fraction separates loopers from clean
+      // docs. Pure narrow projection — scan-speed at 100 TB.
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat_ws("\n", col("text"), col("text"),
+            concat(lit("tail "), col("doc_id").cast("string"))))
+          .otherwise(col("text")).as("text"))
+      TextScores.duplicateLineSignals(planted, "doc_id", "text")
+        .orderBy("id")
+    }),
+
+    "q88_crop_dups" -> ((s, _) => {
+      // crop-resilient image dedup (Dedup.cropDups): 300 synthetic bases,
+      // each paired with one lossless lattice-2 crop (quadrant / right
+      // half / bottom half cycling by base). Recall is guaranteed by the
+      // regionCells arithmetic identity, precision by the raw-cell-grid
+      // key, so the EXACT planted pair set is the oracle — enumerable in
+      // SQL (generate_series), making this the image query a DuckDB oracle
+      // CAN check (unlike q23/q24, no pixel decode needed on the oracle
+      // side: determinism does the work).
+      import s.implicits._
+      val images = s.range(0L, 300L, 1L, 32).as[Long].flatMap { i =>
+        val png = graft.synth.ImageCodec.encodePng(ImageGen.renderBase(777L, i))
+        val (lx0, ly0, lx1, ly1) = (i % 3) match {
+          case 0 => (0, 0, 1, 1)   // top-left quadrant
+          case 1 => (1, 0, 2, 2)   // right half
+          case _ => (0, 1, 2, 2)   // bottom half
+        }
+        val crop = ImageGen.cropOf(png, 2, lx0, ly0, lx1, ly1)
+        Seq((f"b$i%04d", png, "png"), (f"c$i%04d", crop, "png"))
+      }.toDF("image_id", "bytes", "fmt")
+      // minContrast = 0: every region keys, so n_regions is pure lattice
+      // geometry — a quadrant crop shares only its own full frame (1), a
+      // half crop also re-aligns its two halves with source quadrants (3)
+      Dedup.cropDups(s, images, lattice = 2, minContrast = 0.0)
+        .select("a", "b", "n_regions").orderBy("a", "b")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -1723,6 +1791,76 @@ object SparkEntry {
                8, '0'))
            THEN 'eval' ELSE 'train' END AS split
          FROM a ORDER BY doc_id""",
+
+    "q85_heavy_ngrams" ->
+      // same planted banner; DuckDB rebuilds word trigrams with the q15
+      // oracle's list machinery and re-aggregates df / total count
+      """WITH planted AS (
+           SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+             THEN ' accept all cookies to continue browsing this site'
+             ELSE '' END AS text
+           FROM documents),
+         toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM planted),
+         grams AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS ngram
+           FROM toks)
+         SELECT ngram, count(DISTINCT doc_id) AS doc_freq,
+           count(*) AS total_freq
+         FROM grams GROUP BY 1
+         HAVING count(DISTINCT doc_id) >= 20 ORDER BY ngram""",
+
+    "q86_exact_quantiles" ->
+      // independent implementation of the same PERCENTILE_DISC definition:
+      // DuckDB's own quantile_disc (boundary semantics verified identical —
+      // smallest value whose cumulative count reaches q*n, integer q*n
+      // included)
+      """SELECT CAST(0.0 AS DOUBLE) AS q,
+           CAST(quantile_disc(n_chars, 0.0) AS DOUBLE) AS value FROM documents
+         UNION ALL SELECT CAST(0.25 AS DOUBLE),
+           CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) FROM documents
+         UNION ALL SELECT CAST(0.5 AS DOUBLE),
+           CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) FROM documents
+         UNION ALL SELECT CAST(0.75 AS DOUBLE),
+           CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) FROM documents
+         UNION ALL SELECT CAST(0.9 AS DOUBLE),
+           CAST(quantile_disc(n_chars, 0.9) AS DOUBLE) FROM documents
+         UNION ALL SELECT CAST(0.99 AS DOUBLE),
+           CAST(quantile_disc(n_chars, 0.99) AS DOUBLE) FROM documents
+         UNION ALL SELECT CAST(1.0 AS DOUBLE),
+           CAST(quantile_disc(n_chars, 1.0) AS DOUBLE) FROM documents
+         ORDER BY q""",
+
+    "q87_dup_line_signals" ->
+      // same planted looping shape; list_distinct over chr(10)-split lines
+      """WITH planted AS (
+           SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN text || chr(10) || text || chr(10) || 'tail '
+               || CAST(doc_id AS VARCHAR)
+             ELSE text END AS text
+           FROM documents),
+         l AS (SELECT doc_id AS id, string_split(text, chr(10)) AS ls
+           FROM planted)
+         SELECT id, len(ls) AS n_lines,
+           len(list_distinct(ls)) AS n_distinct_lines,
+           round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls), 4)
+             AS dup_line_frac
+         FROM l ORDER BY id""",
+
+    "q88_crop_dups" ->
+      // the planted pair set IS the oracle: recall is guaranteed by the
+      // regionCells arithmetic identity, precision by the raw-cell-grid
+      // key, and the corpus is deterministic — so the exact (base, crop)
+      // enumeration checks both directions without decoding a pixel.
+      // n_regions is lattice geometry: a quadrant crop (i%3=0) shares only
+      // its full frame; a half crop's own halves re-align with source
+      // quadrants, so it shares 3 regions
+      """SELECT 'b' || lpad(CAST(i AS VARCHAR), 4, '0') AS a,
+           'c' || lpad(CAST(i AS VARCHAR), 4, '0') AS b,
+           CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 3 END AS BIGINT) AS n_regions
+         FROM generate_series(0, 299) t(i) ORDER BY a, b""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

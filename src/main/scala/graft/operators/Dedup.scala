@@ -379,6 +379,43 @@ object Dedup {
   }
 
   /**
+   * Crop-resilient image dedup: pairs of images where one contains a
+   * LATTICE-ALIGNED crop of the other (thumbnails, center/half crops at
+   * standard ratios — the web-scale re-post shape the whole-frame phash
+   * orbit cannot catch, since cropping destroys the global hash). Candidate
+   * keys are [[Multimodal.cropRegionKeys]]: every lattice-aligned region's
+   * raw-cell-grid content key, so a crop and its source collide on the
+   * crop's full-frame key by the [[graft.synth.ImageCodec.regionCells]]
+   * integer-arithmetic identity — recall for lossless lattice-aligned crops
+   * is GUARANTEED by construction, not probabilistic (spec-pinned). Crops at
+   * arbitrary offsets or lossy re-encodes are out of contract (the
+   * [[graft.synth.ImageCodec.regionKey]] exactness trade; raise `lattice`
+   * for finer alignment at linearly more keys, and route lossy whole-frame
+   * dups through the phash families).
+   *
+   * Pair generation runs through [[CandidateGen.pairsFromBuckets]] — the
+   * same bucket-volume cap / salting device as every other dedup family, so
+   * a degenerate region key (near-flat texture passing the contrast gate on
+   * millions of images) cannot emit quadratic candidates. `n_regions`
+   * (shared-key count per pair, an equi-join over <= C(lattice+1,2)^2 keys
+   * per side) grades evidence: 1 = a single region match (a true crop),
+   * C(lattice+1,2)^2 = every region matches (a pixel-identical re-encode).
+   *
+   * @return (a, b, n_regions) with a < b
+   */
+  def cropDups(spark: org.apache.spark.sql.SparkSession, images: DataFrame,
+      lattice: Int = 3, minContrast: Double = 8.0, maxBucketSize: Int = 4096,
+      saltOversized: Boolean = false): DataFrame = {
+    val keys = Multimodal.cropRegionKeys(spark, images, lattice, minContrast)
+    val pairs = CandidateGen.pairsFromBuckets(keys, maxBucketSize,
+      saltOversized = saltOversized)
+    val ka = keys.select(col("id").as("a"), col("key"))
+    val kb = keys.select(col("id").as("b"), col("key"))
+    pairs.join(ka, "a").join(kb, Seq("b", "key"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_regions"))
+  }
+
+  /**
    * Near-dups of a NEW batch against an EXISTING corpus only — the daily-
    * ingest shape at 100 TB. The corpus side's band rows are the big,
    * precomputable dimension (in production, persist `textFeatures` + band

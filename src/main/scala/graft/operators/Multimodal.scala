@@ -85,6 +85,58 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  val regionKeySchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("key", LongType)))
+
+  /**
+   * Region-content keys for crop-resilient dedup: for every lattice-aligned
+   * sub-rectangle of each image (corners on the (lattice+1)^2 grid of lines
+   * `i * dim / lattice`), one 64-bit [[graft.synth.ImageCodec.regionKey]] —
+   * an avalanche hash of the region's raw 8x8 luma cell grid, flat
+   * regions (below `minContrast` luma spread) emitting nothing. A crop whose
+   * bounds sit on the source's lattice produces, as its own FULL-frame key,
+   * exactly the source's key for that region ([[graft.synth.ImageCodec
+   * .regionCells]] integer-arithmetic identity), so crop pairs collide in
+   * one equi-joinable key space — no pixel comparison at pair time.
+   *
+   * Scale shape: one decode per row (per-partition reader reuse, same as
+   * [[decodeFeatures]]), C(lattice+1, 2)^2 keys per image (lattice=2 -> 9,
+   * the default 3 -> 36, 4 -> 100) — the recall/volume knob: larger
+   * lattices detect finer-grained crops at linearly more key rows. Keys are
+   * 8-byte longs, so the downstream shuffle is (id, key) rows only.
+   * Undecodable/stub-format rows emit no keys (honest-stub policy, as
+   * [[decodeFeatures]]).
+   */
+  def cropRegionKeys(spark: SparkSession, images: DataFrame, lattice: Int = 3,
+      minContrast: Double = 8.0): DataFrame = {
+    require(lattice >= 1 && lattice <= 8,
+      s"lattice($lattice) outside [1,8]: 8x8 hash cells need >= 1 px each way")
+    val enc = ExpressionEncoder(regionKeySchema)
+    val input = images.select(col("image_id"), col("bytes"), col("fmt"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val fmt = r.getString(2)
+        tryDecode(bytes, fmt) match {
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val xs = Array.tabulate(lattice + 1)(i => i * w / lattice)
+            val ys = Array.tabulate(lattice + 1)(i => i * h / lattice)
+            for {
+              ix0 <- 0 until lattice; ix1 <- (ix0 + 1) to lattice
+              iy0 <- 0 until lattice; iy1 <- (iy0 + 1) to lattice
+              if xs(ix1) > xs(ix0) && ys(iy1) > ys(iy0)
+              k <- ImageCodec.regionKey(img, xs(ix0), ys(iy0),
+                xs(ix1) - xs(ix0), ys(iy1) - ys(iy0), minContrast)
+            } yield Row(id, k)
+          case None => Nil
+        }
+      }
+    }(enc).toDF()
+  }
+
   val resizeSchema: StructType = StructType(Seq(
     StructField("image_id", StringType),
     StructField("bytes", BinaryType),

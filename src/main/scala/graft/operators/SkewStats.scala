@@ -67,4 +67,41 @@ object SkewStats {
         (col("groups") * (col("groups") + 1) / lit(2)).cast("long"))
       .orderBy(desc("bucket_n"), asc("key"))
   }
+
+  /**
+   * EXACT distributed quantiles (PERCENTILE_DISC semantics: for each q, the
+   * smallest value whose cumulative row count reaches q * n) — the corpus
+   * profiling step that sizes every downstream knob (length filters, token
+   * budgets, `maxBucketSize`) without `approxQuantile`'s rank error and
+   * without a single-partition sort: values collapse to one row per
+   * DISTINCT value (the widest shuffle, bounded by the value domain, not
+   * the corpus), cumulative counts ride [[OrderedScan.cumSums]]'
+   * value-bucketed prefix sums, and the probe list is a literal explode.
+   * The one-row total joins in by broadcast — nothing data-sized crosses a
+   * single executor. Counts are integer-exact to 2^53 (the cumSums
+   * contract); `q * n` is fixed-order IEEE arithmetic, so an independent
+   * engine (the DuckDB `quantile_disc` oracle) reproduces the thresholds
+   * bit-identically.
+   *
+   * @param qs quantile probes in [0, 1]; q = 0 returns the minimum,
+   *           q = 1 the maximum
+   * @return (q, value) one row per probe, value as double
+   */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "qs must name at least one quantile probe")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile probes must lie in [0,1], got $qs")
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val cum = OrderedScan.cumSums(counts, "v", Seq("c" -> "cum"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    cum.crossJoin(broadcast(total)) // 1-row broadcast: never a data-sized product
+      .select(col("v"), col("cum"),
+        explode(array(qs.distinct.sorted.map(lit(_)): _*)).as("q"), col("n"))
+      .where(col("cum") >= col("q") * col("n"))
+      .groupBy("q").agg(min(col("v")).as("value"))
+      .orderBy("q")
+  }
 }

@@ -240,6 +240,66 @@ object TextScores {
   }
 
   /**
+   * Corpus-wide heavy (boilerplate) n-grams: every word n-gram occurring in
+   * at least `minDf` DISTINCT documents, with its document frequency and
+   * total occurrence count — the detector that feeds a filter list (the
+   * corpus-level counterpart of [[graft.operators.Curation
+   * .removeBoilerplateLines]]'s per-line df test, at n-gram granularity;
+   * the same "repeated content is evidence, not information" rationale as
+   * the reference's unique-member listing, ea/sim/main/data/objects/issue
+   * .py:56-73).
+   *
+   * Scale shape: one explode + one aggregation. The n-gram STRING shuffles
+   * (the report needs the text back, so hashing would force a rejoin);
+   * map-side partial aggregation collapses per-partition repeats before the
+   * exchange, and the `minDf` filter keeps the result boilerplate-sized.
+   * For a probe-only variant at 100 TB (is this n-gram heavy?) sketch the
+   * output with [[shingleSketch]] instead of shipping strings twice.
+   *
+   * @return (ngram, doc_freq, total_freq) for doc_freq >= minDf
+   */
+  def heavyNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    require(n >= 1, s"n($n) must be positive")
+    require(minDf >= 2, s"minDf($minDf) < 2 reports every n-gram in the corpus")
+    val toks = array_remove(split(coalesce(col(textCol), lit("")), " "), "")
+    docs.select(col(idCol).as("id"), toks.as("l"))
+      .where(size(col("l")) >= n)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("l")) - (n - 1)),
+        i => concat_ws(" ", slice(col("l"), i, lit(n))))).as("ngram"))
+      .groupBy("ngram")
+      .agg(countDistinct(col("id")).as("doc_freq"),
+        count(lit(1)).as("total_freq"))
+      .where(col("doc_freq") >= minDf)
+  }
+
+  /**
+   * Intra-document duplicate-LINE signals: line count, distinct-line count,
+   * and the duplicated-line fraction — the within-doc spam signal (scraped
+   * pages repeating a nav block, generated text looping a paragraph)
+   * complementing [[repetitionSignals]]'s token-level ratios and the
+   * corpus-level [[graft.operators.Curation.removeBoilerplateLines]]. A
+   * pure NARROW projection (split + array_distinct per row, no shuffle):
+   * scan-speed work at 100 TB that fuses into whatever stage reads the
+   * text.
+   *
+   * @return (id, n_lines, n_distinct_lines, dup_line_frac), fraction
+   *         rounded to 4 places; NULL text degrades to the empty doc
+   *         (1 line, 0.0 — split never returns an empty list)
+   */
+  def duplicateLineSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ls = split(coalesce(col(textCol), lit("")), "\n", -1)
+    docs.select(col(idCol).as("id"), ls.as("l"))
+      .select(col("id"), size(col("l")).as("n_lines"),
+        size(array_distinct(col("l"))).as("n_distinct_lines"))
+      .withColumn("dup_line_frac",
+        round(lit(1.0) - col("n_distinct_lines").cast("double") /
+          col("n_lines"), 4))
+  }
+
+  /**
    * FaST-style alignment score (reference: ea/sim/main/methods/classic/fast.py:49-133):
    * df-damped positional weights w(pos) = (pos+1)^-alpha * exp(-beta * df/N);
    * matched tokens contribute (w1 + w2) * exp(-gamma * |pos1 - pos2|);

@@ -116,12 +116,12 @@ object ImageCodec {
    * Small pixel perturbations (lossy re-encode, mild resize) flip few bits;
    * unrelated images differ on ~32.
    */
-  def averageHash(img: BufferedImage): Long = {
-    // fast path: read the 3BYTE_BGR raster array directly — getRGB goes
-    // through ColorModel conversion per pixel (~10x the decode cost on the
-    // validation hot path); both paths compute identical cell sums because
-    // luma coefficients are applied to the same 8-bit channel values
-    val direct: (Int, Int) => Double = img.getRaster.getDataBuffer match {
+  // fast path: read the 3BYTE_BGR raster array directly — getRGB goes
+  // through ColorModel conversion per pixel (~10x the decode cost on the
+  // validation hot path); both paths compute identical cell sums because
+  // luma coefficients are applied to the same 8-bit channel values
+  private def lumaAccessor(img: BufferedImage): (Int, Int) => Double =
+    img.getRaster.getDataBuffer match {
       case b: java.awt.image.DataBufferByte
           if img.getType == BufferedImage.TYPE_3BYTE_BGR &&
             b.getData.length == img.getWidth * img.getHeight * 3 =>
@@ -133,27 +133,47 @@ object ImageCodec {
         }
       case _ => (x, y) => luma(img.getRGB(x, y))
     }
+
+  /**
+   * 8x8 grid of area-average luminance over the region
+   * [x0, x0+rw) x [y0, y0+rh) — the SAME integer cell arithmetic as
+   * [[averageHash]] runs over a whole frame of size rw x rh, just offset by
+   * (x0, y0). Consequence (the crop-dedup invariant [[graft.operators.Dedup
+   * .cropDups]] builds on): for a losslessly-encoded crop of exactly this
+   * region, `regionCells(original, x0, y0, rw, rh)` equals the cells
+   * [[averageHash]] computes on the cropped image, bit for bit.
+   */
+  def regionCells(img: BufferedImage, x0: Int, y0: Int,
+      rw: Int, rh: Int): Array[Double] = {
+    require(rw > 0 && rh > 0 && x0 >= 0 && y0 >= 0 &&
+      x0 + rw <= img.getWidth && y0 + rh <= img.getHeight,
+      s"region ($x0,$y0,$rw,$rh) outside ${img.getWidth}x${img.getHeight}")
+    val direct = lumaAccessor(img)
     val cells = new Array[Double](64)
-    val w = img.getWidth
-    val h = img.getHeight
     var gy = 0
     while (gy < 8) {
       var gx = 0
       while (gx < 8) {
-        val x0 = gx * w / 8; val x1 = math.max(x0 + 1, (gx + 1) * w / 8)
-        val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+        val cx0 = gx * rw / 8; val cx1 = math.max(cx0 + 1, (gx + 1) * rw / 8)
+        val cy0 = gy * rh / 8; val cy1 = math.max(cy0 + 1, (gy + 1) * rh / 8)
         var sum = 0.0
-        var y = y0
-        while (y < y1) {
-          var x = x0
-          while (x < x1) { sum += direct(x, y); x += 1 }
+        var y = cy0
+        while (y < cy1) {
+          var x = cx0
+          while (x < cx1) { sum += direct(x0 + x, y0 + y); x += 1 }
           y += 1
         }
-        cells(gy * 8 + gx) = sum / ((x1 - x0) * (y1 - y0))
+        cells(gy * 8 + gx) = sum / ((cx1 - cx0) * (cy1 - cy0))
         gx += 1
       }
       gy += 1
     }
+    cells
+  }
+
+  /** Average-hash bits from a cell grid: bit i set iff cell i exceeds the
+    * grid mean (the [[averageHash]] tail, factored for region reuse). */
+  def cellsAHash(cells: Array[Double]): Long = {
     val mean = cells.sum / 64.0
     var bits = 0L
     var i = 0
@@ -163,6 +183,56 @@ object ImageCodec {
     }
     bits
   }
+
+  /**
+   * 64-bit region-content key for crop detection: an avalanche hash
+   * ([[graft.functions.HashKernels.mix64]] chain) of the region's 64 RAW
+   * cell doubles — key equality means the two cell grids are bit-identical
+   * (up to a ~2^-64 mix collision), which a LOSSLESS crop of the region
+   * guarantees via the [[regionCells]] arithmetic identity. Deliberately
+   * NOT a perceptual-bit key: aHash/dHash bit patterns of smooth regions
+   * are low-entropy (a monotone ramp fixes half the bits), so distinct
+   * images could legitimately share them; raw cell values cannot. The trade
+   * is the contract: lossy (JPEG) crops perturb cells and will not match —
+   * route those through the banded-Hamming phash path instead.
+   *
+   * Returns None for low-contrast regions (max cell - min cell <
+   * minContrast): flat fills (borders, letterboxes, solid backgrounds) ARE
+   * identical across unrelated images, so their keys would be degenerate
+   * buckets by construction — the same reason MinHash drops empty shingle
+   * sets rather than bucketing them.
+   */
+  def regionKey(img: BufferedImage, x0: Int, y0: Int, rw: Int, rh: Int,
+      minContrast: Double = 8.0): Option[Long] = {
+    val cells = regionCells(img, x0, y0, rw, rh)
+    var mn = cells(0); var mx = cells(0)
+    var i = 1
+    while (i < 64) {
+      if (cells(i) < mn) mn = cells(i)
+      if (cells(i) > mx) mx = cells(i)
+      i += 1
+    }
+    if (mx - mn < minContrast) None
+    else {
+      var h = 0x51AF3C6B9E7D21L
+      i = 0
+      while (i < 64) {
+        h = graft.functions.HashKernels.mix64(
+          h ^ java.lang.Double.doubleToRawLongBits(cells(i)))
+        i += 1
+      }
+      Some(h)
+    }
+  }
+
+  /**
+   * 64-bit average-hash: area-average luminance on an 8x8 grid, bit i set iff
+   * cell i is above the grid mean (FIXTURES.md: DCT-free average-hash variant).
+   * Small pixel perturbations (lossy re-encode, mild resize) flip few bits;
+   * unrelated images differ on ~32.
+   */
+  def averageHash(img: BufferedImage): Long =
+    cellsAHash(regionCells(img, 0, 0, img.getWidth, img.getHeight))
 
   /** PSNR in dB between two same-size images (Double.PositiveInfinity if equal). */
   def psnr(a: BufferedImage, b: BufferedImage): Double = {

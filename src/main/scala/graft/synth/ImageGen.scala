@@ -155,6 +155,36 @@ object ImageGen {
       .flatMap(b => cluster(seed, b, maxClusterSize, light))
   }
 
+  /**
+   * Lattice-aligned crop of an encoded image: decodes `bytes`, copies the
+   * sub-rectangle whose corners sit on lattice lines `i * dim / lattice`
+   * (the [[graft.operators.Dedup.cropDups]] alignment contract), re-encodes
+   * losslessly as PNG. Used to plant crop duplicates in specs and the q88
+   * oracle corpus — lossless encode keeps the crop's decoded pixels
+   * identical to the source region, so detection is guaranteed by the
+   * [[ImageCodec.regionCells]] arithmetic, not probabilistic.
+   *
+   * @param lx0,ly0,lx1,ly1 lattice indices, 0 <= lx0 < lx1 <= lattice
+   */
+  def cropOf(bytes: Array[Byte], lattice: Int,
+      lx0: Int, ly0: Int, lx1: Int, ly1: Int): Array[Byte] = {
+    require(0 <= lx0 && lx0 < lx1 && lx1 <= lattice &&
+      0 <= ly0 && ly0 < ly1 && ly1 <= lattice,
+      s"lattice window ($lx0,$ly0)-($lx1,$ly1) invalid for lattice=$lattice")
+    val img = ImageCodec.decode(bytes)
+    val w = img.getWidth; val h = img.getHeight
+    val x0 = lx0 * w / lattice; val x1 = lx1 * w / lattice
+    val y0 = ly0 * h / lattice; val y1 = ly1 * h / lattice
+    val out = new BufferedImage(x1 - x0, y1 - y0, BufferedImage.TYPE_3BYTE_BGR)
+    var y = y0
+    while (y < y1) {
+      var x = x0
+      while (x < x1) { out.setRGB(x - x0, y - y0, img.getRGB(x, y)); x += 1 }
+      y += 1
+    }
+    ImageCodec.encodePng(out)
+  }
+
   /** Ground-truth assignment table (FIXTURES.md section 3). */
   def expectedClusters(spark: SparkSession, bases: Long, seed: Long = 42L,
       maxClusterSize: Int = 64): Dataset[ExpectedCluster] = {

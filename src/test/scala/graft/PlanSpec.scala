@@ -175,6 +175,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q85-q88: heavy-ngram agg, exact quantiles, dup-line projection, " +
+      "crop-dup joins") {
+    // q85: one explode + one aggregation — no join anywhere
+    val q85 = planOf(SparkEntry.queries("q85_heavy_ngrams")(spark, dir))
+    assert(!q85.contains("Join"), "join in the heavy-ngram aggregation plan")
+    assert(q85.contains("HashAggregate"), q85.take(2000))
+    // q86: the 1-row total broadcast is the intended BNLJ (the q69 device);
+    // the pin is no CartesianProduct and every window bucket-partitioned
+    val q86df = SparkEntry.queries("q86_exact_quantiles")(spark, dir)
+    val q86 = planOf(q86df)
+    assert(!q86.contains("CartesianProduct"), "cartesian in q86")
+    val bad86 = q86df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad86.isEmpty, s"unpartitioned WindowExec in q86: ${bad86.headOption}")
+    // q87: pure narrow projection — no join; the only exchange is the
+    // display orderBy
+    val q87 = planOf(SparkEntry.queries("q87_dup_line_signals")(spark, dir))
+    assert(!q87.contains("Join"), "join in the dup-line projection plan")
+    val ex87 = q87.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex87.forall(_.contains("rangepartitioning")),
+      s"non-orderBy exchange in q87: $ex87")
+    // q88: crop-dup candidate + evidence joins are all equi-joins
+    val q88 = planOf(SparkEntry.queries("q88_crop_dups")(spark, dir))
+    assert(!q88.contains("CartesianProduct"), "cartesian in q88")
+    assert(!q88.contains("BroadcastNestedLoopJoin"), "nested loop in q88")
+  }
+
   test("q73: the orbit projection is narrow — no exchange, join, or window") {
     // one parquet scan + whole-stage-codegen'd expressions; any shuffle here
     // would mean the permutation kernels stopped being pure projections

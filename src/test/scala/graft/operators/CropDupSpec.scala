@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.synth.{ImageCodec, ImageGen}
+import java.awt.image.BufferedImage
+import org.apache.spark.sql.functions._
+
+/** Crop-resilient image dedup: the regionCells arithmetic identity, the
+  * contrast gate, and the cropDups pair contract (guaranteed recall for
+  * lossless lattice-aligned crops, no pairs across unrelated images). */
+class CropDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pngOf(i: Long): Array[Byte] =
+    ImageCodec.encodePng(ImageGen.renderBase(4242L, i))
+
+  test("regionCells identity: a lossless crop's whole-frame hash equals the " +
+    "source's region hash, cell for cell") {
+    val src = ImageGen.renderBase(4242L, 0L)
+    val w = src.getWidth; val h = src.getHeight
+    val bytes = ImageCodec.encodePng(src)
+    // right half at lattice 2: the crop-dedup alignment contract
+    val cropBytes = ImageGen.cropOf(bytes, 2, 1, 0, 2, 2)
+    val crop = ImageCodec.decode(cropBytes)
+    val x0 = w / 2
+    val srcCells = ImageCodec.regionCells(src, x0, 0, w - x0, h)
+    val cropCells = ImageCodec.regionCells(crop, 0, 0,
+      crop.getWidth, crop.getHeight)
+    assert(srcCells.toSeq == cropCells.toSeq,
+      "crop cells must be BIT-identical to the source region's cells")
+    assert(ImageCodec.averageHash(crop) == ImageCodec.cellsAHash(srcCells))
+    assert(ImageCodec.regionKey(src, x0, 0, w - x0, h) ==
+      ImageCodec.regionKey(crop, 0, 0, crop.getWidth, crop.getHeight))
+  }
+
+  test("contrast gate: flat regions emit no key, so identical solid images " +
+    "generate no crop pairs") {
+    val flat = new BufferedImage(64, 64, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 64; x <- 0 until 64) flat.setRGB(x, y, 0x808080)
+    assert(ImageCodec.regionKey(flat, 0, 0, 64, 64).isEmpty)
+    val bytes = ImageCodec.encodePng(flat)
+    val images = Seq(("f1", bytes, "png"), ("f2", bytes, "png"))
+      .toDF("image_id", "bytes", "fmt")
+    assert(Dedup.cropDups(spark, images, lattice = 2).count() == 0,
+      "flat-fill duplicates are out of contract for the crop family " +
+        "(they belong to exact/phash dedup) — the gate must drop them")
+  }
+
+  test("cropDups: planted lattice crops are found exactly, unrelated images " +
+    "never pair, and a pixel-identical re-encode matches on every region") {
+    val quad = ImageGen.cropOf(pngOf(0), 2, 0, 0, 1, 1)
+    val half = ImageGen.cropOf(pngOf(1), 2, 0, 1, 2, 2)
+    val reenc = ImageCodec.encodePng(ImageCodec.decode(pngOf(2)))
+    val images = Seq(
+      ("a0", pngOf(0), "png"), ("a1", pngOf(1), "png"),
+      ("a2", pngOf(2), "png"), ("a3", pngOf(3), "png"), // a3: no variant
+      ("c0", quad, "png"), ("c1", half, "png"), ("r2", reenc, "png"))
+      .toDF("image_id", "bytes", "fmt")
+    val got = Dedup.cropDups(spark, images, lattice = 2, minContrast = 0.0)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(got.keySet == Set(("a0", "c0"), ("a1", "c1"), ("a2", "r2")),
+      s"expected exactly the planted pairs, got ${got.keySet}")
+    assert(got(("a0", "c0")) == 1L,
+      "a quadrant crop shares exactly its own full frame")
+    // a half crop's own lattice halves re-align with the source's quadrants:
+    // full frame + 2 quadrants = 3 shared regions (pure lattice geometry)
+    assert(got(("a1", "c1")) == 3L,
+      "a half crop shares its full frame plus two re-aligned quadrants")
+    // identical pixels: all 9 lattice-2 regions match at minContrast = 0
+    assert(got(("a2", "r2")) == 9L,
+      "a pixel-identical re-encode must match on every region")
+  }
+
+  test("cropDups recall holds for every lattice-2 window shape") {
+    val bytes = pngOf(7)
+    val windows = for {
+      lx0 <- 0 until 2; lx1 <- (lx0 + 1) to 2
+      ly0 <- 0 until 2; ly1 <- (ly0 + 1) to 2
+      if !(lx0 == 0 && ly0 == 0 && lx1 == 2 && ly1 == 2) // skip full frame
+    } yield (lx0, ly0, lx1, ly1)
+    val rows = ("src", bytes, "png") +: windows.zipWithIndex.map {
+      case ((x0, y0, x1, y1), i) =>
+        (f"w$i%02d", ImageGen.cropOf(bytes, 2, x0, y0, x1, y1), "png")
+    }
+    val images = rows.toDF("image_id", "bytes", "fmt")
+    val pairs = Dedup.cropDups(spark, images, lattice = 2, minContrast = 0.0)
+      .as[(String, String, Long)].collect()
+    val withSrc = pairs.collect { case (a, b, _) if a == "src" || b == "src" =>
+      if (a == "src") b else a
+    }.toSet
+    assert(windows.indices.map(i => f"w$i%02d").toSet.subsetOf(withSrc),
+      s"every planted window must pair with src; got $withSrc")
+  }
+}

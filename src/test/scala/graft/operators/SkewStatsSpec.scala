@@ -42,4 +42,39 @@ class SkewStatsSpec extends SparkSpec {
       SkewStats.heavyKeys(keyed, 0)
     }
   }
+
+  test("exactQuantiles: PERCENTILE_DISC semantics vs a sorted-array reference, " +
+    "partitioning-independent") {
+    // values with heavy ties and a skewed tail, deliberately mis-partitioned
+    val vals = ((1 to 400).map(_ % 7) ++ (1 to 40).map(i => 100 + i)).map(_.toDouble)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_)), 13),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+    val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0)
+    val got = SkewStats.exactQuantiles(df, "v", qs)
+      .as[(Double, Double)].collect().toMap
+    val sorted = vals.sorted
+    val n = sorted.length
+    qs.foreach { q =>
+      // reference: smallest value whose cumulative count reaches q*n
+      val want = sorted(math.max(0, math.ceil(q * n).toInt - 1))
+      assert(got(q) == want, s"q=$q: got ${got(q)}, want $want")
+    }
+    assert(got(0.0) == sorted.head && got(1.0) == sorted.last)
+  }
+
+  test("exactQuantiles: nulls excluded, probe validation") {
+    val df = Seq(Some(1.0), None, Some(3.0), Some(2.0)).toDF("v")
+    val got = SkewStats.exactQuantiles(df, "v", Seq(0.5))
+      .as[(Double, Double)].collect().toMap
+    assert(got(0.5) == 2.0)
+    intercept[IllegalArgumentException] {
+      SkewStats.exactQuantiles(df, "v", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      SkewStats.exactQuantiles(df, "v", Seq.empty)
+    }
+  }
 }

@@ -151,4 +151,36 @@ class TextScoresSpec extends SparkSpec {
     }
     assert(bloom(1000L)._3 == 0.0) // a re-crawl can never look novel
   }
+
+  test("heavyNgrams: df and total counts by hand; short docs emit nothing") {
+    val corpus = Seq(
+      (1L, "click here to accept click here to accept"), // bigram df source
+      (2L, "click here to win"),
+      (3L, "click here to win again"),
+      (4L, "to accept"),                                  // < n tokens for n=3
+      (5L, "unrelated words entirely")).toDF("doc_id", "text")
+    val got = TextScores.heavyNgrams(corpus, "doc_id", "text", n = 3, minDf = 2)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // "click here to": docs 1 (twice), 2, 3 -> df 3, total 4
+    assert(got("click here to") == ((3L, 4L)))
+    // "here to accept": doc 1 twice only -> df 1 < minDf -> absent
+    assert(!got.contains("here to accept"))
+    assert(got("here to win") == ((2L, 2L)))
+    assert(!got.keys.exists(_.startsWith("unrelated")))
+  }
+
+  test("duplicateLineSignals: hand fractions; null text degrades to empty doc") {
+    val docs = Seq(
+      (1L, "a\nb\na"),      // 3 lines, 2 distinct -> 1 - 2/3
+      (2L, "only line"),    // 1 line, 0.0
+      (3L, "x\nx\nx\nx"),   // 4 lines, 1 distinct -> 0.75
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextScores.duplicateLineSignals(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3, 2, math.rint((1.0 - 2.0 / 3) * 1e4) / 1e4)))
+    assert(got(2L) == ((2L, 1, 1, 0.0)))
+    assert(got(3L) == ((3L, 4, 1, 0.75)))
+    assert(got(4L) == ((4L, 1, 1, 0.0)), "null text = one empty line, clean")
+  }
 }
