@@ -1410,6 +1410,24 @@ object SparkEntry {
       // half crop also re-aligns its two halves with source quadrants (3)
       Dedup.cropDups(s, images, lattice = 2, minContrast = 0.0)
         .select("a", "b", "n_regions").orderBy("a", "b")
+    }),
+
+    "q89_border_dups" -> ((s, _) => {
+      // border-resilient image dedup (Dedup.borderDups): 300 bases, each
+      // re-posted inside a solid bar whose width cycles 2..14 px and whose
+      // color alternates black/white. Both sides trim to pixel-identical
+      // content (the contentBounds invariant), so the planted pair set is
+      // exact and SQL-enumerable — recall AND precision, no pixel decode on
+      // the oracle side (the q88 device for the border transform).
+      import s.implicits._
+      val images = s.range(0L, 300L, 1L, 32).as[Long].flatMap { i =>
+        val png = graft.synth.ImageCodec.encodePng(ImageGen.renderBase(919L, i))
+        val bordered = ImageGen.withBorder(png, px = (i % 13).toInt + 2,
+          rgb = if (i % 2 == 0) 0x000000 else 0xFFFFFF)
+        Seq((f"b$i%04d", png, "png"), (f"p$i%04d", bordered, "png"))
+      }.toDF("image_id", "bytes", "fmt")
+      Dedup.borderDups(s, images, minContrast = 0.0)
+        .select("a", "b").orderBy("a", "b")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -1860,6 +1878,14 @@ object SparkEntry {
       """SELECT 'b' || lpad(CAST(i AS VARCHAR), 4, '0') AS a,
            'c' || lpad(CAST(i AS VARCHAR), 4, '0') AS b,
            CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 3 END AS BIGINT) AS n_regions
+         FROM generate_series(0, 299) t(i) ORDER BY a, b""",
+
+    "q89_border_dups" ->
+      // the q88 device for the border transform: the deterministic planted
+      // pair enumeration checks recall and precision of the trim-canonical
+      // keys without decoding a pixel
+      """SELECT 'b' || lpad(CAST(i AS VARCHAR), 4, '0') AS a,
+           'p' || lpad(CAST(i AS VARCHAR), 4, '0') AS b
          FROM generate_series(0, 299) t(i) ORDER BY a, b""",
 
     "q16_simhash_dup_pairs" ->

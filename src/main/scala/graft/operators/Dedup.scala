@@ -416,6 +416,30 @@ object Dedup {
   }
 
   /**
+   * Border-resilient image dedup: pairs where one image is a lossless
+   * re-post of the other inside added uniform bars (letterbox, pillarbox,
+   * solid frames — the OTHER common web re-post transform, complementary to
+   * [[cropDups]]: bars sit at arbitrary pixel offsets no lattice covers).
+   * Both sides canonicalize by trimming uniform borders ([[graft.synth
+   * .ImageCodec.contentBounds]]) and key on the content region's raw cell
+   * grid; the trim invariant makes the keys equal for any bar width and
+   * color, including images whose own edges are uniform. Pairs flow through
+   * the shared [[CandidateGen.pairsFromBuckets]] cap/salt device. Same
+   * exactness contract as [[cropDups]]: lossless re-encodes only — lossy
+   * bars perturb the content cells and belong to the phash families.
+   *
+   * @return (a, b) with a < b
+   */
+  def borderDups(spark: org.apache.spark.sql.SparkSession, images: DataFrame,
+      minContrast: Double = 8.0, maxBucketSize: Int = 4096,
+      saltOversized: Boolean = false): DataFrame = {
+    val keys = Multimodal.borderTrimKeys(spark, images, minContrast)
+      .select("id", "key")
+    CandidateGen.pairsFromBuckets(keys, maxBucketSize,
+      saltOversized = saltOversized)
+  }
+
+  /**
    * Near-dups of a NEW batch against an EXISTING corpus only — the daily-
    * ingest shape at 100 TB. The corpus side's band rows are the big,
    * precomputable dimension (in production, persist `textFeatures` + band

@@ -137,6 +137,42 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /**
+   * Border-trimmed content keys: each image's uniform borders are stripped
+   * ([[graft.synth.ImageCodec.contentBounds]] — letterbox / pillarbox /
+   * nested frames) and the remaining content region emits ONE
+   * [[graft.synth.ImageCodec.regionKey]]. A lossless re-post of an image
+   * inside added solid bars trims to pixel-identical content, so the pair
+   * collides on an equi-joinable key — the border-resilient complement of
+   * [[cropRegionKeys]] (bars sit at arbitrary pixel offsets, which no
+   * lattice covers). One decode + one O(pixels) trim scan per row;
+   * undecodable rows emit nothing; flat images (all border, 1x1 content)
+   * are dropped by the `minContrast` gate unless it is 0.
+   *
+   * @return (id, key, content_w, content_h)
+   */
+  def borderTrimKeys(spark: SparkSession, images: DataFrame,
+      minContrast: Double = 8.0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("key", LongType),
+      StructField("content_w", IntegerType),
+      StructField("content_h", IntegerType)))
+    val enc = ExpressionEncoder(schema)
+    val input = images.select(col("image_id"), col("bytes"), col("fmt"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        tryDecode(r.getAs[Array[Byte]](1), r.getString(2)) match {
+          case Some(img) =>
+            val (x0, y0, cw, ch) = ImageCodec.contentBounds(img)
+            ImageCodec.regionKey(img, x0, y0, cw, ch, minContrast)
+              .map(k => Row(r.getString(0), k, cw, ch))
+          case None => None
+        }
+      }
+    }(enc).toDF()
+  }
+
   val resizeSchema: StructType = StructType(Seq(
     StructField("image_id", StringType),
     StructField("bytes", BinaryType),

@@ -234,6 +234,48 @@ object ImageCodec {
   def averageHash(img: BufferedImage): Long =
     cellsAHash(regionCells(img, 0, 0, img.getWidth, img.getHeight))
 
+  /**
+   * Content bounding box after stripping uniform borders: any outermost row
+   * or column whose pixels are all ONE color is trimmed, repeatedly, until
+   * every edge row/column is non-uniform (or a 1x1 region remains). Handles
+   * letterboxes, pillarboxes, and nested multi-color frames in one rule,
+   * with no color list to configure.
+   *
+   * The canonicalization invariant [[graft.operators.Dedup.borderDups]]
+   * builds on: for a losslessly re-encoded copy of image A inside added
+   * uniform bars, trimming first strips exactly the added bars and then
+   * proceeds on pixels identical to A's — so both images trim to the SAME
+   * content region even when A's own edges happen to be uniform (the
+   * trim is content-deterministic, not border-width-deterministic).
+   *
+   * @return (x0, y0, w, h) of the content region
+   */
+  def contentBounds(img: BufferedImage): (Int, Int, Int, Int) = {
+    var x0 = 0; var y0 = 0
+    var x1 = img.getWidth; var y1 = img.getHeight
+    def rowUniform(y: Int): Boolean = {
+      val c = img.getRGB(x0, y)
+      var x = x0 + 1
+      while (x < x1) { if (img.getRGB(x, y) != c) return false; x += 1 }
+      true
+    }
+    def colUniform(x: Int): Boolean = {
+      val c = img.getRGB(x, y0)
+      var y = y0 + 1
+      while (y < y1) { if (img.getRGB(x, y) != c) return false; y += 1 }
+      true
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      if (y1 - y0 > 1 && rowUniform(y0)) { y0 += 1; changed = true }
+      if (y1 - y0 > 1 && rowUniform(y1 - 1)) { y1 -= 1; changed = true }
+      if (x1 - x0 > 1 && colUniform(x0)) { x0 += 1; changed = true }
+      if (x1 - x0 > 1 && colUniform(x1 - 1)) { x1 -= 1; changed = true }
+    }
+    (x0, y0, x1 - x0, y1 - y0)
+  }
+
   /** PSNR in dB between two same-size images (Double.PositiveInfinity if equal). */
   def psnr(a: BufferedImage, b: BufferedImage): Double = {
     require(a.getWidth == b.getWidth && a.getHeight == b.getHeight,

@@ -185,6 +185,29 @@ object ImageGen {
     ImageCodec.encodePng(out)
   }
 
+  /** Lossless re-post of an encoded image inside a solid border of `px`
+    * pixels on every side — the planted input for [[graft.operators.Dedup
+    * .borderDups]] specs and the q89 oracle corpus. */
+  def withBorder(bytes: Array[Byte], px: Int, rgb: Int): Array[Byte] = {
+    require(px >= 1, s"border width must be positive, got $px")
+    val img = ImageCodec.decode(bytes)
+    val out = new BufferedImage(img.getWidth + 2 * px, img.getHeight + 2 * px,
+      BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < out.getHeight) {
+      var x = 0
+      while (x < out.getWidth) { out.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { out.setRGB(x + px, y + px, img.getRGB(x, y)); x += 1 }
+      y += 1
+    }
+    ImageCodec.encodePng(out)
+  }
+
   /** Ground-truth assignment table (FIXTURES.md section 3). */
   def expectedClusters(spark: SparkSession, bases: Long, seed: Long = 42L,
       maxClusterSize: Int = 64): Dataset[ExpectedCluster] = {

@@ -197,10 +197,13 @@ class PlanSpec extends SparkSpec {
     val ex87 = q87.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(ex87.forall(_.contains("rangepartitioning")),
       s"non-orderBy exchange in q87: $ex87")
-    // q88: crop-dup candidate + evidence joins are all equi-joins
-    val q88 = planOf(SparkEntry.queries("q88_crop_dups")(spark, dir))
-    assert(!q88.contains("CartesianProduct"), "cartesian in q88")
-    assert(!q88.contains("BroadcastNestedLoopJoin"), "nested loop in q88")
+    // q88/q89: crop-dup and border-dup candidate + evidence joins are all
+    // equi-joins
+    Seq("q88_crop_dups", "q89_border_dups").foreach { q =>
+      val p = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
+    }
   }
 
   test("q73: the orbit projection is narrow — no exchange, join, or window") {

@@ -92,4 +92,34 @@ class CropDupSpec extends SparkSpec {
     assert(windows.indices.map(i => f"w$i%02d").toSet.subsetOf(withSrc),
       s"every planted window must pair with src; got $withSrc")
   }
+
+  test("contentBounds: uniform bars strip to the exact content; a borderless " +
+    "image is untouched; trim is content-deterministic under nesting") {
+    val src = ImageCodec.decode(pngOf(11))
+    assert(ImageCodec.contentBounds(src) == ((0, 0, src.getWidth, src.getHeight)),
+      "gradient edges are non-uniform: nothing to trim")
+    val bordered = ImageCodec.decode(ImageGen.withBorder(pngOf(11), 7, 0x000000))
+    assert(ImageCodec.contentBounds(bordered) ==
+      ((7, 7, src.getWidth, src.getHeight)))
+    // nested frames: white inside black still trims to the same content
+    val nested = ImageCodec.decode(
+      ImageGen.withBorder(ImageGen.withBorder(pngOf(11), 3, 0xFFFFFF), 4, 0x000000))
+    assert(ImageCodec.contentBounds(nested) ==
+      ((7, 7, src.getWidth, src.getHeight)))
+  }
+
+  test("borderDups: planted bars of any width/color pair with their source; " +
+    "unrelated images never pair") {
+    val images = Seq(
+      ("a0", pngOf(20), "png"),
+      ("a1", pngOf(21), "png"),
+      ("a2", pngOf(22), "png"), // no variant planted
+      ("p0", ImageGen.withBorder(pngOf(20), 2, 0x000000), "png"),
+      ("p1", ImageGen.withBorder(pngOf(21), 13, 0xFFFFFF), "png"))
+      .toDF("image_id", "bytes", "fmt")
+    val got = Dedup.borderDups(spark, images, minContrast = 0.0)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a0", "p0"), ("a1", "p1")),
+      s"expected exactly the planted border pairs, got $got")
+  }
 }
