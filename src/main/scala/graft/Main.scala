@@ -4,7 +4,7 @@ import graft.config.DedupConfig
 import graft.io.{CheckpointStore, TableIO}
 import graft.operators.{Ingest, Validate}
 import graft.pipeline.DedupPipeline
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /**
@@ -211,10 +211,19 @@ object Main {
     * the `corpus_features` table under that root; every later run reads the
     * table and NEVER touches `--input` (no payload decode, no re-hash — the
     * corpus-side cost per run drops from a full featurization to a parquet
-    * scan of the signature columns). With `mergeNew = true` the new batch's
-    * feature rows are upserted (MERGE INTO, keyed by image id) into the
-    * table after the evidence is written, so tomorrow's corpus includes
-    * today's accepted batch. */
+    * scan of the signature columns). The first run also writes the corpus
+    * half of the candidate DAG as `corpus_buckets`, physically CLUSTERED BY
+    * the candidate key ([[TableIO.writeBucketed]]): later runs join the new
+    * batch against that bucketed scan with ZERO corpus-side shuffle
+    * ([[DedupPipeline.incrementalPairsFromState]]) — the per-run corpus
+    * cost is a co-located scan, not a re-explode + re-shuffle of ~25
+    * bucket keys per corpus row. The chunk-scheme inputs are frozen in
+    * `corpus_features_meta` (bucket_config + n_corpus) and validated every
+    * run, failing fast on drift exactly like the feature space. With
+    * `mergeNew = true` the new batch's feature AND bucket rows are upserted
+    * (MERGE INTO, keyed by image id / node id) into the tables after the
+    * evidence is written, so tomorrow's corpus includes today's accepted
+    * batch. */
   def run(spark: SparkSession, input: String, output: String,
       cfg: DedupConfig, checkpoint: Option[String] = None,
       runId: String = "run", partitions: Int = 0,
@@ -241,6 +250,9 @@ object Main {
         val newFeat = Ingest.run(spark,
           TableIO.readLocation(spark, newDir), cfg, partitions = parts)
         val featIo = corpusFeatures.map(TableIO.resolve(spark, _))
+        // (frozen corpus count, bucket count) of the persisted bucketed
+        // corpus_buckets table, when the state root carries one
+        var bucketState: Option[(Long, Int)] = None
         val corpusFeat = featIo match {
           case Some(io) if io.exists("corpus_features") =>
             // later runs: the persisted table IS the corpus — `input` is
@@ -249,12 +261,25 @@ object Main {
             // the table was built with: joining across signature spaces
             // (other bands/seed/mirrorDups) silently loses every pair.
             if (io.exists("corpus_features_meta")) {
-              val stored = io.read("corpus_features_meta")
-                .select("feature_config").head().getString(0)
+              val meta = io.read("corpus_features_meta")
+              val stored = meta.select("feature_config").head().getString(0)
               require(stored == cfg.featureConfigId,
                 s"persisted corpus_features were built with [$stored] but " +
                   s"this run uses [${cfg.featureConfigId}] — re-featurize " +
                   "the corpus or restore the original --set values")
+              // bucketed corpus state (state roots written before the
+              // bucketed layout existed just lack the columns and fall back
+              // to the in-memory corpus-side DAG)
+              if (meta.columns.contains("bucket_config") &&
+                  io.exists("corpus_buckets")) {
+                val r = meta
+                  .select("bucket_config", "n_corpus", "bucket_count").head()
+                require(r.getString(0) == cfg.bucketConfigId,
+                  s"persisted corpus_buckets were keyed with [${r.getString(0)}]" +
+                    s" but this run uses [${cfg.bucketConfigId}] — rebuild " +
+                    "the corpus state or restore the original --set values")
+                bucketState = Some((r.getLong(1), r.getInt(2)))
+              }
             }
             io.read("corpus_features")
           case other =>
@@ -263,23 +288,42 @@ object Main {
             other match {
               case Some(io) =>
                 io.write(f, "corpus_features")
-                io.write(spark.range(1).select(
-                  org.apache.spark.sql.functions.lit(cfg.featureConfigId)
-                    .as("feature_config")), "corpus_features_meta")
                 f.unpersist()
                 // downstream consumers scan the written parquet instead of
                 // holding the Ingest plan + cache
-                io.read("corpus_features")
+                val feats = io.read("corpus_features")
+                // corpus half of the incremental DAG, bucketed by candidate
+                // key: every later daily run joins against this scan with
+                // ZERO corpus-side shuffle (TableIO.writeBucketed). The
+                // chunk scheme freezes at this count — recorded in the meta,
+                // validated on every read.
+                val n = feats.count()
+                io.writeBucketed(DedupPipeline.corpusStateRows(feats, n, cfg),
+                  "corpus_buckets", "key", parts)
+                io.write(spark.range(1).select(
+                  org.apache.spark.sql.functions.lit(cfg.featureConfigId)
+                    .as("feature_config"),
+                  org.apache.spark.sql.functions.lit(cfg.bucketConfigId)
+                    .as("bucket_config"),
+                  org.apache.spark.sql.functions.lit(n).as("n_corpus"),
+                  org.apache.spark.sql.functions.lit(parts)
+                    .as("bucket_count")), "corpus_features_meta")
+                bucketState = Some((n, parts))
+                feats
               case None => f
             }
         }
         outIo.write(Validate.report(newFeat), "validation")
+        def pairsDag(): DataFrame = (featIo, bucketState) match {
+          case (Some(io), Some((n, nb))) =>
+            DedupPipeline.incrementalPairsFromState(spark, newFeat,
+              corpusFeat, io.readBucketed("corpus_buckets", "key", nb), n, cfg)
+          case _ =>
+            DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg)
+        }
         val pairs = store match {
-          case Some(s) => s.stage("incremental_pairs") {
-            DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg)
-          }
-          case None =>
-            DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg)
+          case Some(s) => s.stage("incremental_pairs")(pairsDag())
+          case None => pairsDag()
         }
         outIo.write(pairs, "incremental_pairs")
         // clustering leg: fold the evidence into the existing assignment
@@ -302,9 +346,20 @@ object Main {
         store.foreach(s => outIo.write(s.metrics(), "metrics"))
         store.foreach(s => outIo.write(s.lineage(), "lineage"))
         // merge-back AFTER the evidence is on disk: a failed run must not
-        // have half-joined the batch into the corpus
+        // have half-joined the batch into the corpus. The bucketed state
+        // merges under the FROZEN scheme count (corpusStateRows doc) so
+        // tomorrow's run still joins one consistent key space; upsert (not
+        // append) so a re-crawled id's stale keys are replaced, mirroring
+        // the feature-table merge.
         if (mergeNew)
-          featIo.foreach(_.upsert(newFeat, "corpus_features", Seq("id")))
+          featIo.foreach { io =>
+            io.upsert(newFeat, "corpus_features", Seq("id"))
+            bucketState.foreach { case (n, nb) =>
+              io.upsertBucketed(
+                DedupPipeline.corpusStateRows(newFeat, n, cfg),
+                "corpus_buckets", "key", nb, Seq("b"))
+            }
+          }
         newFeat.unpersist()
         // the no-persistence-root path returned Ingest.run's cached frame
         // directly — release it (Ingest documents the caller owns the

@@ -126,6 +126,18 @@ final case class DedupConfig(
     s"shingleK=$shingleK|numHashes=$numHashes|bands=$bands" +
       s"|rowsPerBand=$rowsPerBand|seed=$seed|mirrorDups=$mirrorDups" +
       s"|rotationDups=$rotationDups|oph=$oph"
+
+  /**
+   * Identity of the candidate BUCKET space on top of [[featureConfigId]] —
+   * the extra knobs [[graft.pipeline.DedupPipeline.corpusStateRows]] bakes
+   * into persisted bucket rows (SimHash chunk scheme, winnowed-anchor
+   * family). Persisted `corpus_buckets` are join-compatible with a run iff
+   * the ids match; the one remaining layout input, the corpus count the
+   * chunk scheme was sized by, is frozen separately in the state meta
+   * (`n_corpus`) because it is a property of the data, not the config.
+   */
+  def bucketConfigId: String =
+    s"$featureConfigId|hammingMax=$hammingMax|lcsMin=$lcsMin|anchorK=$anchorK"
 }
 
 object DedupConfig {

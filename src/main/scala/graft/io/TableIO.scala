@@ -32,6 +32,35 @@ trait TableIO {
    */
   def upsert(df: DataFrame, name: String, keyCols: Seq[String]): Unit
 
+  /**
+   * Write `df` physically CLUSTERED BY `keyCol` into `numBuckets` buckets —
+   * the storage layout that makes every later equi-join / aggregation on
+   * `keyCol` scan this table WITHOUT an Exchange (Spark plans the bucketed
+   * scan as already hash-partitioned on the key and shuffles only the other
+   * side). This is the 100 TB device for state tables that are written once
+   * and joined every run: the daily incremental dedup re-shuffles the small
+   * new batch, never the corpus.
+   */
+  def writeBucketed(df: DataFrame, name: String, keyCol: String,
+      numBuckets: Int): Unit
+
+  /**
+   * [[upsert]] with the bucketed layout preserved. `keyCols` is the MERGE
+   * identity (which rows get replaced); `keyCol` stays the physical bucket
+   * column.
+   */
+  def upsertBucketed(df: DataFrame, name: String, keyCol: String,
+      numBuckets: Int, keyCols: Seq[String]): Unit
+
+  /**
+   * Read a [[writeBucketed]] table WITH its bucket layout visible to the
+   * planner. `keyCol`/`numBuckets` must match the write — they re-register
+   * the layout in catalogs that do not persist it across sessions (the
+   * parquet fallback); Iceberg carries the partition transform in table
+   * metadata and ignores them.
+   */
+  def readBucketed(name: String, keyCol: String, numBuckets: Int): DataFrame
+
   def exists(name: String): Boolean
 }
 
@@ -109,6 +138,74 @@ final class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
     val p = new org.apache.hadoop.fs.Path(path(name))
     fs(p).exists(p)
   }
+
+  /** Session-catalog identifier for the bucketed registration of `name` —
+    * derived from the full path so two roots never collide. */
+  private def bucketTableName(name: String): String =
+    ("graft_bkt_" + path(name)).toLowerCase.replaceAll("\\W+", "_")
+
+  /**
+   * Bucketed write via `bucketBy().sortBy().saveAsTable` on an EXTERNAL
+   * table at `path(name)` — Spark encodes the bucket id in each file name,
+   * which is what lets [[readBucketed]] re-register the layout in a later
+   * session. Crash-safe like [[upsert]]: the frame materializes into a
+   * `__tmp` directory first (so a `df` that lazily reads the current table
+   * is safe), then swaps in. The pre-write `repartition(numBuckets, key)`
+   * keeps the file count at one per bucket instead of tasks x buckets.
+   */
+  override def writeBucketed(df: DataFrame, name: String, keyCol: String,
+      numBuckets: Int): Unit = {
+    require(numBuckets > 0, s"numBuckets($numBuckets) must be positive")
+    val tmpTable = bucketTableName(name) + "__tmp"
+    val tmpPath = path(name) + "__tmp"
+    val tp = new org.apache.hadoop.fs.Path(tmpPath)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    fs(tp).delete(tp, true)
+    df.repartition(numBuckets, col(keyCol))
+      .write.bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .option("path", tmpPath)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files survive
+    spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(name)}")
+    val dst = new org.apache.hadoop.fs.Path(path(name))
+    val f = fs(dst)
+    f.delete(dst, true)
+    if (!f.rename(tp, dst))
+      throw new java.io.IOException(s"bucketed write swap failed for ${path(name)}")
+  }
+
+  override def upsertBucketed(df: DataFrame, name: String, keyCol: String,
+      numBuckets: Int, keyCols: Seq[String]): Unit = {
+    if (!exists(name)) { writeBucketed(df, name, keyCol, numBuckets); return }
+    val existing = read(name) // plain scan: the merge rewrites every bucket
+    // the anti-join moves its key columns first — restore the table's column
+    // order so the rewritten files keep the original schema layout
+    val kept = existing.join(df.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti").select(existing.columns.map(col): _*)
+    val merged = kept.unionByName(df.select(existing.columns.map(col): _*))
+    // full rewrite is the parquet-directory price of keeping the layout; the
+    // Iceberg backend's MERGE INTO rewrites only the touched files
+    writeBucketed(merged, name, keyCol, numBuckets)
+  }
+
+  /**
+   * Re-register the bucket spec over the existing files (`CREATE TABLE ...
+   * CLUSTERED BY ... LOCATION`) and read through the catalog table — a fresh
+   * session's in-memory catalog does not remember [[writeBucketed]]'s
+   * registration, and a bare `spark.read.parquet` would plan the scan as
+   * unpartitioned. Always drop-and-recreate: re-registration is idempotent
+   * and a stale spec (changed numBuckets) would silently mis-bucket joins.
+   */
+  override def readBucketed(name: String, keyCol: String,
+      numBuckets: Int): DataFrame = {
+    val t = bucketTableName(name)
+    val schema = spark.read.parquet(path(name)).schema
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (${schema.toDDL}) USING parquet " +
+      s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $numBuckets BUCKETS " +
+      s"LOCATION '${path(name)}'")
+    spark.table(t)
+  }
 }
 
 /**
@@ -141,4 +238,26 @@ final class IcebergTableIO(spark: SparkSession, namespace: String) extends Table
   }
 
   override def exists(name: String): Boolean = spark.catalog.tableExists(fqn(name))
+
+  /** Iceberg's native layout device: the `bucket(n, col)` partition
+    * transform. The spec travels in the table's own metadata, so
+    * [[readBucketed]] is a plain table read — turn on storage-partitioned
+    * joins (`spark.sql.sources.v2.bucketing.enabled` +
+    * `spark.sql.iceberg.planning.preserve-data-grouping`) and the scan
+    * arrives pre-partitioned on the key exactly like the parquet fallback's
+    * bucketed scan. */
+  override def writeBucketed(df: DataFrame, name: String, keyCol: String,
+      numBuckets: Int): Unit =
+    df.writeTo(fqn(name))
+      .partitionedBy(bucket(lit(numBuckets), col(keyCol)))
+      .createOrReplace()
+
+  /** MERGE INTO rewrites only the touched partitions and preserves the
+    * bucket transform — no full-table rewrite, unlike the parquet fallback. */
+  override def upsertBucketed(df: DataFrame, name: String, keyCol: String,
+      numBuckets: Int, keyCols: Seq[String]): Unit =
+    upsert(df, name, keyCols)
+
+  override def readBucketed(name: String, keyCol: String,
+      numBuckets: Int): DataFrame = read(name)
 }

@@ -272,34 +272,84 @@ object DedupPipeline {
   def incrementalPairs(spark: SparkSession, newFeat: DataFrame,
       corpusFeat: DataFrame, cfg: DedupConfig): DataFrame = {
     val nCorpus = corpusFeat.count()
-    // side-salted join identity: see the doc comment — never the frames' own
-    // content-free nid, which collides when an id appears on both sides
-    def salted(f: DataFrame, tag: Int): DataFrame =
-      f.withColumn("nid", xxhash64(lit(tag), col("id")))
-    val nf = salted(newFeat, 0)
-    val cf = salted(corpusFeat, 1)
-    def buckets(f: DataFrame): DataFrame = {
-      val chunks = {
-        val raw = CandidateGen.simhashChunkBuckets(f, "nid", "simhash",
-          cfg.hammingMax, nCorpus)
-        // mirror-space chunk keys, same as the batch DAG
-        if (cfg.mirrorDups)
-          raw.union(CandidateGen.simhashChunkBuckets(f, "nid", "simhash_m",
-            cfg.hammingMax, nCorpus))
-        else raw
-      }
-      val base = CandidateGen.explodeBands(f.where(size(col("shingles")) > 0),
-          "nid", "band_keys")
-        .union(chunks)
-      if (cfg.lcsMin > cfg.anchorK)
-        base.union(f.select(col("nid").as("id"),
-          explode(winnow_anchors(col("norm_text"), cfg.anchorK,
-            cfg.lcsMin - cfg.anchorK + 1, cfg.seed)).as("key")))
-      else base
+    incrementalPairsFromState(spark, newFeat, corpusFeat,
+      corpusStateRows(corpusFeat, nCorpus, cfg), nCorpus, cfg)
+  }
+
+  /** Side-salted join identity of the bipartite DAG: see
+    * [[incrementalPairs]]'s doc comment — never the frames' own content-free
+    * nid, which collides when an id appears on both sides. Tag 0 = new
+    * batch, tag 1 = corpus. */
+  private def saltedSide(f: DataFrame, tag: Int): DataFrame =
+    f.withColumn("nid", xxhash64(lit(tag), col("id")))
+
+  /** Candidate bucket rows of one (already side-salted) frame of the
+    * bipartite DAG — all the families [[incrementalPairs]] documents, with
+    * the SimHash chunk scheme sized by `nCorpus` so both sides emit
+    * identical key layouts. */
+  private def sideBuckets(f: DataFrame, nCorpus: Long,
+      cfg: DedupConfig): DataFrame = {
+    val chunks = {
+      val raw = CandidateGen.simhashChunkBuckets(f, "nid", "simhash",
+        cfg.hammingMax, nCorpus)
+      // mirror-space chunk keys, same as the batch DAG
+      if (cfg.mirrorDups)
+        raw.union(CandidateGen.simhashChunkBuckets(f, "nid", "simhash_m",
+          cfg.hammingMax, nCorpus))
+      else raw
     }
+    val base = CandidateGen.explodeBands(f.where(size(col("shingles")) > 0),
+        "nid", "band_keys")
+      .union(chunks)
+    if (cfg.lcsMin > cfg.anchorK)
+      base.union(f.select(col("nid").as("id"),
+        explode(winnow_anchors(col("norm_text"), cfg.anchorK,
+          cfg.lcsMin - cfg.anchorK + 1, cfg.seed)).as("key")))
+    else base
+  }
+
+  /**
+   * The PERSISTABLE corpus half of the incremental DAG: the corpus-side
+   * candidate bucket rows `(b = side-salted corpus nid, key)` that
+   * [[incrementalPairsFromState]] joins the new batch against. Every term is
+   * deterministic in (id, content, config, frozenCorpusCount), so the frame
+   * can be written once — bucketed by `key`
+   * ([[graft.io.TableIO.writeBucketed]]) — and re-joined every daily run
+   * without the corpus-side shuffle: at 10^12 rows the exploded bucket frame
+   * is ~25 keys/row of (long, long) pairs, hundreds of TB of shuffle per run
+   * under the in-memory path, zero once bucketed on disk.
+   *
+   * `frozenCorpusCount` sizes the SimHash chunk scheme and MUST be the value
+   * the state was first built with, even after `--merge-new` grows the
+   * corpus ([[graft.Main]] stores it in `corpus_features_meta.n_corpus`):
+   * the scheme only tunes key-space occupancy — the subset-key recall
+   * guarantee holds for any consistent scheme — but BOTH sides must use the
+   * same one, and the persisted corpus rows were keyed under it. Rebuild the
+   * state when the corpus has grown far past its build size to re-tune
+   * occupancy.
+   */
+  def corpusStateRows(corpusFeat: DataFrame, frozenCorpusCount: Long,
+      cfg: DedupConfig): DataFrame =
+    sideBuckets(saltedSide(corpusFeat, 1), frozenCorpusCount, cfg)
+      .select(col("id").as("b"), col("key"))
+
+  /**
+   * [[incrementalPairs]] with the corpus half supplied as pre-computed state:
+   * `corpusBuckets` from [[corpusStateRows]] (ideally a
+   * [[graft.io.TableIO.readBucketed]] scan — then the candidate join and its
+   * per-key profile shuffle ONLY the new batch) and `corpusCount` the frozen
+   * scheme size from the state meta. Output contract identical to
+   * [[incrementalPairs]]; [[graft.pipeline]]'s spec proves pair-for-pair
+   * equality and the plan shape.
+   */
+  def incrementalPairsFromState(spark: SparkSession, newFeat: DataFrame,
+      corpusFeat: DataFrame, corpusBuckets: DataFrame, corpusCount: Long,
+      cfg: DedupConfig): DataFrame = {
+    val nf = saltedSide(newFeat, 0)
+    val cf = saltedSide(corpusFeat, 1)
     val cand = CandidateGen.bipartitePairsFromBuckets(
-      buckets(nf).select(col("id").as("a"), col("key")),
-      buckets(cf).select(col("id").as("b"), col("key")),
+      sideBuckets(nf, corpusCount, cfg).select(col("id").as("a"), col("key")),
+      corpusBuckets.select(col("b"), col("key")),
       cfg.maxBucketSize, saltOversized = cfg.saltOversized)
     val featByNid = nf.unionByName(cf)
       .select((Seq(col("nid").as("id"), col("shingles"), col("simhash"),

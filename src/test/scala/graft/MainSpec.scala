@@ -98,6 +98,11 @@ class MainSpec extends SparkSpec {
       incremental = Some(nb), corpusFeatures = Some(cf))
     val featTable = spark.read.parquet(s"$cf/corpus_features.parquet")
     assert(featTable.count() == nCorpus)
+    // run 1 also wrote the bucketed corpus half of the candidate DAG — the
+    // table later runs join against without shuffling the corpus side
+    val bucketTable = spark.read.parquet(s"$cf/corpus_buckets.parquet")
+    assert(bucketTable.count() > 0 &&
+      bucketTable.columns.toSet == Set("b", "key"))
     val p1 = spark.read.parquet(s"$out1/incremental_pairs.parquet")
       .orderBy("a", "b").collect().toSeq
 
@@ -143,6 +148,16 @@ class MainSpec extends SparkSpec {
         incremental = Some(nb), corpusFeatures = Some(cf))
     }
     assert(mirrorDrift.getMessage.contains("mirrorDups=true"))
+    // a bucket-space drift (same FEATURE space, different chunk scheme) must
+    // also fail fast: the persisted corpus_buckets were keyed under the old
+    // hammingMax and would silently miss candidates
+    val bucketDrift = intercept[IllegalArgumentException] {
+      Main.run(spark, "/nonexistent/never_read", out3,
+        DedupConfig.default.copy(hammingMax = 7), partitions = 4,
+        incremental = Some(nb), corpusFeatures = Some(cf))
+    }
+    assert(bucketDrift.getMessage.contains("hammingMax=7"),
+      bucketDrift.getMessage)
   }
 
   test("incremental --assignments: delta fold equals a full re-run over corpus + batch") {

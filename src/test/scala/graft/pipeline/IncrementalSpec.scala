@@ -67,4 +67,56 @@ class IncrementalSpec extends SparkSpec {
     val off = DedupPipeline.incrementalPairs(spark, fresh, corpus, cfg).count()
     assert(off == 0L)
   }
+
+  test("bucketed corpus state reproduces the in-memory pairs, shuffle-free") {
+    // the daily-ingest upgrade: corpusStateRows persisted bucketed-by-key,
+    // then incrementalPairsFromState over the bucketed scan must be
+    // pair-for-pair the in-memory DAG — with every corpus-side Exchange gone
+    import graft.synth.ImageGen
+    val cfgL = cfg.copy(lcsMin = 40, anchorK = 16) // all three families live
+    // the re-ingest shape: every _000 root re-enters under a new id — each
+    // is an exact dup of its corpus self, so cross-side pairs are guaranteed
+    val corpus = DedupPipeline.features(
+      ImageGen.generate(spark, bases = 30, seed = 7L).toDF(), cfgL).persist()
+    val fresh = corpus.where(col("id").endsWith("_000"))
+      .withColumn("id", concat(lit("new_"), col("id"))).persist()
+    assert(corpus.count() > 0 && fresh.count() > 0)
+
+    val inMem = DedupPipeline.incrementalPairs(spark, fresh, corpus, cfgL)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkst").toString
+    val io = new graft.io.ParquetTableIO(spark, dir)
+    val n = corpus.count()
+    io.writeBucketed(DedupPipeline.corpusStateRows(corpus, n, cfgL),
+      "corpus_buckets", "key", 4)
+    val fromState = DedupPipeline.incrementalPairsFromState(spark, fresh,
+      corpus, io.readBucketed("corpus_buckets", "key", 4), n, cfgL)
+
+    val a = inMem.orderBy("a", "b").collect().toSeq
+    val b = fromState.orderBy("a", "b").collect().toSeq
+    assert(a.nonEmpty, "fixture must plant cross-side near-dups")
+    assert(a == b, s"state path diverged:\n in-mem=${a.take(5)}\n state=${b.take(5)}")
+
+    // plan shape: force SMJ (no broadcast) so Exchange counting is
+    // deterministic, then the bucketed path must (a) scan the corpus state
+    // as Bucketed: true and (b) plan strictly fewer hash Exchanges — the
+    // corpus side's profile agg + candidate join shuffles are gone
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r.findAllIn(
+          df.queryExecution.executedPlan.toString).length
+      val statePlan = DedupPipeline.incrementalPairsFromState(spark, fresh,
+        corpus, io.readBucketed("corpus_buckets", "key", 4), n, cfgL)
+      val planStr = statePlan.queryExecution.executedPlan.toString
+      assert(planStr.contains("Bucketed: true"),
+        s"corpus state scan not bucketed:\n${planStr.take(3000)}")
+      val memN = exchanges(
+        DedupPipeline.incrementalPairs(spark, fresh, corpus, cfgL))
+      val stN = exchanges(statePlan)
+      assert(stN < memN,
+        s"bucketed state must remove corpus-side shuffles: state=$stN in-mem=$memN")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    Seq(corpus, fresh).foreach(_.unpersist())
+  }
 }
