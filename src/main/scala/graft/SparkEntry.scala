@@ -1428,6 +1428,18 @@ object SparkEntry {
       }.toDF("image_id", "bytes", "fmt")
       Dedup.borderDups(s, images, minContrast = 0.0)
         .select("a", "b").orderBy("a", "b")
+    }),
+
+    "q90_lm_perplexity" -> ((s, d) => {
+      // corpus-trained bigram LM quality score (TextScores.bigramLmScores):
+      // the classical perplexity filter of web-pipeline curation, trained
+      // by aggregation and applied by join — the model never leaves the
+      // cluster. Self-scored here (docs = corpus, the classic shape); the
+      // oracle retrains the identical counts in SQL, so the check is exact
+      // end to end (counts are integers, the only float step is the final
+      // per-doc mean of logs, rounded like every float oracle in this map).
+      val docs = t(s, d, "documents")
+      TextScores.bigramLmScores(docs, docs, "doc_id", "text").orderBy("id")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -1887,6 +1899,34 @@ object SparkEntry {
       """SELECT 'b' || lpad(CAST(i AS VARCHAR), 4, '0') AS a,
            'p' || lpad(CAST(i AS VARCHAR), 4, '0') AS b
          FROM generate_series(0, 299) t(i) ORDER BY a, b""",
+
+    "q90_lm_perplexity" ->
+      // independent retraining of the same bigram LM: the q85 positional
+      // list machinery rebuilds (prev, cur) pairs (parallel unnests zip
+      // positionally in DuckDB), the counts re-aggregate exactly, and the
+      // add-alpha formula is evaluated per token — ln = natural log in both
+      // engines, avg = sum/count in both, rounded to 6 like every float
+      // oracle here
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l)),
+               i -> CASE WHEN i = 1 THEN '<s>' ELSE l[i-1] END)) AS prev,
+             unnest(list_transform(generate_series(1, len(l)),
+               i -> l[i])) AS cur
+           FROM toks WHERE len(l) > 0),
+         c2 AS (SELECT prev, cur, count(*) AS c2 FROM grams GROUP BY 1, 2),
+         c1 AS (SELECT prev, count(*) AS c1 FROM grams GROUP BY 1),
+         v AS (SELECT count(DISTINCT cur) AS v FROM grams)
+         SELECT g.doc_id AS id, count(*) AS n_tokens,
+           round(-avg(ln((c2.c2 + 0.1) / (c1.c1 + 0.1 * (SELECT v FROM v)))),
+             6) AS log_ppl
+         FROM grams g
+         JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+         GROUP BY g.doc_id ORDER BY id""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -299,6 +299,76 @@ object TextScores {
           col("n_lines"), 4))
   }
 
+  /** Document-start sentinel of [[bigramLmScores]]: the first real token is
+    * conditioned on it, so single-token docs still score and cross-document
+    * bigrams never form. A literal `<s>` TOKEN in the text aliases with it
+    * (space-split tokenization cannot escape it) — harmless for a quality
+    * score (it only mixes two contexts' counts) but worth knowing. */
+  val BosToken = "<s>"
+
+  /**
+   * Corpus-trained bigram language-model quality score — the classical
+   * perplexity filter of web-pipeline curation (CCNet/Gopher shape), fully
+   * self-contained: the LM is TRAINED by aggregation over `corpus` and
+   * APPLIED by join, so the model never leaves the cluster as an artifact.
+   * Per scored doc, log-perplexity = -mean over its tokens of
+   * ln P(w_i | w_{i-1}) with add-alpha smoothing
+   * P = (c2(prev,w) + alpha) / (c1(prev) + alpha * V): c2 the corpus bigram
+   * count, c1 the context mass (occurrences of `prev` as a bigram left
+   * side), V the corpus vocabulary size. Every doc enters through
+   * [[BosToken]]. Unseen bigrams stay finite (an unseen context scores
+   * ln(alpha/(alpha*V)) = -ln V per token), so a NEW batch can be scored
+   * against a fixed reference corpus — the CCNet shape: train on quality
+   * text, score the crawl — or `docs` can be `corpus` itself (classic
+   * self-perplexity). LOW log_ppl = the corpus's own high-probability
+   * chains (boilerplate); HIGH = rare or garbled text; both tails feed the
+   * quality gates like any other signal (e.g. via
+   * [[graft.operators.Ranking.topFractionGlobal]]).
+   *
+   * Scale shape: the model IS two distributed count tables — never
+   * collected, never |vocab|^2-densified. Three shuffles end to end: the
+   * count aggregations (map-side partial combine collapses per-partition
+   * repeats), the score join keyed by the bigram, and the per-doc mean.
+   * The count tables are vocabulary-sized, so AQE broadcasts them when
+   * small and shuffle-joins when web-sized; the scored side streams.
+   *
+   * @param corpus training frame (counts come from here)
+   * @param docs   frame to score (may be `corpus` itself)
+   * @param alpha  add-alpha smoothing mass, > 0
+   * @return (id, n_tokens, log_ppl) — log_ppl rounded to 6 places;
+   *         zero-token docs are dropped (nothing to condition on)
+   */
+  def bigramLmScores(corpus: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, s"alpha($alpha) must be > 0 (0 makes unseen bigrams -inf)")
+    // array_remove, not a filter() lambda: keeps the per-row tokenize +
+    // bigram build inside whole-stage codegen (repetitionSignals rationale)
+    val toks = array_remove(split(coalesce(col(textCol), lit("")), " "), "")
+    def bigrams(f: DataFrame): DataFrame =
+      f.select(col(idCol).as("id"), toks.as("l"))
+        .where(size(col("l")) > 0)
+        // prev = BOS-prefixed all-but-last, zipped positionally with l —
+        // an O(tokens) array build, never the O(tokens^2) bytes of
+        // carrying the whole array through a posexplode
+        .select(col("id"), explode(arrays_zip(
+          concat(array(lit(BosToken)),
+            slice(col("l"), lit(1), size(col("l")) - 1)).as("prev"),
+          col("l").as("cur"))).as("g"))
+        .select(col("id"), col("g.prev").as("prev"), col("g.cur").as("cur"))
+    val trainGrams = bigrams(corpus)
+    val c2 = trainGrams.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val c1 = trainGrams.groupBy("prev").agg(count(lit(1)).as("c1"))
+    // V is ONE scalar (bounded driver artifact, the Ann collect contract)
+    val v = trainGrams.agg(countDistinct(col("cur"))).first().getLong(0)
+    bigrams(docs)
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(log((coalesce(col("c2"), lit(0L)) + alpha) /
+          (coalesce(col("c1"), lit(0L)) + alpha * v))), 6).as("log_ppl"))
+  }
+
   /**
    * FaST-style alignment score (reference: ea/sim/main/methods/classic/fast.py:49-133):
    * df-damped positional weights w(pos) = (pos+1)^-alpha * exp(-beta * df/N);

@@ -183,4 +183,38 @@ class TextScoresSpec extends SparkSpec {
     assert(got(3L) == ((3L, 4, 1, 0.75)))
     assert(got(4L) == ((4L, 1, 1, 0.0)), "null text = one empty line, clean")
   }
+
+  test("bigramLmScores: hand-computed add-alpha probabilities (self-score)") {
+    // corpus: c2 = {(<s>,a):3, (a,b):2, (a,c):1}; c1 = {<s>:3, a:3}; V = 3
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val a = 0.5
+    val got = TextScores.bigramLmScores(corpus, corpus, "doc_id", "text", a)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val pSA = (3 + a) / (3 + a * 3); val pAB = (2 + a) / (3 + a * 3)
+    val pAC = (1 + a) / (3 + a * 3)
+    assert(got(1L)._1 == 2)
+    assert(math.abs(got(1L)._2 - -(math.log(pSA) + math.log(pAB)) / 2) < 1e-6)
+    assert(math.abs(got(3L)._2 - -(math.log(pSA) + math.log(pAC)) / 2) < 1e-6)
+    assert(got(1L) == got(2L), "identical docs score identically")
+    // the common chain (a b, seen twice) is more probable than the rare one
+    assert(got(1L)._2 < got(3L)._2)
+  }
+
+  test("bigramLmScores: new batch vs fixed corpus — unseen stays finite") {
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "z z"), // (<s>,z) unseen bigram, seen context; (z,z) unseen context
+      (11L, "a"),   // single token still scores (conditioned on BOS)
+      (12L, ""),    // zero tokens -> dropped
+      (13L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val a = 0.5
+    val got = TextScores.bigramLmScores(corpus, batch, "doc_id", "text", a)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(10L, 11L), "empty and null docs dropped")
+    val pSZ = a / (3 + a * 3)       // unseen bigram, context <s> has mass 3
+    val pZZ = a / (0 + a * 3)       // unseen context: exactly 1/V
+    assert(math.abs(got(10L)._2 - -(math.log(pSZ) + math.log(pZZ)) / 2) < 1e-6)
+    assert(got(11L)._1 == 1)
+    assert(math.abs(got(11L)._2 - -math.log((3 + a) / (3 + a * 3))) < 1e-6)
+  }
 }
