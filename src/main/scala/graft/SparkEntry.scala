@@ -1440,6 +1440,42 @@ object SparkEntry {
       // per-doc mean of logs, rounded like every float oracle in this map).
       val docs = t(s, d, "documents")
       TextScores.bigramLmScores(docs, docs, "doc_id", "text").orderBy("id")
+    }),
+
+    "q91_containment_pairs" -> ((s, d) => {
+      // exact directional n-gram containment (Dedup.containmentPairs): the
+      // small-inside-big copy shape Jaccard misses. Corpus = documents +
+      // planted snippets (first 25 tokens of every doc with >= 30 tokens,
+      // contained in its source at exactly 1.0); the prefix-filtered join
+      // is exact, so DuckDB's brute-force posting join is a full oracle.
+      val docs = t(s, d, "documents")
+      val snippets = docs.select(col("doc_id"), tokens(col("text")).as("l"))
+        .where(size(col("l")) >= 30)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat_ws(" ", slice(col("l"), 1, 25)).as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(snippets)
+      Dedup.containmentPairs(corpus, "doc_id", "text", DedupConfig.default, 0.8)
+        .orderBy("a", "b")
+    }),
+
+    "q92_overlay_dups" -> ((s, _) => {
+      // overlay-resilient image dedup (Dedup.overlayDups): 300 bases, each
+      // re-posted with a solid stamp strictly inside one grid-4 tile (the
+      // tile cycles through all 16 positions). Tile keys outside the stamp
+      // are exact, so every planted pair shares exactly 15 of 16 tiles —
+      // the q88/q89 enumeration device for the third re-post transform.
+      import s.implicits._
+      val images = s.range(0L, 300L, 1L, 32).as[Long].flatMap { i =>
+        val png = graft.synth.ImageCodec.encodePng(ImageGen.renderBase(555L, i))
+        val side = graft.synth.ImageCodec.decode(png).getWidth
+        val tile = side / 4
+        val (tx, ty) = ((i % 4).toInt, ((i / 4) % 4).toInt)
+        val stamped = ImageGen.withOverlay(png, tx * tile + 2, ty * tile + 2,
+          tile - 4, tile - 4, if (i % 2 == 0) 0xFF0000 else 0x0000FF)
+        Seq((f"b$i%04d", png, "png"), (f"o$i%04d", stamped, "png"))
+      }.toDF("image_id", "bytes", "fmt")
+      Dedup.overlayDups(s, images, grid = 4, minTiles = 12, minContrast = 0.0)
+        .select("a", "b", "n_tiles").orderBy("a", "b")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -1927,6 +1963,44 @@ object SparkEntry {
          FROM grams g
          JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
          GROUP BY g.doc_id ORDER BY id""",
+
+    "q91_containment_pairs" ->
+      // brute-force directional containment over the same corpus + planted
+      // snippets: distinct trigram posting join, overlap counted per ordered
+      // pair, gated in INTEGER form (ic >= ceil(t * na - eps)) exactly like
+      // the Spark side so the threshold boundary cannot float-diverge
+      """WITH dtoks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM documents),
+         corpus AS (
+           SELECT doc_id, l FROM dtoks
+           UNION ALL
+           SELECT doc_id + 200000, list_slice(l, 1, 25) FROM dtoks
+           WHERE len(l) >= 30),
+         tris AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tset
+           FROM corpus),
+         posting AS (SELECT doc_id, unnest(tset) AS tri FROM tris),
+         inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b, count(*) AS ic
+           FROM posting p1 JOIN posting p2
+             ON p1.tri = p2.tri AND p1.doc_id <> p2.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(tset) AS n FROM tris)
+         SELECT a, b, round(ic * 1.0 / sa.n, 4) AS containment
+         FROM inter JOIN sizes sa ON sa.doc_id = a
+         WHERE ic >= ceil(sa.n * 0.8 - 1e-9) ORDER BY a, b""",
+
+    "q92_overlay_dups" ->
+      // the q88/q89 enumeration device for the overlay transform: recall is
+      // guaranteed by the aligned-tile key arithmetic (15 untouched tiles),
+      // precision by the raw-cell-grid key on distinct random bases, and
+      // the corpus is deterministic — the exact planted pair set needs no
+      // pixel decode on the oracle side
+      """SELECT 'b' || lpad(CAST(i AS VARCHAR), 4, '0') AS a,
+           'o' || lpad(CAST(i AS VARCHAR), 4, '0') AS b,
+           CAST(15 AS BIGINT) AS n_tiles
+         FROM generate_series(0, 299) t(i) ORDER BY a, b""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

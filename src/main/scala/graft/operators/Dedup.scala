@@ -182,6 +182,87 @@ object Dedup {
   }
 
   /**
+   * EXACT n-gram containment self-join — the ASYMMETRIC sibling of
+   * [[ngramJaccardPairs]]: emits (contained, container) pairs where
+   * |sh(a) INTERSECT sh(b)| / |sh(a)| >= containMin. Jaccard misses the
+   * small-inside-big copy shape entirely (a 30-token quote pasted into a
+   * 3000-token page has Jaccard ~ 0.01 but containment 1.0); containment is
+   * the gate decontamination, quote/snippet detection, and subsumption
+   * dedup actually need (and what n-gram-overlap eval-leak checks compute,
+   * e.g. the GPT-3 appendix-C style 'dirty if a large fraction of the doc's
+   * n-grams appear in the other side').
+   *
+   * Candidate generation prefix-filters the CONTAINED side only: with each
+   * doc's distinct shingles in ascending hash order (the [[ngramJaccardPairs]]
+   * value-order rationale), a pair at containment >= t must collide between
+   * a's first `na - ceil(t*na) + 1` shingles and SOME shingle of b — the
+   * container side admits no prefix (t bounds only a's overlap fraction, the
+   * known lower bound of the containment/overlap-join literature), so b
+   * explodes its full distinct-shingle posting list. The positional filter
+   * still prunes: at match positions (pa, pb) the achievable overlap is
+   * 1 + min(na-pa-1, nb-pb-1), which must reach ceil(t*na); the length
+   * filter nb >= ceil(t*na) drops containers too small to hold the overlap.
+   * Verification is an exact array_intersect count, so the prefix math only
+   * affects volume, never the result. Directional by design: a near-equal
+   * pair emits BOTH (a,b) and (b,a); mutual containment at t=1 is exact
+   * duplication ([[exact]] is the cheaper gate for that).
+   *
+   * Scale shape: the posting side is the corpus's distinct-shingle table —
+   * one explode, one equi-join shuffle on the 8-byte gram, the same shape
+   * as [[graft.operators.TextScores.tfidfIndexScores]]' posting join; the
+   * prefix side is (1-t)-fraction of it. Degenerate grams (boilerplate
+   * shared by everything) inflate candidates exactly like every bucket
+   * family — at web scale cut them with a df cap before the join (the
+   * [[graft.operators.TextScores.heavyNgrams]] report is the measuring
+   * device), the [[CandidateGen]] playbook.
+   *
+   * @param containMin threshold in (0, 1]
+   * @return (a = contained id, b = container id, containment) with
+   *         containment >= containMin, rounded to 4 places
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig, containMin: Double,
+      persistFeatures: Boolean = true): DataFrame = {
+    require(containMin > 0 && containMin <= 1,
+      s"containMin($containMin) outside (0, 1]")
+    val featBase = docs.select(col(idCol).as("id"),
+        array_sort(array_distinct(
+          shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed))).as("sh"))
+      .where(size(col("sh")) > 0)
+    val feat = maybePersist(featBase, persistFeatures)
+    // EPS: see ngramJaccardPairs — guards the real-arithmetic thresholds
+    // against double rounding; erring low only loosens the (exact-safe)
+    // filters
+    val EPS = 1e-9
+    val n = size(col("sh"))
+    val plen = (n - ceil(n * containMin - EPS) + 1).cast("int")
+    val prefix = feat.select(col("id"), n.as("n"),
+        posexplode(slice(col("sh"), lit(1), plen)))
+      .select(col("id"), col("n"), col("pos"), col("col").as("g"))
+    val posting = feat.select(col("id"), n.as("n"), posexplode(col("sh")))
+      .select(col("id"), col("n"), col("pos"), col("col").as("g"))
+    // required overlap is a function of the CONTAINED side's size only
+    val needed = ceil(col("pa.n") * containMin - EPS)
+    val cand = prefix.as("pa").join(posting.as("pb"),
+        col("pa.g") === col("pb.g") && col("pa.id") =!= col("pb.id") &&
+        col("pb.n") >= needed &&
+        lit(1) + least(col("pa.n") - col("pa.pos") - 1,
+          col("pb.n") - col("pb.pos") - 1) >= needed)
+      .select(col("pa.id").as("a"), col("pb.id").as("b"))
+      .distinct()
+    val fa = feat.select(col("id").as("a"), col("sh").as("sh_a"))
+    val fb = feat.select(col("id").as("b"), col("sh").as("sh_b"))
+    cand.join(fa, "a").join(fb, "b")
+      .withColumn("overlap", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // integer-form gate: overlap >= ceil(t * na) — no float compare at
+      // the boundary (7/10 >= 0.7 is safe in doubles, 0.7*na is not)
+      .where(col("overlap") >= ceil(size(col("sh_a")) * containMin - EPS))
+      .withColumn("containment",
+        round(col("overlap").cast("double") / size(col("sh_a")), 4))
+      .select("a", "b", "containment")
+  }
+
+  /**
    * One-call near-dup grouping: MinHash-LSH pairs -> connected components ->
    * (id, dup_group_id = min id of the connected group). The document-corpus
    * counterpart of the image pipeline's cluster assignment
@@ -311,6 +392,27 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Brute-force directional containment — the exact O(n^2) oracle for
+    * [[containmentPairs]] (small inputs only), same DISTINCT shingle sets
+    * (textFeatures' raw shingle array keeps repeats; containment is a set
+    * measure), same integer-form boundary gate. */
+  def bruteForceContainmentPairs(docs: DataFrame, idCol: String,
+      textCol: String, cfg: DedupConfig, containMin: Double): DataFrame = {
+    val EPS = 1e-9
+    val feat = docs.select(col(idCol).as("id"),
+        array_distinct(
+          shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val fa = feat.select(col("id").as("a"), col("sh").as("sh_a"))
+    val fb = feat.select(col("id").as("b"), col("sh").as("sh_b"))
+    fa.crossJoin(fb).where(col("a") =!= col("b"))
+      .withColumn("overlap", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .where(col("overlap") >= ceil(size(col("sh_a")) * containMin - EPS))
+      .withColumn("containment",
+        round(col("overlap").cast("double") / size(col("sh_a")), 4))
+      .select("a", "b", "containment")
+  }
+
   /**
    * Exact long-match (shared-substring) pair detection at corpus scale —
    * the distributed replacement for the north rule's suffix-array substring
@@ -437,6 +539,49 @@ object Dedup {
       .select("id", "key")
     CandidateGen.pairsFromBuckets(keys, maxBucketSize,
       saltOversized = saltOversized)
+  }
+
+  /**
+   * Overlay-resilient image dedup: pairs of same-dimension images that are
+   * pixel-identical outside a stamped region — watermarks, logos, channel
+   * bugs, timestamps: the THIRD common web re-post transform, closing the
+   * family next to [[cropDups]] (re-framed sub-region) and [[borderDups]]
+   * (added bars). Candidate keys are [[Multimodal.tileKeys]]: each image's
+   * `grid` x `grid` aligned tiles keyed by raw-cell-grid content, so an
+   * overlay touching `r` tiles leaves the pair colliding on the other
+   * `grid^2 - r` — recall is GUARANTEED by construction for any lossless
+   * overlay confined to fewer than `grid^2 - minTiles + 1` tiles
+   * (spec-pinned), not probabilistic. Lossy re-encodes perturb every tile
+   * and belong to the phash families, same contract as the siblings.
+   *
+   * Pair generation runs through [[CandidateGen.pairsFromBuckets]] on the
+   * composite (tile_idx, key, w, h) bucket key — the shared volume-cap /
+   * salting device, so a degenerate tile (a flat sky passing the contrast
+   * gate on millions of images) cannot emit quadratic candidates. `n_tiles`
+   * (shared-tile count per pair, an equi-join over grid^2 keys per side)
+   * grades evidence: grid^2 = pixel-identical re-encode, minTiles = the
+   * largest tolerated overlay.
+   *
+   * @param minTiles minimum shared aligned tiles to emit the pair; the
+   *                 precision/recall knob (default 3/4 of a 4x4 grid:
+   *                 tolerates overlays spanning up to 4 tiles)
+   * @return (a, b, n_tiles) with a < b, n_tiles >= minTiles
+   */
+  def overlayDups(spark: org.apache.spark.sql.SparkSession, images: DataFrame,
+      grid: Int = 4, minTiles: Int = 12, minContrast: Double = 8.0,
+      maxBucketSize: Int = 4096, saltOversized: Boolean = false): DataFrame = {
+    require(minTiles >= 1 && minTiles <= grid * grid,
+      s"minTiles($minTiles) outside [1, ${grid * grid}]")
+    val keys = Multimodal.tileKeys(spark, images, grid, minContrast)
+      .select(col("id"),
+        struct(col("tile_idx"), col("key"), col("w"), col("h")).as("key"))
+    val pairs = CandidateGen.pairsFromBuckets(keys, maxBucketSize,
+      saltOversized = saltOversized)
+    val ka = keys.select(col("id").as("a"), col("key"))
+    val kb = keys.select(col("id").as("b"), col("key"))
+    pairs.join(ka, "a").join(kb, Seq("b", "key"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_tiles"))
+      .where(col("n_tiles") >= minTiles)
   }
 
   /**

@@ -138,6 +138,59 @@ object Multimodal {
   }
 
   /**
+   * Aligned-tile content keys for overlay-resilient dedup: each image is
+   * split into a `grid` x `grid` lattice of tiles (boundaries at
+   * `i * dim / grid`, the [[cropRegionKeys]] arithmetic) and every tile
+   * emits one [[graft.synth.ImageCodec.regionKey]] of its raw 8x8 luma cell
+   * grid, tagged with its tile index and the frame dims. Two images that
+   * differ only inside a stamped region (watermark, logo, timestamp — the
+   * third common web re-post transform, complementary to [[cropRegionKeys]]
+   * and [[borderTrimKeys]]) are pixel-identical on every untouched tile, so
+   * they collide on that tile's (tile_idx, key, w, h) — same-position,
+   * same-dims equality, which is exactly the overlay contract (an overlay
+   * never moves the rest of the frame). Flat tiles below `minContrast`
+   * emit nothing (they would bucket unrelated flat-background images).
+   *
+   * Scale shape: one decode per row, exactly grid^2 key rows per image
+   * (8-byte key + 3 ints — narrower than [[cropRegionKeys]]' C(l+1,2)^2),
+   * undecodable rows emit nothing (honest-stub policy).
+   *
+   * @return (id, tile_idx = iy * grid + ix, key, w, h)
+   */
+  def tileKeys(spark: SparkSession, images: DataFrame, grid: Int = 4,
+      minContrast: Double = 8.0): DataFrame = {
+    require(grid >= 2 && grid <= 8,
+      s"grid($grid) outside [2,8]: 1 tile = whole frame (use exact dedup), " +
+        "8x8 hash cells need >= 1 px each way")
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("tile_idx", IntegerType),
+      StructField("key", LongType),
+      StructField("w", IntegerType),
+      StructField("h", IntegerType)))
+    val enc = ExpressionEncoder(schema)
+    val input = images.select(col("image_id"), col("bytes"), col("fmt"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        tryDecode(r.getAs[Array[Byte]](1), r.getString(2)) match {
+          case Some(img) =>
+            val id = r.getString(0)
+            val w = img.getWidth; val h = img.getHeight
+            val xs = Array.tabulate(grid + 1)(i => i * w / grid)
+            val ys = Array.tabulate(grid + 1)(i => i * h / grid)
+            for {
+              iy <- 0 until grid; ix <- 0 until grid
+              if xs(ix + 1) > xs(ix) && ys(iy + 1) > ys(iy)
+              k <- ImageCodec.regionKey(img, xs(ix), ys(iy),
+                xs(ix + 1) - xs(ix), ys(iy + 1) - ys(iy), minContrast)
+            } yield Row(id, iy * grid + ix, k, w, h)
+          case None => Nil
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /**
    * Border-trimmed content keys: each image's uniform borders are stripped
    * ([[graft.synth.ImageCodec.contentBounds]] — letterbox / pillarbox /
    * nested frames) and the remaining content region emits ONE

@@ -208,6 +208,33 @@ object ImageGen {
     ImageCodec.encodePng(out)
   }
 
+  /** Lossless re-post of an encoded image with a solid `rgb` rectangle
+    * stamped over pixels [x0, x0+rw) x [y0, y0+rh) — the watermark / logo /
+    * timestamp transform. Planted input for [[graft.operators.Dedup
+    * .overlayDups]] specs and the q92 oracle corpus: every pixel OUTSIDE
+    * the rectangle is bit-identical to the source, so tiles the rectangle
+    * does not touch keep their exact tile keys. */
+  def withOverlay(bytes: Array[Byte], x0: Int, y0: Int, rw: Int, rh: Int,
+      rgb: Int): Array[Byte] = {
+    val img = ImageCodec.decode(bytes)
+    require(rw >= 1 && rh >= 1 && x0 >= 0 && y0 >= 0 &&
+      x0 + rw <= img.getWidth && y0 + rh <= img.getHeight,
+      s"overlay rect ($x0,$y0 ${rw}x$rh) outside ${img.getWidth}x${img.getHeight}")
+    val out = new BufferedImage(img.getWidth, img.getHeight,
+      BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val inside = x >= x0 && x < x0 + rw && y >= y0 && y < y0 + rh
+        out.setRGB(x, y, if (inside) rgb else img.getRGB(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.encodePng(out)
+  }
+
   /** Ground-truth assignment table (FIXTURES.md section 3). */
   def expectedClusters(spark: SparkSession, bases: Long, seed: Long = 42L,
       maxClusterSize: Int = 64): Dataset[ExpectedCluster] = {

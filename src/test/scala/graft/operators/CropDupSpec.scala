@@ -122,4 +122,55 @@ class CropDupSpec extends SparkSpec {
     assert(got == Set(("a0", "p0"), ("a1", "p1")),
       s"expected exactly the planted border pairs, got $got")
   }
+
+  /** Overlay strictly inside tile (tx, ty) of a grid-4 lattice (2 px inset
+    * from every tile edge — renderBase sizes are multiples of 16, so tile
+    * bounds are exact quarters). */
+  private def overlayInTile(bytes: Array[Byte], tx: Int, ty: Int,
+      rgb: Int): Array[Byte] = {
+    val s = ImageCodec.decode(bytes).getWidth // renderBase images are square
+    val t = s / 4
+    ImageGen.withOverlay(bytes, tx * t + 2, ty * t + 2, t - 4, t - 4, rgb)
+  }
+
+  test("overlayDups: one-tile stamps pair at 15/16 tiles, a re-encode at " +
+    "16/16, unrelated images and other-dims frames never pair") {
+    val reenc = ImageCodec.encodePng(ImageCodec.decode(pngOf(32)))
+    val images = Seq(
+      ("a0", pngOf(30), "png"), ("a1", pngOf(31), "png"),
+      ("a2", pngOf(32), "png"), ("a3", pngOf(33), "png"), // a3: no variant
+      ("o0", overlayInTile(pngOf(30), 1, 2, 0xFF0000), "png"),
+      ("o1", overlayInTile(pngOf(31), 0, 0, 0x000000), "png"),
+      ("r2", reenc, "png"),
+      // same pixels, different dims: a lattice crop must NOT pair here
+      ("c0", ImageGen.cropOf(pngOf(30), 2, 0, 0, 1, 1), "png"))
+      .toDF("image_id", "bytes", "fmt")
+    val got = Dedup.overlayDups(spark, images, grid = 4, minTiles = 12,
+        minContrast = 0.0)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(got.keySet == Set(("a0", "o0"), ("a1", "o1"), ("a2", "r2")),
+      s"expected exactly the planted overlay pairs, got ${got.keySet}")
+    assert(got(("a0", "o0")) == 15L && got(("a1", "o1")) == 15L,
+      "a one-tile stamp must leave the other 15 tiles matching")
+    assert(got(("a2", "r2")) == 16L,
+      "a pixel-identical re-encode must match on every tile")
+  }
+
+  test("overlayDups: a stamp spanning too many tiles falls below minTiles") {
+    val src = pngOf(40)
+    val s = ImageCodec.decode(src).getWidth
+    // full-width band across two tile rows: touches 8 of 16 tiles
+    val banded = ImageGen.withOverlay(src, 0, s / 4, s, s / 2, 0x00FF00)
+    val images = Seq(("a", src, "png"), ("v", banded, "png"))
+      .toDF("image_id", "bytes", "fmt")
+    val strict = Dedup.overlayDups(spark, images, grid = 4, minTiles = 12,
+      minContrast = 0.0).count()
+    assert(strict == 0, "8 shared tiles must not clear minTiles = 12")
+    val loose = Dedup.overlayDups(spark, images, grid = 4, minTiles = 8,
+        minContrast = 0.0)
+      .as[(String, String, Long)].collect()
+    assert(loose.toSeq == Seq(("a", "v", 8L)),
+      s"at minTiles = 8 the band pair emits with exactly 8 tiles: $loose")
+  }
 }

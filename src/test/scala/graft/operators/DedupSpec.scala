@@ -169,6 +169,51 @@ class DedupSpec extends SparkSpec {
     assert(got == expect, s"boundary pair dropped: got=$got")
   }
 
+  test("containment join equals brute force pair-for-pair, directionally") {
+    // corpus + planted snippets: first 8 tokens of every 4th doc — contained
+    // in the source at 1.0, the source NOT contained back
+    val rows = corpus ++ corpus.collect { case (id, text) if id % 4 == 0 =>
+      (id + 10000L, text.split(" ").take(8).mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    Seq(0.5, 0.8, 1.0).foreach { t =>
+      val got = Dedup.containmentPairs(docs, "doc_id", "text", cfg, t)
+        .select("a", "b", "containment").as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      val want = Dedup.bruteForceContainmentPairs(docs, "doc_id", "text", cfg, t)
+        .select("a", "b", "containment").as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      assert(want.nonEmpty, s"t=$t oracle empty — corpus broken")
+      assert(got.keySet == want.keySet,
+        s"t=$t missing=${(want.keySet diff got.keySet).take(5)} " +
+        s"extra=${(got.keySet diff want.keySet).take(5)}")
+      got.foreach { case (k, c) => assert(c == want(k), s"containment at $k") }
+      // directionality: every planted snippet is contained in its source at
+      // exactly 1.0; at t = 1.0 the big side is never contained in the small
+      corpus.collect { case (id, text) if id % 4 == 0 && text.split(" ").length >= 10 =>
+        assert(got.get((id + 10000L, id)).contains(1.0),
+          s"t=$t snippet ${id + 10000} not contained in $id")
+      }
+      if (t == 1.0)
+        assert(!got.keySet.exists { case (a, b) => b == a + 10000L },
+          "a full doc cannot be contained in its own snippet at t = 1.0")
+    }
+  }
+
+  test("containment join survives double-rounding threshold boundaries") {
+    // 102 unique tokens -> 100 distinct trigrams; the 9-token prefix doc has
+    // 7, all shared -> containment of the snippet exactly 7/7 = 1.0, of the
+    // big doc 7/100 = 0.07. At t = 0.07 the un-guarded ceil(100 * 0.07) = 8
+    // would drop the big->small direction; the EPS guard must keep it.
+    val toksA = (0 until 102).map(i => s"u$i")
+    val docs = Seq((1L, toksA.mkString(" ")), (2L, toksA.take(9).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", cfg, 0.07)
+      .select("a", "b", "containment").as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.07), (2L, 1L, 1.0)),
+      s"boundary directions wrong: $got")
+  }
+
   test("minhashLshGroups: exact copies group under min id, singletons keep their own") {
     val docs = corpus.toDF("doc_id", "text")
     val withCopies = docs.unionByName(
