@@ -1476,6 +1476,53 @@ object SparkEntry {
       }.toDF("image_id", "bytes", "fmt")
       Dedup.overlayDups(s, images, grid = 4, minTiles = 12, minContrast = 0.0)
         .select("a", "b", "n_tiles").orderBy("a", "b")
+    }),
+
+    "q93_frequency_spectrum" -> ((s, d) =>
+      // corpus Zipf diagnostic (TextScores.frequencySpectrum): token
+      // frequency-of-frequencies — hapax mass and boilerplate tail in one
+      // tiny table; two map-side-combining aggregations, nothing collects
+      TextScores.frequencySpectrum(t(s, d, "documents"), "text")
+        .orderBy("freq")),
+
+    "q94_cluster_churn" -> ((s, d) => {
+      // cluster-level churn (Metrics.clusterChurn): before = events
+      // clustered by user; after = an engineered re-run that splits every
+      // 7th user by event parity, merges the users at residues 1 and 2,
+      // and relabels the rest 1:1 (structural stability — labels moved).
+      // The oracle recomputes the same contingency logic in SQL.
+      val e = t(s, d, "events").select(col("event_id").as("id"),
+        col("user_id").cast("long").as("u"))
+      val before = e.select(col("id"), col("u").as("c"))
+      val after = e.select(col("id"),
+        when(col("u") % 7 === 0, col("u") * 10 + col("id") % 2)
+          .when(col("u") % 7 === 1 || col("u") % 7 === 2,
+            lit(20000000L) + (col("u") - col("u") % 7))
+          .otherwise(lit(30000000L) + col("u")).as("c"))
+      Metrics.clusterChurn(before, after, "id", "c")
+    }),
+
+    "q95_caption_spam" -> ((s, _) => {
+      // cross-modal spam report (Curation.captionSpam): 4 planted spam
+      // captions over 15 DISTINCT images each flag; 10 one-image galleries
+      // (5 re-posts of one payload) and 30 unique captions do not — the
+      // distinct-payload count is the whole point, so the enumeration
+      // oracle checks precision and recall of exactly that
+      import s.implicits._
+      val images = s.range(0L, 100L, 1L, 32).as[Long].flatMap { i =>
+        if (i < 60L)
+          Seq((f"s$i%03d", graft.synth.ImageCodec.encodePng(
+            ImageGen.renderBase(333L, i)), s"promo ${i % 4}"))
+        else if (i < 70L) {
+          val one = graft.synth.ImageCodec.encodePng(
+            ImageGen.renderBase(333L, 1000L + i))
+          (0 until 5).map(j => (f"g$i%03d_$j", one, s"gallery $i"))
+        } else
+          Seq((f"u$i%03d", graft.synth.ImageCodec.encodePng(
+            ImageGen.renderBase(333L, 2000L + i)), s"unique caption $i"))
+      }.toDF("image_id", "bytes", "caption")
+      Curation.captionSpam(images, "caption", "bytes", minImages = 3)
+        .select("caption", "n_images", "n_rows").orderBy("caption")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -2001,6 +2048,44 @@ object SparkEntry {
            'o' || lpad(CAST(i AS VARCHAR), 4, '0') AS b,
            CAST(15 AS BIGINT) AS n_tiles
          FROM generate_series(0, 299) t(i) ORDER BY a, b""",
+
+    "q93_frequency_spectrum" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+             x -> length(x) > 0)) AS tok FROM documents),
+         tf AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1)
+         SELECT f AS freq, count(*) AS n_types FROM tf
+         GROUP BY 1 ORDER BY freq""",
+
+    "q94_cluster_churn" ->
+      // independent recomputation of the cluster contingency: edges =
+      // (before label, after label) with shared-id counts; split = source
+      // fan-out > 1, merged = target fan-in > 1, stable = 1:1 both ways
+      """WITH e AS (SELECT event_id AS id, CAST(user_id AS BIGINT) AS u
+             FROM events),
+         b AS (SELECT id, u AS cb FROM e),
+         a AS (SELECT id, CASE
+             WHEN u % 7 = 0 THEN u * 10 + id % 2
+             WHEN u % 7 IN (1, 2) THEN 20000000 + (u - u % 7)
+             ELSE 30000000 + u END AS ca FROM e),
+         edges AS (SELECT cb, ca, count(*) AS n FROM b JOIN a USING (id)
+           GROUP BY 1, 2),
+         bysrc AS (SELECT cb, count(DISTINCT ca) AS nt, min(ca) AS only_t
+           FROM edges GROUP BY 1),
+         bydst AS (SELECT ca, count(DISTINCT cb) AS ns FROM edges GROUP BY 1)
+         SELECT (SELECT count(*) FROM bysrc) AS n_before,
+           (SELECT count(*) FROM bydst) AS n_after,
+           (SELECT count(*) FROM bysrc WHERE nt > 1) AS n_split,
+           (SELECT count(*) FROM bydst WHERE ns > 1) AS n_merged,
+           (SELECT count(*) FROM bysrc s JOIN bydst d ON s.only_t = d.ca
+             WHERE s.nt = 1 AND d.ns = 1) AS n_stable""",
+
+    "q95_caption_spam" ->
+      // the planted corpus is deterministic: exactly the 4 promo captions
+      // span >= 3 distinct payloads (15 each); galleries re-post ONE image
+      // and uniques appear once, so neither flags
+      """SELECT 'promo ' || i AS caption,
+           CAST(15 AS BIGINT) AS n_images, CAST(15 AS BIGINT) AS n_rows
+         FROM generate_series(0, 3) t(i) ORDER BY caption""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

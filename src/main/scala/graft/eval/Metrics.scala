@@ -126,6 +126,50 @@ object Metrics {
         col("clusters_a"), col("clusters_b"), col("ari"), col("nmi"))
   }
 
+  /**
+   * CLUSTER-level churn between two assignment snapshots — the structural
+   * complement of [[graft.operators.Dedup.assignmentDiff]] (which counts
+   * per-ROW status) and [[clusterAgreement]] (which scores global overlap):
+   * this one answers the incremental-run operator's question "did today's
+   * fold split or merge yesterday's clusters, and how many survived
+   * intact?". Computed over ids present in BOTH snapshots (row arrivals /
+   * departures are assignmentDiff's axis):
+   *
+   *  - `n_split`  — before-clusters whose shared members land in > 1
+   *                 after-cluster
+   *  - `n_merged` — after-clusters receiving members from > 1 before-cluster
+   *  - `n_stable` — before-clusters mapping 1:1 onto an after-cluster (one
+   *                 target, and that target has exactly one source — label
+   *                 values may differ; identity is structural)
+   *
+   * Scale shape: the (before, after) label contingency edge list is ONE
+   * equi-join on id + one agg — at most min(|clusters_b|, rows) edges; the
+   * three counts are aggregations over it. No windows, nothing collects.
+   *
+   * @return single row (n_before, n_after, n_split, n_merged, n_stable)
+   */
+  def clusterChurn(before: DataFrame, after: DataFrame, idCol: String,
+      clusterCol: String): DataFrame = {
+    val b = before.select(col(idCol).as("id"), col(clusterCol).as("cb"))
+    val a = after.select(col(idCol).as("id"), col(clusterCol).as("ca"))
+    val edges = b.join(a, "id").groupBy("cb", "ca").agg(count(lit(1)).as("n"))
+    val bySrc = edges.groupBy("cb").agg(countDistinct("ca").as("n_targets"),
+      first("ca").as("only_target")) // only meaningful when n_targets = 1
+    val byDst = edges.groupBy("ca").agg(countDistinct("cb").as("n_sources"))
+    val stable = bySrc.where(col("n_targets") === 1)
+      .join(byDst, col("only_target") === col("ca"))
+      .where(col("n_sources") === 1)
+      .agg(count(lit(1)).as("n_stable"))
+    val srcStats = bySrc.agg(count(lit(1)).as("n_before"),
+      coalesce(sum(when(col("n_targets") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_split"))
+    val dstStats = byDst.agg(count(lit(1)).as("n_after"),
+      coalesce(sum(when(col("n_sources") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_merged"))
+    srcStats.crossJoin(dstStats).crossJoin(stable)
+      .select("n_before", "n_after", "n_split", "n_merged", "n_stable")
+  }
+
   /** Cluster-level pair recall: pairs implied by co-membership in predicted
     * clusters vs pairs implied by truth clusters (assignment-level parity
     * with the reference's cluster semantics). */

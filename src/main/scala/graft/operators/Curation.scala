@@ -306,4 +306,39 @@ object Curation {
           lit("eval")).otherwise(lit("train")))
       .drop("__cl")
   }
+
+  /**
+   * Repeated-caption spam report — the CROSS-MODAL quality signal of an
+   * image+caption corpus: one caption text attached to many DISTINCT images
+   * is the SEO-spam / bot-gallery / placeholder-alt-text shape ("click here
+   * for more", "image", product boilerplate), and those rows poison both
+   * caption-conditioned training and the text-side dedup families (a heavy
+   * caption is exactly the degenerate band key the cap/salt device bounds
+   * — this report is its measuring instrument on the caption axis, the
+   * [[graft.operators.TextScores.heavyNgrams]] analogue at whole-caption
+   * granularity). Distinctness of the image side is exact byte identity
+   * (xxhash64 of the payload), so a gallery re-posting ONE image under one
+   * caption does not flag — only genuinely many-image captions do.
+   *
+   * Scale shape: one aggregation keyed by the normalized caption hash with
+   * map-side partial combine; `n_images` is a distinct-count inside the
+   * group (exact — spark expands it to a two-level agg; the group count
+   * stays bounded by the group's row count). Output rows are only the
+   * flagged captions. No joins, no windows, nothing collects.
+   *
+   * @param minImages flag captions attached to at least this many distinct
+   *                  payloads
+   * @return (caption_key, caption = lexicographic min representative,
+   *         n_images, n_rows) — one row per flagged caption
+   */
+  def captionSpam(images: DataFrame, captionCol: String, bytesCol: String,
+      minImages: Int): DataFrame = {
+    require(minImages >= 2, s"minImages($minImages) below 2 flags everything")
+    images.groupBy(graft.functions.content_hash(col(captionCol))
+        .as("caption_key"))
+      .agg(min(col(captionCol)).as("caption"),
+        countDistinct(xxhash64(col(bytesCol))).as("n_images"),
+        count(lit(1)).as("n_rows"))
+      .where(col("n_images") >= minImages)
+  }
 }

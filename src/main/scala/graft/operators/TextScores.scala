@@ -299,6 +299,27 @@ object TextScores {
           col("n_lines"), 4))
   }
 
+  /**
+   * Corpus token frequency-of-frequencies — the Zipf diagnostic every
+   * curation run wants before setting thresholds: one row per occurrence
+   * count f with the number of distinct token types at that count. The
+   * hapax fraction (f = 1 row over the type total) flags OCR garbage /
+   * tokenizer damage; the heavy tail (huge f, tiny n_types) is the stopword
+   * / boilerplate mass that feeds [[heavyNgrams]]-style cut decisions.
+   *
+   * Scale shape: two aggregations, both with map-side partial combine — the
+   * (token, count) shuffle is vocabulary-sized, the spectrum output is tiny
+   * (distinct frequency VALUES grow ~ sqrt(total token mass): counts above
+   * sqrt(M) can number at most sqrt(M) of them, counts below it at most
+   * sqrt(M) values). Nothing collects; no windows.
+   *
+   * @return (freq, n_types) — one row per distinct occurrence count
+   */
+  def frequencySpectrum(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_types"))
+
   /** Document-start sentinel of [[bigramLmScores]]: the first real token is
     * conditioned on it, so single-token docs still score and cross-document
     * bigrams never form. A literal `<s>` TOKEN in the text aliases with it

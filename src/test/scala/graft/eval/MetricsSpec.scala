@@ -146,4 +146,32 @@ class MetricsSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
+
+  test("clusterChurn: split, merge, stable, relabel, and arrivals ignored") {
+    // before: {a,b}=1, {c,d}=2, {e}=3, {f}=4
+    val before = Seq(("a", 1L), ("b", 1L), ("c", 2L), ("d", 2L),
+      ("e", 3L), ("f", 4L)).toDF("id", "c")
+    // after: 1 splits (a->10, b->11); 2 and 3 merge into 20 (c,d,e->20);
+    // 4 survives intact under a NEW label (f->30, structural stability);
+    // g is an arrival, ignored (assignmentDiff's axis)
+    val after = Seq(("a", 10L), ("b", 11L), ("c", 20L), ("d", 20L),
+      ("e", 20L), ("f", 30L), ("g", 99L)).toDF("id", "c")
+    val r = Metrics.clusterChurn(before, after, "id", "c").head()
+    assert(r.getAs[Long]("n_before") == 4)
+    assert(r.getAs[Long]("n_after") == 4, "g's cluster 99 has no shared ids")
+    assert(r.getAs[Long]("n_split") == 1, "only cluster 1 split")
+    assert(r.getAs[Long]("n_merged") == 1, "only cluster 20 merged sources")
+    assert(r.getAs[Long]("n_stable") == 1, "only 4->30 is 1:1 (label may move)")
+  }
+
+  test("clusterChurn: identical snapshots are all stable; empty overlap is all zero") {
+    val snap = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("id", "c")
+    val r = Metrics.clusterChurn(snap, snap, "id", "c").head()
+    assert(r.getAs[Long]("n_stable") == 2 && r.getAs[Long]("n_split") == 0 &&
+      r.getAs[Long]("n_merged") == 0)
+    val other = Seq(("x", 5L)).toDF("id", "c")
+    val z = Metrics.clusterChurn(snap, other, "id", "c").head()
+    assert(z.getAs[Long]("n_before") == 0 && z.getAs[Long]("n_after") == 0 &&
+      z.getAs[Long]("n_stable") == 0)
+  }
 }

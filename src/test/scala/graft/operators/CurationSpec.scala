@@ -233,4 +233,26 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect().toSet
     assert(again == out.map(r => (r._1, r._3)).toSet)
   }
+
+  test("captionSpam: many-image captions flag, galleries of one image do not") {
+    def img(i: Int): Array[Byte] = Array.fill(8)(i.toByte)
+    val rows = Seq.newBuilder[(String, Array[Byte], String)]
+    // spam: one caption over 5 distinct images (plus a repeat row of one)
+    (0 until 5).foreach(i => rows += (((s"s$i"), img(i), "click here now")))
+    rows += (("s5", img(0), "click here now"))
+    // gallery: one image re-posted 6 times under one caption -> NOT spam
+    (0 until 6).foreach(i => rows += ((s"g$i", img(100), "my one photo")))
+    // normalization folds case/punct variants into one caption key
+    rows += (("n0", img(50), "Great Product!!"))
+    rows += (("n1", img(51), "great product"))
+    rows += (("n2", img(52), "great   product"))
+    // unique captions -> never flagged
+    (0 until 4).foreach(i => rows += ((s"u$i", img(200 + i), s"unique $i")))
+    val images = rows.result().toDF("image_id", "bytes", "caption")
+    val got = Curation.captionSpam(images, "caption", "bytes", minImages = 3)
+      .select("caption", "n_images", "n_rows")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("click here now", 5L, 6L), ("Great Product!!", 3L, 3L)),
+      s"flagged set wrong: $got")
+  }
 }

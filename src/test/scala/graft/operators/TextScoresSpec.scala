@@ -184,6 +184,15 @@ class TextScoresSpec extends SparkSpec {
     assert(got(4L) == ((4L, 1, 1, 0.0)), "null text = one empty line, clean")
   }
 
+  test("frequencySpectrum: hand-counted frequency-of-frequencies") {
+    // counts: a=4, b=2, c=2, d=1  ->  spectrum {1:1, 2:2, 4:1}
+    val docs = Seq((1L, "a b a"), (2L, "a c b"), (3L, "a c d"),
+      (4L, ""), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextScores.frequencySpectrum(docs, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
+  }
+
   test("bigramLmScores: hand-computed add-alpha probabilities (self-score)") {
     // corpus: c2 = {(<s>,a):3, (a,b):2, (a,c):1}; c1 = {<s>:3, a:3}; V = 3
     val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
