@@ -268,6 +268,41 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
   }
 
+  test("q91/q94: containment join and cluster churn plan equi-joins, " +
+    "never a nested loop, no unpartitioned window") {
+    Seq("q91_containment_pairs", "q94_cluster_churn").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q plan")
+      // the prefix-vs-posting join condition mixes an equi-key (the gram)
+      // with inequality filters; Catalyst must extract the equi-key, not
+      // fall back to a nested loop over data-sized frames. q94's final
+      // crossJoin of three ONE-ROW aggregate summaries legitimately plans
+      // as a broadcast nested loop (the clusterAgreement shape), so the
+      // nested-loop ban applies to the data-sized q91 only.
+      if (q == "q91_containment_pairs")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in $q plan")
+      val bad = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"unpartitioned WindowExec in $q: ${bad.headOption}")
+    }
+  }
+
+  test("q93/q95: spectrum and caption-spam are pure aggregations — " +
+    "no join, no window, no exchange beyond the two agg shuffles") {
+    Seq("q93_frequency_spectrum" -> 2, "q95_caption_spam" -> 2).foreach {
+      case (q, maxExchanges) =>
+        val df = SparkEntry.queries(q)(spark, dir)
+        val p = planOf(df)
+        assert(!p.contains("Join"), s"unexpected join in $q plan")
+        val exchanges = "Exchange".r.findAllIn(p).size
+        // + the final orderBy range partitioning
+        assert(exchanges <= maxExchanges + 1,
+          s"$q plans $exchanges exchanges (expected <= ${maxExchanges + 1})")
+    }
+  }
+
   test("q51: long-match anchor join plans equi-joins, never a nested loop") {
     val p = planOf(SparkEntry.queries("q51_long_match_pairs")(spark, dir))
     assert(!p.contains("CartesianProduct"), "cartesian product in long-match plan")
