@@ -1523,7 +1523,21 @@ object SparkEntry {
       }.toDF("image_id", "bytes", "caption")
       Curation.captionSpam(images, "caption", "bytes", minImages = 3)
         .select("caption", "n_images", "n_rows").orderBy("caption")
-    }))
+    }),
+
+    "q96_temperature_rates" -> ((s, d) =>
+      // temperature-flattened mixing rates (Curation.temperatureRates):
+      // alpha = 0.5 square-root flattening over per-language char mass —
+      // the T5-style multilingual sampling knob; the oracle re-derives
+      // share^(alpha-1) normalized to max 1 in SQL
+      Curation.temperatureRates(t(s, d, "documents"), "lang", "n_chars",
+        alpha = 0.5).orderBy("stratum")),
+
+    "q97_embedding_report" -> ((s, d) =>
+      // embedding-corpus sanity report (Validate.embeddingReport): the
+      // pre-flight gate before the ANN/SemDeDup families — zero/non-finite
+      // counts, dim cardinality, norm extremes; one narrow pass, one agg row
+      Validate.embeddingReport(t(s, d, "embeddings"), "embedding")))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2086,6 +2100,42 @@ object SparkEntry {
       """SELECT 'promo ' || i AS caption,
            CAST(15 AS BIGINT) AS n_images, CAST(15 AS BIGINT) AS n_rows
          FROM generate_series(0, 3) t(i) ORDER BY caption""",
+
+    "q96_temperature_rates" ->
+      // same derivation: share = stratum char mass / total, raw rate =
+      // share^(alpha-1), normalized so the max rate is 1; both engines
+      // compute the same double arithmetic, rounded to 6
+      """WITH agg AS (SELECT lang AS stratum, sum(n_chars) AS n_tokens
+             FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         t AS (SELECT sum(n_tokens) AS tt FROM agg),
+         r AS (SELECT stratum, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
+             pow(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), -0.5) AS raw
+           FROM agg, t),
+         m AS (SELECT max(raw) AS mr FROM r)
+         SELECT stratum, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(share, 6) AS share, round(raw / mr, 6) AS rate
+         FROM r, m ORDER BY stratum""",
+
+    "q97_embedding_report" ->
+      // independent recomputation of the squared-norm fold: per-element
+      // double upcast, sequential list_sum, sqrt + round like the Spark
+      // side; counts cast to BIGINT (DuckDB sum(int) is HUGEINT)
+      """WITH v AS (SELECT
+             list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ss,
+             len(embedding) AS dim,
+             len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 AS bad
+           FROM embeddings)
+         SELECT count(*) AS n_vecs,
+           CAST(sum(CASE WHEN ss = 0 AND NOT bad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           count(DISTINCT dim) AS n_dims,
+           round(min(CASE WHEN bad THEN NULL ELSE sqrt(ss) END), 6) AS min_norm,
+           round(max(CASE WHEN bad THEN NULL ELSE sqrt(ss) END), 6) AS max_norm,
+           round(avg(CASE WHEN bad THEN NULL ELSE sqrt(ss) END), 6) AS avg_norm
+         FROM v""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

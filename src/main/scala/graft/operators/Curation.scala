@@ -308,6 +308,44 @@ object Curation {
   }
 
   /**
+   * Temperature-flattened sampling rates — the multilingual / multi-source
+   * mixing knob (the T5/mBERT alpha-sampling shape: target distribution
+   * q_i PROPORTIONAL TO p_i^alpha): per stratum, the DOWN-sampling rate
+   * r_i = (p_i / p_min-ish)^(alpha-1) normalized so the largest rate is
+   * exactly 1 — head strata are sampled down toward the flattened target,
+   * the smallest stratum keeps every row, and nothing is ever up-weighted
+   * (no duplication, so the output stays a subset — compose with
+   * [[deterministicSample]] per stratum for the reproducible row filter).
+   * alpha = 1 is a no-op (every rate 1), alpha -> 0 flattens toward
+   * uniform. Differs from [[mixtureRates]] in where the target comes from:
+   * there the caller names absolute weights + a token budget; here the
+   * target is DERIVED from the corpus's own shares by one exponent.
+   *
+   * Scale shape: one stratum aggregation (map-side combine) + two 1-row
+   * broadcast joins (total mass, max raw rate). Strata counts are
+   * config-sized; nothing data-sized collects.
+   *
+   * @param alpha temperature in (0, 1]
+   * @return (stratum, n_tokens, share, rate) — share/rate rounded to 6
+   */
+  def temperatureRates(df: DataFrame, strataCol: String, tokenCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha($alpha) outside (0, 1]")
+    val agg = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+    val tot = agg.agg(sum("n_tokens").as("__t"))
+    val withRaw = agg.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("__t").cast("double"))
+      .withColumn("__raw", pow(col("share"), lit(alpha - 1)))
+    val mx = withRaw.agg(max("__raw").as("__m"))
+    withRaw.crossJoin(broadcast(mx))
+      .select(col("stratum"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("__raw") / col("__m"), 6).as("rate"))
+  }
+
+  /**
    * Repeated-caption spam report — the CROSS-MODAL quality signal of an
    * image+caption corpus: one caption text attached to many DISTINCT images
    * is the SEO-spam / bot-gallery / placeholder-alt-text shape ("click here

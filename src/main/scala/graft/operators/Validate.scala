@@ -60,4 +60,39 @@ object Validate {
       sum(when(col("valid"), 1L).otherwise(0L)).as("valid"),
       sum(when(!col("phash_match"), 1L).otherwise(0L)).as("phash_mismatches"),
       sum(when(!col("dims_match"), 1L).otherwise(0L)).as("dims_mismatches"))
+
+  /**
+   * Embedding-corpus sanity report — the pre-flight gate before the ANN /
+   * SemDeDup families consume a vector column: zero vectors make cosine
+   * undefined ([[Ann]] guards per-row, but a corpus-level count localizes
+   * the upstream bug), non-finite values poison every distance downstream,
+   * and mixed dimensionality breaks the fused corpus pass outright. One
+   * narrow pass over the vectors (per-row fold for the squared norm, no
+   * shuffle) into one aggregation row. Norm extremes catch silent scale
+   * bugs (an un-normalized batch mixed into a unit-norm corpus shows up as
+   * max_norm >> 1 long before recall drops).
+   *
+   * @return single row (n_vecs, n_zero, n_nonfinite, n_dims, min_norm,
+   *         max_norm, avg_norm) — norms rounded to 6 places
+   */
+  def embeddingReport(embeddings: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val perRow = embeddings.select(
+      aggregate(v, lit(0.0), (acc, x) =>
+        acc + x.cast("double") * x.cast("double")).as("ss"),
+      size(v).as("dim"),
+      exists(v, x => isnan(x) || x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity)).as("bad"))
+    // norm stats over FINITE rows only (a single NaN would otherwise poison
+    // min/max/avg and hide the report it is supposed to produce)
+    val norm = when(col("bad"), lit(null)).otherwise(sqrt(col("ss")))
+    perRow.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("ss") === 0.0 && !col("bad"), 1L).otherwise(0L)).as("n_zero"),
+      sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+      countDistinct(col("dim")).as("n_dims"),
+      round(min(norm), 6).as("min_norm"),
+      round(max(norm), 6).as("max_norm"),
+      round(avg(norm), 6).as("avg_norm"))
+  }
 }

@@ -234,6 +234,21 @@ class CurationSpec extends SparkSpec {
     assert(again == out.map(r => (r._1, r._3)).toSet)
   }
 
+  test("temperatureRates: alpha=0.5 gives sqrt-ratio down-sampling, alpha=1 no-op") {
+    // masses 100 / 400 / 1600: rate_i = sqrt(min_mass / mass_i) at alpha=0.5
+    val df = Seq(("a", 100L), ("b", 400L), ("c", 1600L), (null, 999L))
+      .toDF("lang", "toks")
+    val half = Curation.temperatureRates(df, "lang", "toks", alpha = 0.5)
+      .select("stratum", "n_tokens", "rate")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(half.keySet == Set("a", "b", "c"), "null stratum must drop")
+    assert(half("a") == ((100L, 1.0)), "smallest stratum keeps everything")
+    assert(half("b") == ((400L, 0.5)) && half("c") == ((1600L, 0.25)))
+    val one = Curation.temperatureRates(df, "lang", "toks", alpha = 1.0)
+      .select("rate").as[Double].collect()
+    assert(one.forall(_ == 1.0), s"alpha=1 must be a no-op: ${one.toSeq}")
+  }
+
   test("captionSpam: many-image captions flag, galleries of one image do not") {
     def img(i: Int): Array[Byte] = Array.fill(8)(i.toByte)
     val rows = Seq.newBuilder[(String, Array[Byte], String)]

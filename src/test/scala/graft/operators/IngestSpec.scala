@@ -59,4 +59,22 @@ class IngestSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet == before,
       "completed run must leave no lingering cached RDD")
   }
+
+  test("embeddingReport: zero/NaN/mixed-dim counting, norm stats over finite rows") {
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f)),            // norm 5
+      (2L, Array(0.0f, 0.0f)),            // zero vector
+      (3L, Array(Float.NaN, 1.0f)),       // non-finite
+      (4L, Array(Float.PositiveInfinity, 0.0f)), // non-finite
+      (5L, Array(1.0f, 0.0f, 0.0f)))      // different dim, norm 1
+      .toDF("vec_id", "embedding")
+    val r = Validate.embeddingReport(vecs, "embedding").head()
+    assert(r.getAs[Long]("n_vecs") == 5)
+    assert(r.getAs[Long]("n_zero") == 1)
+    assert(r.getAs[Long]("n_nonfinite") == 2)
+    assert(r.getAs[Long]("n_dims") == 2)
+    assert(r.getAs[Double]("min_norm") == 0.0, "zero vector's norm counts")
+    assert(r.getAs[Double]("max_norm") == 5.0)
+    assert(r.getAs[Double]("avg_norm") == 2.0, "(5 + 0 + 1)/3 over finite rows")
+  }
 }
