@@ -1537,7 +1537,22 @@ object SparkEntry {
       // embedding-corpus sanity report (Validate.embeddingReport): the
       // pre-flight gate before the ANN/SemDeDup families — zero/non-finite
       // counts, dim cardinality, norm extremes; one narrow pass, one agg row
-      Validate.embeddingReport(t(s, d, "embeddings"), "embedding")))
+      Validate.embeddingReport(t(s, d, "embeddings"), "embedding")),
+
+    "q98_bm25_index_topk" -> ((s, d) => {
+      // BM25 as the retrieval index (TextScores.bm25IndexScores): the q63
+      // posting-join shape with Okapi saturation + length normalization.
+      // Same determinism device as q63: rank on the ROUNDED score so ties
+      // break identically across engines.
+      val docs = t(s, d, "documents")
+      val queries = docs.where(col("doc_id") % 25 === 0)
+      val scored = TextScores.bm25IndexScores(docs, queries, "doc_id", "text")
+        .where(col("query_id") =!= col("item_id"))
+        .withColumn("score", round(col("score"), 4))
+      Ranking.topKItems(scored, 10)
+        .select("query_id", "item_id", "rank", "score")
+        .orderBy("query_id", "rank")
+    }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2136,6 +2151,39 @@ object SparkEntry {
            round(max(CASE WHEN bad THEN NULL ELSE sqrt(ss) END), 6) AS max_norm,
            round(avg(CASE WHEN bad THEN NULL ELSE sqrt(ss) END), 6) AS avg_norm
          FROM v""",
+
+    "q98_bm25_index_topk" ->
+      // Okapi BM25 recomputed in SQL over the same normalized tokens:
+      // exact-integer corpus stats (N, sum dl) so avgdl is bit-identical,
+      // the same formula term for term (k1 = 1.2, b = 0.75, Lucene
+      // non-negative idf), rank on the rounded score with item_id ties
+      """WITH lt AS (SELECT doc_id, list_filter(string_split(
+             regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'), ' '), x -> length(x) > 0) AS l
+           FROM documents),
+         w AS (SELECT doc_id, l, len(l) AS dl FROM lt WHERE len(l) > 0),
+         stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl
+           FROM w),
+         tok AS (SELECT doc_id, dl, unnest(l) AS token FROM w),
+         tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM tok
+           GROUP BY 1, 2, 3),
+         idf AS (SELECT token,
+             ln((n - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+           FROM tf, stats GROUP BY token, n),
+         q AS (SELECT doc_id AS query_id, unnest(list_distinct(l)) AS token
+           FROM w WHERE doc_id % 25 = 0),
+         scored AS (SELECT q.query_id, t.doc_id AS item_id,
+             round(sum(i.idf * (t.tf * 2.2) /
+               (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 4) AS score
+           FROM q JOIN tf t ON q.token = t.token AND q.query_id <> t.doc_id
+           JOIN idf i ON i.token = q.token CROSS JOIN stats s
+           GROUP BY 1, 2),
+         ranked AS (SELECT query_id, item_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, item_id) AS rank
+           FROM scored)
+         SELECT query_id, item_id, rank, score FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

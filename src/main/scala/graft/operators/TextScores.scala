@@ -128,6 +128,61 @@ object TextScores {
       idCol: String, textCol: String, k: Int, minIdf: Double = 0.0): DataFrame =
     Ranking.topKItems(tfidfIndexScores(corpus, queries, idCol, textCol, minIdf), k)
 
+  /**
+   * BM25 retrieval scores — the standard probabilistic index scorer next to
+   * the reference's Lerch TF-IDF ([[tfidfIndexScores]]): same sparse
+   * posting-list candidate generation (every corpus doc sharing a token
+   * with the query is a candidate — no ANN, no signatures), but scored
+   * with the Okapi term-saturation formula
+   *   sum over shared tokens of
+   *     idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+   * with the Lucene non-negative idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+   * Query tokens enter distinct (query tf = 1, the standard short-query
+   * simplification). tf saturation + length normalization is exactly what
+   * TF-IDF-sum lacks on web documents (a token repeated 100x should not
+   * score 100x).
+   *
+   * Scale shape: identical to [[tfidfIndexScores]] — postings and query
+   * tokens shuffle on the token, one agg per (query, item); the df/idf
+   * table is vocabulary-sized and joins distributed. The ONLY driver-side
+   * values are two scalars (N, total dl) — computed exactly over longs so
+   * an independent engine reproduces avgdl bit-for-bit.
+   *
+   * @return (query_id, item_id, score) — raw double; round before ranking
+   *         (the q63 tie-determinism contract)
+   */
+  def bm25IndexScores(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val withDl = corpus.select(col(idCol).as("item_id"),
+        tokens(col(textCol)).as("l"))
+      .withColumn("dl", size(col("l"))).where(col("dl") > 0)
+    val r = withDl.agg(count(lit(1)), sum(col("dl").cast("long"))).head()
+    val n = r.getLong(0)
+    val avgdl = r.getLong(1).toDouble / n
+    val tf = withDl.select(col("item_id"), col("dl"),
+        explode(col("l")).as("token"))
+      .groupBy("item_id", "token", "dl").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .select("token", "idf")
+    val postings = tf.join(idf, "token")
+    val qtoks = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    qtoks.join(postings, "token")
+      .groupBy("query_id", "item_id")
+      .agg(sum(col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))).as("score"))
+  }
+
+  /** [[bm25IndexScores]] + per-query top-k, ties on item_id (the
+    * [[Ranking.topKItems]] contract). */
+  def bm25IndexTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    Ranking.topKItems(bm25IndexScores(corpus, queries, idCol, textCol, k1, b), k)
+
   /** Shared novelty projection: (id, sh = DISTINCT shingle hashes). */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       cfg: graft.config.DedupConfig): DataFrame =

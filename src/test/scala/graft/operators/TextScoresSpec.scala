@@ -193,6 +193,27 @@ class TextScoresSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
   }
 
+  test("bm25IndexScores: hand-computed Okapi terms, saturation and length norm") {
+    val corpus = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val queries = Seq((10L, "x y")).toDF("doc_id", "text")
+    val (k1, b) = (1.2, 0.75)
+    val got = TextScores.bm25IndexScores(corpus, queries, "doc_id", "text", k1, b)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // n = 2, avgdl = 2.5; df: x=2, y=1; idf = ln((n-df+0.5)/(df+0.5)+1)
+    val idfX = math.log(0.5 / 2.5 + 1); val idfY = math.log(1.5 / 1.5 + 1)
+    def term(idf: Double, tf: Long, dl: Long) =
+      idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 2.5))
+    val d1 = term(idfX, 2, 3) + term(idfY, 1, 3)
+    val d2 = term(idfX, 1, 2)
+    assert(got.keySet == Set((10L, 1L), (10L, 2L)))
+    assert(math.abs(got((10L, 1L)) - d1) < 1e-12, s"d1 ${got((10L, 1L))} vs $d1")
+    assert(math.abs(got((10L, 2L)) - d2) < 1e-12)
+    assert(got((10L, 1L)) > got((10L, 2L)),
+      "two query-term hits must outscore one")
+    // saturation: doubling tf must NOT double the term
+    assert(term(idfX, 4, 3) < 2 * term(idfX, 2, 3))
+  }
+
   test("bigramLmScores: hand-computed add-alpha probabilities (self-score)") {
     // corpus: c2 = {(<s>,a):3, (a,b):2, (a,c):1}; c1 = {<s>:3, a:3}; V = 3
     val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
