@@ -1552,6 +1552,22 @@ object SparkEntry {
       Ranking.topKItems(scored, 10)
         .select("query_id", "item_id", "rank", "score")
         .orderBy("query_id", "rank")
+    }),
+
+    "q99_transitivity_audit" -> ((s, d) => {
+      // chain-collapse diagnostic (Metrics.transitivityAudit): global
+      // clustering coefficient of a pair graph via degree-ordered triangle
+      // counting. Input = a deterministic tripartite graph derived from
+      // event ids (three residue families), dense enough to close many
+      // triangles; the oracle recomputes edges + wedges + triangles in SQL.
+      val e = t(s, d, "events").select(col("event_id").cast("long").as("id"))
+      val pairs = e.select((col("id") % 61).as("a"),
+          (lit(100L) + col("id") % 53).as("b"))
+        .union(e.select((lit(100L) + col("id") % 53).as("a"),
+          (lit(200L) + col("id") % 47).as("b")))
+        .union(e.select((col("id") % 61).as("a"),
+          (lit(200L) + col("id") % 47).as("b")))
+      Metrics.transitivityAudit(pairs)
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -2184,6 +2200,31 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, item_id, rank, score FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q99_transitivity_audit" ->
+      // independent recomputation: canonical edge set, degree table,
+      // wedges = sum C(d,2), triangles counted once per id-ordered triple
+      // (e1=(x,y), e2=(x,z), closing (y,z)), transitivity = 3T/W
+      """WITH ev AS (SELECT CAST(event_id AS BIGINT) AS id FROM events),
+         raw AS (
+           SELECT id % 61 AS a, 100 + id % 53 AS b FROM ev
+           UNION ALL SELECT 100 + id % 53, 200 + id % 47 FROM ev
+           UNION ALL SELECT id % 61, 200 + id % 47 FROM ev),
+         edges AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+           FROM raw WHERE a <> b),
+         deg AS (SELECT x, count(*) AS d FROM
+           (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+           GROUP BY 1),
+         tri AS (SELECT count(*) AS t FROM edges e1
+           JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+           JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+         wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+         SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT w FROM wed) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           CASE WHEN (SELECT w FROM wed) = 0 THEN 0.0
+             ELSE round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6)
+           END AS transitivity""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

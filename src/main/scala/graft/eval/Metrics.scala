@@ -170,6 +170,72 @@ object Metrics {
       .select("n_before", "n_after", "n_split", "n_merged", "n_stable")
   }
 
+  /**
+   * Transitivity audit of a near-dup pair list — the pre-clustering
+   * diagnostic for CHAIN COLLAPSE: connected components treats similarity
+   * as transitive, so a pair set with many open wedges (a~b, b~c, a!~c)
+   * will chain unrelated items into one cluster. Global transitivity
+   * 3·triangles / wedges close to 1 means the pair graph is already
+   * clique-like and CC is safe; low transitivity says the threshold admits
+   * chains and the verify gate (or a higher threshold) should tighten
+   * before grouping. Input is an undirected pair list; duplicates, self
+   * loops, and either orientation are tolerated (canonicalized first).
+   *
+   * Scale shape: the classic skew trap in triangle counting is enumerating
+   * wedges at million-degree hubs (O(deg²) per node). Wedges are therefore
+   * ENUMERATED only under the degree-ordered orientation (each edge points
+   * low→high by (degree, id) — Suri & Vassilvitskii WWW'11 / Cohen's
+   * MapReduce scheme): every triangle is counted exactly once at its
+   * lowest-ordered vertex, and per-node work drops from O(deg²) to
+   * O(oriented-out-degree²), bounded by O(m^1.5) total. The wedge COUNT
+   * (denominator) needs no enumeration at all — Σ C(deg, 2) off the degree
+   * table. Joins: two equi-joins to attach degrees, one self-join on the
+   * wedge center, one equi-join to close triangles.
+   *
+   * @param pairs two-column frame (a, b)
+   * @return single row (n_edges, n_wedges, n_triangles, transitivity) —
+   *         transitivity = 3·triangles/wedges rounded to 6, 0.0 when the
+   *         graph has no wedge
+   */
+  def transitivityAudit(pairs: DataFrame): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.take(2).toSeq
+    val edges = pairs.select(least(col(ca), col(cb)).as("u"),
+        greatest(col(ca), col(cb)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // (degree, id)-ordered orientation: lo is the edge's smaller endpoint
+    // in that total order, so high-degree hubs never center a wedge scan
+    val withDeg = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("lo"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("hi"))
+    val wedgesAtLo = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(least(col("e1.hi"), col("e2.hi")).as("u"),
+        greatest(col("e1.hi"), col("e2.hi")).as("v"))
+    val triangles = wedgesAtLo.join(edges, Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = edges.agg(count(lit(1)).as("n_edges"))
+    // shiftright, not `/`: Column `/` is double division, which loses
+    // exactness past 2^53 (a 10^9-degree hub squares to 10^18)
+    val wedgeTotal = deg.agg(
+      coalesce(sum(shiftright(col("d") * (col("d") - 1), 1)), lit(0L))
+        .as("n_wedges"))
+    counts.crossJoin(wedgeTotal).crossJoin(triangles)
+      .withColumn("transitivity",
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)))
+      .select("n_edges", "n_wedges", "n_triangles", "transitivity")
+  }
+
   /** Cluster-level pair recall: pairs implied by co-membership in predicted
     * clusters vs pairs implied by truth clusters (assignment-level parity
     * with the reference's cluster semantics). */

@@ -164,6 +164,38 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_stable") == 1, "only 4->30 is 1:1 (label may move)")
   }
 
+  test("transitivityAudit: triangle, path, triangle+pendant, noisy input") {
+    def audit(edges: Seq[(Long, Long)]) =
+      Metrics.transitivityAudit(edges.toDF("a", "b")).head()
+    val tri = audit(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(tri.getAs[Long]("n_edges") == 3 && tri.getAs[Long]("n_wedges") == 3)
+    assert(tri.getAs[Long]("n_triangles") == 1)
+    assert(tri.getAs[Double]("transitivity") == 1.0)
+    val path = audit(Seq((1L, 2L), (2L, 3L)))
+    assert(path.getAs[Long]("n_wedges") == 1 &&
+      path.getAs[Long]("n_triangles") == 0 &&
+      path.getAs[Double]("transitivity") == 0.0)
+    // triangle + pendant: degrees 2,2,3,1 -> wedges 1+1+3 = 5, one triangle
+    val pend = audit(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(pend.getAs[Long]("n_wedges") == 5 &&
+      pend.getAs[Long]("n_triangles") == 1)
+    assert(pend.getAs[Double]("transitivity") == 0.6)
+    // duplicates, reversed orientation, and self loops canonicalize away
+    val noisy = audit(Seq((1L, 2L), (2L, 1L), (2L, 2L), (1L, 2L)))
+    assert(noisy.getAs[Long]("n_edges") == 1 &&
+      noisy.getAs[Long]("n_wedges") == 0 &&
+      noisy.getAs[Double]("transitivity") == 0.0)
+  }
+
+  test("transitivityAudit counts every triangle exactly once on a clique") {
+    // K5: edges 10, wedges 5*C(4,2) = 30, triangles C(5,3) = 10, trans = 1
+    val k5 = for { i <- 0L until 5L; j <- (i + 1) until 5L } yield (i, j)
+    val r = Metrics.transitivityAudit(k5.toDF("a", "b")).head()
+    assert(r.getAs[Long]("n_edges") == 10 && r.getAs[Long]("n_wedges") == 30)
+    assert(r.getAs[Long]("n_triangles") == 10)
+    assert(r.getAs[Double]("transitivity") == 1.0)
+  }
+
   test("clusterChurn: identical snapshots are all stable; empty overlap is all zero") {
     val snap = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("id", "c")
     val r = Metrics.clusterChurn(snap, snap, "id", "c").head()
