@@ -1568,6 +1568,23 @@ object SparkEntry {
         .union(e.select((col("id") % 61).as("a"),
           (lit(200L) + col("id") % 47).as("b")))
       Metrics.transitivityAudit(pairs)
+    }),
+
+    "q100_lsh_plan" -> ((s, _) => {
+      // analytic banding planner (Dedup.lshPlan): every factorization of a
+      // 128-hash signature scored against Jaccard threshold 0.8; the oracle
+      // recomputes the S-curve point values and midpoint-rule areas in SQL
+      Dedup.lshPlan(s, 128, 0.8)
+    }),
+
+    "q101_distribution_drift" -> ((s, d) => {
+      // corpus drift gate (TextScores.distributionDrift): KL/JS/TV between
+      // the token distributions of two deterministic corpus slices
+      // (doc_id parity); Jeffreys alpha=0.5 over the union vocabulary
+      val docs = t(s, d, "documents")
+      TextScores.distributionDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -2225,6 +2242,60 @@ object SparkEntry {
            CASE WHEN (SELECT w FROM wed) = 0 THEN 0.0
              ELSE round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6)
            END AS transitivity""",
+
+    "q100_lsh_plan" ->
+      // independent recomputation of p(s) = 1 - (1 - s^r)^b at the target,
+      // the 50% threshold closed form, and the same 1000-point midpoint sums
+      """WITH divs AS (
+           SELECT CAST(b AS INT) AS bands, CAST(128 // b AS INT) AS rows_per_band
+           FROM generate_series(1, 128) t(b) WHERE 128 % b = 0),
+         grid AS (SELECT (CAST(i AS DOUBLE) + 0.5) / 1000.0 AS s
+           FROM generate_series(0, 999) g(i)),
+         curve AS (
+           SELECT bands, rows_per_band, s,
+             1.0 - pow(1.0 - pow(s, rows_per_band), bands) AS p
+           FROM divs CROSS JOIN grid),
+         areas AS (
+           SELECT bands, rows_per_band,
+             sum(CASE WHEN s < 0.8 THEN p ELSE 0.0 END) / 1000.0 AS fp,
+             sum(CASE WHEN s >= 0.8 THEN 1.0 - p ELSE 0.0 END) / 1000.0 AS fn
+           FROM curve GROUP BY 1, 2)
+         SELECT d.bands, d.rows_per_band,
+           round(pow(1.0 - pow(0.5, 1.0 / d.bands), 1.0 / d.rows_per_band), 6)
+             AS s50,
+           round(1.0 - pow(1.0 - pow(0.8, d.rows_per_band), d.bands), 6)
+             AS p_at_target,
+           round(a.fp, 6) AS fp_area,
+           round(a.fn, 6) AS fn_area
+         FROM divs d JOIN areas a USING (bands, rows_per_band)
+         ORDER BY d.bands""",
+
+    "q101_distribution_drift" ->
+      // independent recomputation: per-side token counts, full-outer union
+      // vocab, Jeffreys-smoothed p/q, then KL both ways + JS + TV in SQL
+      """WITH toka AS (SELECT unnest(list_filter(string_split(text, ' '),
+             x -> length(x) > 0)) AS tok FROM documents WHERE doc_id % 2 = 0),
+         tokb AS (SELECT unnest(list_filter(string_split(text, ' '),
+             x -> length(x) > 0)) AS tok FROM documents WHERE doc_id % 2 = 1),
+         ca AS (SELECT tok, count(*) AS na FROM toka GROUP BY 1),
+         cb AS (SELECT tok, count(*) AS nb FROM tokb GROUP BY 1),
+         j AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+           FROM ca FULL OUTER JOIN cb USING (tok)),
+         tot AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS v FROM j),
+         sm AS (SELECT na, nb,
+             (na + 0.5) / (t.ta + 0.5 * t.v) AS p,
+             (nb + 0.5) / (t.tb + 0.5 * t.v) AS q
+           FROM j CROSS JOIN tot t)
+         SELECT
+           count(*) FILTER (WHERE na > 0) AS n_types_a,
+           count(*) FILTER (WHERE nb > 0) AS n_types_b,
+           count(*) AS n_types_union,
+           round(sum(p * ln(p / q)), 6) AS kl_ab,
+           round(sum(q * ln(q / p)), 6) AS kl_ba,
+           round(sum(p * ln(p / ((p + q) / 2))) / 2 +
+             sum(q * ln(q / ((p + q) / 2))) / 2, 6) AS js_divergence,
+           round(sum(abs(p - q)) / 2, 6) AS total_variation
+         FROM sm""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.config.DedupConfig
 import graft.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -322,6 +322,70 @@ object Dedup {
           .orderBy(col(qualityCol).desc, col(idCol).asc)))
       .select(col(idCol), col("canonical"),
         (col(idCol) === col("canonical")).as("keep"))
+  }
+
+  /**
+   * LSH banding planner — the analytic table an operator reads BEFORE
+   * committing a (bands, rows) split of the MinHash signature: for every
+   * factorization b·r = numHashes, the collision S-curve
+   * p(s) = 1 − (1 − s^r)^b (Leskovec–Rajaraman–Ullman, MMDS ch. 3) is
+   * summarized as
+   *
+   *  - `s50`         — the curve's 50% threshold (1 − 2^(−1/b))^(1/r), where
+   *                    a pair is as likely bucketed as not;
+   *  - `p_at_target` — collision probability at the config's Jaccard
+   *                    threshold (candidate recall at the decision boundary);
+   *  - `fp_area`     — ∫₀^t p(s) ds, the expected candidate mass wasted on
+   *                    below-threshold pairs under a uniform similarity
+   *                    prior (verify-stage cost proxy);
+   *  - `fn_area`     — ∫ₜ¹ (1 − p(s)) ds, the expected above-threshold mass
+   *                    LSH never buckets (recall-loss proxy).
+   *
+   * Integrals are midpoint sums on a `grid`-point lattice (error O(grid⁻²)),
+   * evaluated per row by a codegen'd `aggregate` over `sequence(...)` — no
+   * UDF, no driver loop; the frame is divisor-count-sized (broadcast-class).
+   * Choosing the row minimizing fp_area subject to p_at_target ≥ recall goal
+   * reproduces the standard banding trade-off; `DedupConfig`'s defaults can
+   * be sanity-checked against this table in one glance.
+   *
+   * @param numHashes       signature length whose factorizations to tabulate
+   * @param targetThreshold the Jaccard decision boundary t ∈ (0, 1)
+   * @return one row per divisor b of numHashes:
+   *         (bands, rows_per_band, s50, p_at_target, fp_area, fn_area),
+   *         doubles rounded to 6
+   */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      targetThreshold: Double, grid: Int = 1000): DataFrame = {
+    require(numHashes > 0, s"numHashes($numHashes) must be positive")
+    require(targetThreshold > 0.0 && targetThreshold < 1.0,
+      s"targetThreshold($targetThreshold) must lie in (0, 1)")
+    require(grid > 0, s"grid($grid) must be positive")
+    import spark.implicits._
+    val base = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b)).toDF("bands", "rows_per_band")
+    val b = col("bands").cast("double")
+    val r = col("rows_per_band").cast("double")
+    def pOf(s: Column): Column = lit(1.0) - pow(lit(1.0) - pow(s, r), b)
+    val t = lit(targetThreshold)
+    val areas = aggregate(
+      sequence(lit(0), lit(grid - 1)),
+      struct(lit(0.0).as("fp"), lit(0.0).as("fn")),
+      (acc, i) => {
+        val s = (i.cast("double") + lit(0.5)) / lit(grid.toDouble)
+        val p = pOf(s)
+        struct(
+          (acc("fp") + when(s < t, p).otherwise(lit(0.0))).as("fp"),
+          (acc("fn") + when(s >= t, lit(1.0) - p).otherwise(lit(0.0)))
+            .as("fn"))
+      })
+    base.withColumn("__areas", areas)
+      .select(col("bands"), col("rows_per_band"),
+        round(pow(lit(1.0) - pow(lit(0.5), lit(1.0) / b), lit(1.0) / r), 6)
+          .as("s50"),
+        round(pOf(t), 6).as("p_at_target"),
+        round(col("__areas")("fp") / grid, 6).as("fp_area"),
+        round(col("__areas")("fn") / grid, 6).as("fn_area"))
+      .orderBy("bands")
   }
 
   /**

@@ -375,6 +375,60 @@ object TextScores {
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .groupBy("freq").agg(count(lit(1)).as("n_types"))
 
+  /**
+   * Corpus drift report between two corpus slices — the monitoring gate a
+   * continuous-crawl pipeline runs before folding a new snapshot into the
+   * training mix: compare the token distribution of slice A (e.g. the
+   * standing corpus) against slice B (today's crawl) and publish the
+   * standard divergences. A JS jump flags a source-mix shift (new domain,
+   * spam wave, language drift) BEFORE it contaminates the mixture weights
+   * that [[graft.operators.Curation.mixtureRates]] derives from corpus
+   * shares.
+   *
+   * Distributions are Jeffreys-smoothed over the UNION vocabulary
+   * (p_i = (c_i + α) / (T + α·V)), so every divergence is finite, symmetric
+   * handling of unseen-on-one-side tokens is built in, and the whole row is
+   * a pure function of the two exact count tables — re-derivable by an
+   * independent engine, which is what the oracle does.
+   *
+   * Scale shape: one vocabulary-sized count shuffle per side (map-side
+   * partial combine), one full-outer equi-join on token, then a single
+   * aggregate to one row; the 1-row totals frame attaches by broadcast.
+   * Nothing collects, no windows.
+   *
+   * @param alpha Jeffreys pseudo-count (> 0); 0.5 is the standard prior
+   * @return one row: (n_types_a, n_types_b, n_types_union,
+   *         kl_ab, kl_ba, js_divergence, total_variation) — divergences in
+   *         nats, rounded to 6
+   */
+  def distributionDrift(a: DataFrame, b: DataFrame, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"alpha($alpha) must be positive")
+    def cnt(df: DataFrame, out: String) =
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(out))
+    val joined = cnt(a, "na").join(cnt(b, "nb"), Seq("tok"), "full_outer")
+      .select(coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = joined.agg(sum("na").as("ta"), sum("nb").as("tb"),
+      count(lit(1)).as("v"))
+    val al = lit(alpha)
+    val sm = joined.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        ((col("na") + al) / (col("ta") + al * col("v"))).as("p"),
+        ((col("nb") + al) / (col("tb") + al * col("v"))).as("q"))
+    val m = (col("p") + col("q")) / 2
+    sm.agg(
+      count(when(col("na") > 0, lit(1))).as("n_types_a"),
+      count(when(col("nb") > 0, lit(1))).as("n_types_b"),
+      count(lit(1)).as("n_types_union"),
+      round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_ab"),
+      round(sum(col("q") * log(col("q") / col("p"))), 6).as("kl_ba"),
+      round(sum(col("p") * log(col("p") / m)) / 2 +
+        sum(col("q") * log(col("q") / m)) / 2, 6).as("js_divergence"),
+      round(sum(abs(col("p") - col("q"))) / 2, 6).as("total_variation"))
+  }
+
   /** Document-start sentinel of [[bigramLmScores]]: the first real token is
     * conditioned on it, so single-token docs still score and cross-document
     * bigrams never form. A literal `<s>` TOKEN in the text aliases with it

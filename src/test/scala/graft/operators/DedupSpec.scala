@@ -524,6 +524,27 @@ class DedupSpec extends SparkSpec {
     assert(got == ((2L, 1L, 0.5)))
   }
 
+  test("lshPlan: factorizations, closed forms, and midpoint areas check out") {
+    val rows = Dedup.lshPlan(spark, 4, 0.8)
+      .as[(Int, Int, Double, Double, Double, Double)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((1, 4), (2, 2), (4, 1)))
+    val byBands = rows.map(r => r._1 -> r).toMap
+    // b=1, r=4: p(s) = s^4 -> s50 = 0.5^(1/4), p(0.8) = 0.8^4
+    assert(math.abs(byBands(1)._3 - math.pow(0.5, 0.25)) < 1e-6)
+    assert(math.abs(byBands(1)._4 - math.pow(0.8, 4)) < 1e-6)
+    // analytic areas for b=1: fp = t^(r+1)/(r+1), fn = (1-t) - (1-t^(r+1))/(r+1)
+    val fp1 = math.pow(0.8, 5) / 5
+    val fn1 = 0.2 - (1 - math.pow(0.8, 5)) / 5
+    assert(math.abs(byBands(1)._5 - fp1) < 1e-4, s"fp ${byBands(1)._5} vs $fp1")
+    assert(math.abs(byBands(1)._6 - fn1) < 1e-4, s"fn ${byBands(1)._6} vs $fn1")
+    // more bands -> S-curve shifts left: s50 strictly falls, p_at_target rises
+    assert(rows.map(_._3).toSeq.sliding(2).forall(w => w(1) < w(0)))
+    assert(rows.map(_._4).toSeq.sliding(2).forall(w => w(1) > w(0)))
+    rows.foreach { r =>
+      assert(r._4 >= 0.0 && r._4 <= 1.0 && r._5 >= 0.0 && r._6 >= 0.0)
+    }
+  }
+
   test("audit histogram: sizes, counts, row fractions") {
     // groups: {1,2,3} size 3, {4} singleton, {5,6} size 2
     val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L),

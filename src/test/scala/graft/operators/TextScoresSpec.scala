@@ -247,4 +247,43 @@ class TextScoresSpec extends SparkSpec {
     assert(got(11L)._1 == 1)
     assert(math.abs(got(11L)._2 - -math.log((3 + a) / (3 + a * 3))) < 1e-6)
   }
+
+  test("distributionDrift: identical slices have zero divergence") {
+    val docs = Seq((1L, "a b b c"), (2L, "c d")).toDF("doc_id", "text")
+    val r = TextScores.distributionDrift(docs, docs, "text").head()
+    assert(r.getAs[Long]("n_types_a") == 4 &&
+      r.getAs[Long]("n_types_b") == 4 && r.getAs[Long]("n_types_union") == 4)
+    assert(r.getAs[Double]("kl_ab") == 0.0 && r.getAs[Double]("kl_ba") == 0.0)
+    assert(r.getAs[Double]("js_divergence") == 0.0 &&
+      r.getAs[Double]("total_variation") == 0.0)
+  }
+
+  test("distributionDrift: hand-computed Jeffreys-smoothed divergences") {
+    val a = Seq((1L, "x x")).toDF("doc_id", "text")
+    val b = Seq((2L, "y")).toDF("doc_id", "text")
+    val r = TextScores.distributionDrift(a, b, "text").head()
+    assert(r.getAs[Long]("n_types_a") == 1 && r.getAs[Long]("n_types_b") == 1)
+    assert(r.getAs[Long]("n_types_union") == 2)
+    // union vocab {x, y}: p = (2.5/3, 0.5/3), q = (0.5/2, 1.5/2)
+    val (px, py) = (2.5 / 3, 0.5 / 3)
+    val (qx, qy) = (0.25, 0.75)
+    val klAb = px * math.log(px / qx) + py * math.log(py / qy)
+    val klBa = qx * math.log(qx / px) + qy * math.log(qy / py)
+    val (mx, my) = ((px + qx) / 2, (py + qy) / 2)
+    val js = (px * math.log(px / mx) + py * math.log(py / my)) / 2 +
+      (qx * math.log(qx / mx) + qy * math.log(qy / my)) / 2
+    val tv = (math.abs(px - qx) + math.abs(py - qy)) / 2
+    assert(math.abs(r.getAs[Double]("kl_ab") - klAb) < 1e-6)
+    assert(math.abs(r.getAs[Double]("kl_ba") - klBa) < 1e-6)
+    assert(math.abs(r.getAs[Double]("js_divergence") - js) < 1e-6)
+    assert(math.abs(r.getAs[Double]("total_variation") - tv) < 1e-6)
+    // JS and TV are symmetric in the slice order; KL is not
+    val rev = TextScores.distributionDrift(b, a, "text").head()
+    assert(rev.getAs[Double]("js_divergence") ==
+      r.getAs[Double]("js_divergence"))
+    assert(rev.getAs[Double]("total_variation") ==
+      r.getAs[Double]("total_variation"))
+    assert(math.abs(rev.getAs[Double]("kl_ab") -
+      r.getAs[Double]("kl_ba")) < 1e-12)
+  }
 }
