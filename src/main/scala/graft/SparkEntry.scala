@@ -1585,6 +1585,30 @@ object SparkEntry {
       TextScores.distributionDrift(
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1), "text")
+    }),
+
+    "q102_cap_loss_report" -> ((s, d) => {
+      // cap-loss accounting (CandidateGen.capLossReport): planted keyed
+      // frame with 25 small buckets (size 2) and 3 hot keys; cap 16,
+      // neighborhood 4 — the oracle recomputes the pair arithmetic in SQL
+      val keyed = t(s, d, "documents").select(col("doc_id").as("id"),
+        when(col("doc_id") < 50, col("doc_id") % 25)
+          .otherwise(lit(25L) + col("doc_id") % 3).as("key"))
+      CandidateGen.capLossReport(keyed, 16, 4)
+    }),
+
+    "q103_bipartite_cap_loss" -> ((s, d) => {
+      // incremental-path cap-loss accounting (bipartiteCapLossReport):
+      // left keys 0/1 stay small (exact), keys 2-4 go hot (degraded at
+      // cap 40, neighborhood 4); oracle recomputes the volumes in SQL
+      val docs = t(s, d, "documents")
+      val left = docs.select(col("doc_id").as("a"),
+        when(col("doc_id") < 6, lit(0L))
+          .when(col("doc_id") < 12, lit(1L))
+          .otherwise(col("doc_id") % 3 + 2).as("key"))
+      val right = docs.select(col("doc_id").as("b"),
+        (col("doc_id") % 5).as("key"))
+      CandidateGen.bipartiteCapLossReport(left, right, 40, 4)
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -2296,6 +2320,56 @@ object SparkEntry {
              sum(q * ln(q / ((p + q) / 2))) / 2, 6) AS js_divergence,
            round(sum(abs(p - q)) / 2, 6) AS total_variation
          FROM sm""",
+
+    "q102_cap_loss_report" ->
+      // independent recomputation: bucket sizes, exact C(n,2), degraded
+      // n*w - w(w+1)/2 at w=4 (10), status split at cap 16
+      """WITH keyed AS (SELECT doc_id AS id,
+           CASE WHEN doc_id < 50 THEN doc_id % 25
+                ELSE 25 + doc_id % 3 END AS key
+           FROM documents),
+         c AS (SELECT key, count(*) AS n FROM keyed
+           GROUP BY 1 HAVING count(*) > 1),
+         lab AS (SELECT n,
+             CASE WHEN n <= 16 THEN 'exact' ELSE 'degraded' END AS status,
+             n * (n - 1) // 2 AS ex,
+             CASE WHEN n <= 16 THEN n * (n - 1) // 2
+                  WHEN n > 4 THEN n * 4 - 10
+                  ELSE n * (n - 1) // 2 END AS em
+           FROM c)
+         SELECT status,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(ex) AS BIGINT) AS exact_pairs,
+           CAST(sum(em) AS BIGINT) AS emitted_pairs,
+           CAST(sum(ex - em) AS BIGINT) AS dropped_pairs
+         FROM lab GROUP BY 1 ORDER BY status""",
+
+    "q103_bipartite_cap_loss" ->
+      // independent recomputation: per-side key counts, volume n_a*n_b,
+      // ceiling C(40,2) = 780, degraded emits n_a*min(n_b, 4)
+      """WITH l AS (SELECT doc_id AS a,
+           CASE WHEN doc_id < 6 THEN 0 WHEN doc_id < 12 THEN 1
+                ELSE doc_id % 3 + 2 END AS key FROM documents),
+         r AS (SELECT doc_id AS b, doc_id % 5 AS key FROM documents),
+         ka AS (SELECT key, count(*) AS n_a FROM l GROUP BY 1),
+         kb AS (SELECT key, count(*) AS n_b FROM r GROUP BY 1),
+         kc AS (SELECT ka.key, n_a, n_b FROM ka JOIN kb USING (key)),
+         lab AS (SELECT n_a, n_b,
+             CASE WHEN n_a * n_b <= 780 THEN 'exact'
+                  ELSE 'degraded' END AS status,
+             n_a * n_b AS ex,
+             CASE WHEN n_a * n_b <= 780 THEN n_a * n_b
+                  ELSE n_a * least(n_b, 4) END AS em
+           FROM kc)
+         SELECT status,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n_a) AS BIGINT) AS rows_a,
+           CAST(sum(n_b) AS BIGINT) AS rows_b,
+           CAST(sum(ex) AS BIGINT) AS exact_pairs,
+           CAST(sum(em) AS BIGINT) AS emitted_pairs,
+           CAST(sum(ex - em) AS BIGINT) AS dropped_pairs
+         FROM lab GROUP BY 1 ORDER BY status""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

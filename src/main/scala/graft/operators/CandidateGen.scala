@@ -64,6 +64,59 @@ object CandidateGen {
   }
 
   /**
+   * Cap-loss accounting for [[pairsFromBuckets]] — the "no silent caps"
+   * report: when oversized buckets degrade to sorted-neighborhood pairing,
+   * candidate pairs are DROPPED by design; this publishes exactly how many,
+   * so a run's recall posture is a number in its metrics table instead of a
+   * doc-comment caveat. Per bucket of size n the exact join emits C(n, 2)
+   * pairs; the neighborhood-w degrade emits n·w − w(w+1)/2 (each row pairs
+   * with its w id-successors); salting emits everything. Statuses:
+   *
+   *  - `exact`    — n ≤ maxBucketSize: full intra-bucket pairs, dropped = 0;
+   *  - `salted`   — n > maxBucketSize with `saltOversized = true`: exact
+   *                 semantics through the grid, dropped = 0;
+   *  - `degraded` — n > maxBucketSize without salting: dropped =
+   *                 C(n, 2) − (n·w − w(w+1)/2) per bucket.
+   *
+   * Counts are per-bucket candidate VOLUME (the verify-join input cost); a
+   * pair living in several buckets is counted in each — [[pairsFromBuckets]]
+   * dedups on output, so its row count is ≤ the emitted total here.
+   *
+   * Scale: one count shuffle on `key`, then an aggregation to ≤ 3 rows.
+   * Pair arithmetic is integer-exact via shiftright (n(n−1) stays in a long
+   * up to n ≈ 3·10⁹ — beyond any single band key worth enumerating).
+   *
+   * @param keyed same (`id`, `key`) contract as [[pairsFromBuckets]]
+   * @return one row per status present:
+   *         (status, n_buckets, n_rows, exact_pairs, emitted_pairs,
+   *         dropped_pairs), ordered by status
+   */
+  def capLossReport(keyed: DataFrame, maxBucketSize: Int = 4096,
+      neighborhood: Int = 8, saltOversized: Boolean = false): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize($maxBucketSize) must exceed 1")
+    require(neighborhood > 0, s"neighborhood($neighborhood) must be positive")
+    val counts = keyed.groupBy("key").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1) // singleton buckets generate nothing
+    val w = lit(neighborhood.toLong)
+    val exact = shiftright(col("n") * (col("n") - 1), 1)
+    val degraded = when(col("n") > w,
+      col("n") * w - shiftright(w * (w + 1), 1)).otherwise(exact)
+    counts
+      .withColumn("status",
+        when(col("n") <= maxBucketSize, lit("exact"))
+          .otherwise(lit(if (saltOversized) "salted" else "degraded")))
+      .withColumn("__exact", exact)
+      .withColumn("__emitted",
+        when(col("status") === "degraded", degraded).otherwise(exact))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+        sum(col("__exact")).as("exact_pairs"),
+        sum(col("__emitted")).as("emitted_pairs"),
+        sum(col("__exact") - col("__emitted")).as("dropped_pairs"))
+      .orderBy("status")
+  }
+
+  /**
    * BIPARTITE candidate-pair generation — the incremental-dedup shape: LEFT
    * bucket rows (`a`, `key`) of a new batch against RIGHT bucket rows (`b`,
    * `key`) of an existing corpus, cross-side pairs only. A bare equi-join on
@@ -147,6 +200,53 @@ object CandidateGen {
       }
 
     smallPairs.union(bigPairs).distinct()
+  }
+
+  /**
+   * Cap-loss accounting for [[bipartitePairsFromBuckets]] — the incremental
+   * path's "no silent caps" report, mirroring [[capLossReport]]: per shared
+   * key the exact bipartite join emits n_a·n_b pairs; the bounded degrade
+   * emits n_a·min(n_b, w) (every left row against the key's w smallest-id
+   * right rows); salting emits everything. A key is oversized when
+   * n_a·n_b > maxBucketSize·(maxBucketSize−1)/2 — the same volume ceiling
+   * the pair generator applies, so report and join classify identically.
+   *
+   * Statuses: `exact` (under the ceiling), `salted` (over, exact via grid),
+   * `degraded` (over, bounded; dropped = n_a·(n_b − w) when n_b > w, else 0).
+   * Keys absent from either side generate nothing and are absent here too.
+   *
+   * Scale: one count shuffle per side, an equi-join on key over the
+   * key-cardinality-sized count frames, then an aggregation to ≤ 3 rows.
+   *
+   * @param left  (`a`, `key`) bucket rows — same contract as the generator
+   * @param right (`b`, `key`) bucket rows
+   * @return one row per status present: (status, n_keys, rows_a, rows_b,
+   *         exact_pairs, emitted_pairs, dropped_pairs), ordered by status
+   */
+  def bipartiteCapLossReport(left: DataFrame, right: DataFrame,
+      maxBucketSize: Int = 4096, neighborhood: Int = 8,
+      saltOversized: Boolean = false): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize($maxBucketSize) must exceed 1")
+    require(neighborhood > 0, s"neighborhood($neighborhood) must be positive")
+    val capPairs = maxBucketSize.toLong * (maxBucketSize - 1) / 2
+    val kc = left.groupBy("key").agg(count(lit(1)).as("n_a"))
+      .join(right.groupBy("key").agg(count(lit(1)).as("n_b")), "key")
+    val vol = col("n_a") * col("n_b")
+    val w = lit(neighborhood.toLong)
+    kc.withColumn("status",
+        when(vol <= capPairs, lit("exact"))
+          .otherwise(lit(if (saltOversized) "salted" else "degraded")))
+      .withColumn("__exact", vol)
+      .withColumn("__emitted",
+        when(col("status") === "degraded", col("n_a") * least(col("n_b"), w))
+          .otherwise(vol))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_a")).as("rows_a"), sum(col("n_b")).as("rows_b"),
+        sum(col("__exact")).as("exact_pairs"),
+        sum(col("__emitted")).as("emitted_pairs"),
+        sum(col("__exact") - col("__emitted")).as("dropped_pairs"))
+      .orderBy("status")
   }
 
   /**

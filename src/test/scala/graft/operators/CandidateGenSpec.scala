@@ -208,4 +208,59 @@ class CandidateGenSpec extends SparkSpec {
       assert((0 until c).combinations(s).size <= 256)
     }
   }
+
+  test("capLossReport matches pairsFromBuckets' actual emitted volume") {
+    // disjoint id ranges per bucket -> no cross-bucket duplicate pairs, so
+    // the distinct() in pairsFromBuckets removes nothing and counts tie out
+    val keyed = ((0L until 3L).map((_, 1L)) ++ // small: C(3,2) = 3
+      (100L until 120L).map((_, 2L)) ++ // oversized: n = 20
+      (200L until 202L).map((_, 3L)) ++ // small: 1 pair
+      Seq((300L, 4L))) // singleton: generates nothing, absent from report
+      .toDF("id", "key")
+    val (cap, w) = (8, 4)
+    val rep = CandidateGen.capLossReport(keyed, cap, w)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep.keySet == Set("exact", "degraded"))
+    assert(rep("exact") == (("exact", 2L, 5L, 4L, 4L, 0L)))
+    // degraded bucket: exact C(20,2) = 190, emitted 20*4 - 10 = 70
+    assert(rep("degraded") == (("degraded", 1L, 20L, 190L, 70L, 120L)))
+    assert(CandidateGen.pairsFromBuckets(keyed, cap, w).count() ==
+      rep.values.map(_._5).sum)
+    // salted mode: oversized keeps exact semantics, nothing dropped
+    val repS = CandidateGen.capLossReport(keyed, cap, w, saltOversized = true)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(repS("salted") == (("salted", 1L, 20L, 190L, 190L, 0L)))
+    assert(CandidateGen.pairsFromBuckets(keyed, cap, w,
+      saltOversized = true).count() == repS.values.map(_._5).sum)
+  }
+
+  test("bipartiteCapLossReport matches the bipartite generator's volume") {
+    // disjoint id spaces per key -> distinct() removes nothing
+    val left = ((Seq(1L, 2L).map((_, 1L))) ++ // key 1: n_a = 2
+      (100L until 120L).map((_, 2L)) ++ // key 2: n_a = 20
+      Seq((300L, 9L))) // key 9: right side empty -> absent from report
+      .toDF("a", "key")
+    val right = (Seq(10L, 11L, 12L).map((_, 1L)) ++ // key 1: n_b = 3
+      (200L until 230L).map((_, 2L))) // key 2: n_b = 30
+      .toDF("b", "key")
+    val (cap, w) = (8, 4) // ceiling = C(8,2) = 28: key 1 exact, key 2 over
+    val rep = CandidateGen.bipartiteCapLossReport(left, right, cap, w)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep.keySet == Set("exact", "degraded"))
+    assert(rep("exact") == (("exact", 1L, 2L, 3L, 6L, 6L, 0L)))
+    // key 2: exact 600, emitted 20 * min(30, 4) = 80, dropped 520
+    assert(rep("degraded") == (("degraded", 1L, 20L, 30L, 600L, 80L, 520L)))
+    assert(CandidateGen.bipartitePairsFromBuckets(left, right, cap, w)
+      .count() == rep.values.map(_._6).sum)
+    val repS = CandidateGen.bipartiteCapLossReport(left, right, cap, w,
+        saltOversized = true)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(repS("salted") == (("salted", 1L, 20L, 30L, 600L, 600L, 0L)))
+    assert(CandidateGen.bipartitePairsFromBuckets(left, right, cap, w,
+      saltOversized = true).count() == repS.values.map(_._6).sum)
+  }
 }
