@@ -1609,7 +1609,12 @@ object SparkEntry {
       val right = docs.select(col("doc_id").as("b"),
         (col("doc_id") % 5).as("key"))
       CandidateGen.bipartiteCapLossReport(left, right, 40, 4)
-    }))
+    }),
+
+    "q104_data_card" -> ((s, d) =>
+      // one-row dataset card (Curation.dataCard): volume, dup/empty counts,
+      // exact median length, English share — oracle recomputes all of it
+      Curation.dataCard(t(s, d, "documents"), "doc_id", "text")))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2370,6 +2375,39 @@ object SparkEntry {
            CAST(sum(em) AS BIGINT) AS emitted_pairs,
            CAST(sum(ex - em) AS BIGINT) AS dropped_pairs
          FROM lab GROUP BY 1 ORDER BY status""",
+
+    "q104_data_card" ->
+      // independent recomputation: q14's normalize+stopword fragment for
+      // language ID, count DISTINCT raw text for dups, quantile_disc for
+      // the exact median (the q86 parity precedent)
+      """WITH s AS (
+           SELECT doc_id, text,
+             list_filter(string_split(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'), ' '), x -> length(x) > 0) AS toks
+           FROM documents),
+         d AS (SELECT doc_id, text, len(toks) AS tc,
+             CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               len(list_filter(toks, x -> x IN ('the','a','an','and','or',
+                 'of','to','in','is','it','that','for','on','with','as',
+                 'was','at','by'))) * 1.0 / len(toks) END AS sr
+           FROM s),
+         types AS (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+             AS n_token_types
+           FROM (SELECT unnest(toks) AS tok FROM s)),
+         base AS (SELECT
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE tc = 0) AS BIGINT) AS n_empty_docs,
+             CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs,
+             CAST(sum(tc) AS BIGINT) AS n_tokens,
+             round(avg(tc), 6) AS mean_tokens,
+             CAST(quantile_disc(tc, 0.5) AS BIGINT) AS p50_tokens,
+             round(avg(CASE WHEN sr >= 0.08 THEN 1.0 ELSE 0.0 END), 6)
+               AS pct_en
+           FROM d)
+         SELECT n_docs, n_empty_docs, n_dup_docs, n_tokens, n_token_types,
+           mean_tokens, p50_tokens, pct_en
+         FROM base CROSS JOIN types""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -379,4 +379,46 @@ object Curation {
         count(lit(1)).as("n_rows"))
       .where(col("n_images") >= minImages)
   }
+
+  /**
+   * One-row dataset card — the summary a pipeline publishes next to every
+   * corpus snapshot (the "data card" row of a FineWeb/Dolma-style release):
+   * volume (docs, tokens, vocabulary), exact duplicate and empty-doc rates
+   * in absolute counts, central length statistics (mean + EXACT median via
+   * [[graft.operators.SkewStats.exactQuantiles]] — no single-partition
+   * sort), and the English share under the engine's stopword language ID.
+   * Every number is re-derivable from the corpus alone, so the card doubles
+   * as a cross-engine consistency probe (the oracle recomputes it all).
+   *
+   * Scale shape: one narrow per-doc projection feeding a single aggregate
+   * (stopword ratio projected ONCE — the q14 lesson), one explode+distinct
+   * for the vocabulary count, and the value-bucketed quantile machinery for
+   * the median; the three 1-row frames meet by broadcast. No windows, no
+   * collects.
+   *
+   * @return (n_docs, n_empty_docs, n_dup_docs, n_tokens, n_token_types,
+   *         mean_tokens, p50_tokens, pct_en) — rates rounded to 6
+   */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.{tokens, stopword_ratio, lang_id_from_ratio}
+    val perDoc = docs.select(col(textCol).as("__text"),
+      size(tokens(col(textCol))).as("tc"),
+      stopword_ratio(col(textCol)).as("sr"))
+    val base = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("tc") === 0, lit(1))).as("n_empty_docs"),
+      (count(lit(1)) - countDistinct(col("__text"))).as("n_dup_docs"),
+      sum(col("tc")).cast("long").as("n_tokens"),
+      round(avg(col("tc")), 6).as("mean_tokens"),
+      round(avg(when(lang_id_from_ratio(col("sr")) === "en", 1.0)
+        .otherwise(0.0)), 6).as("pct_en"))
+    val types = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("n_token_types"))
+    val p50 = SkewStats.exactQuantiles(perDoc.select(col("tc")), "tc",
+        Seq(0.5))
+      .select(col("value").cast("long").as("p50_tokens"))
+    base.crossJoin(broadcast(types)).crossJoin(broadcast(p50))
+      .select("n_docs", "n_empty_docs", "n_dup_docs", "n_tokens",
+        "n_token_types", "mean_tokens", "p50_tokens", "pct_en")
+  }
 }

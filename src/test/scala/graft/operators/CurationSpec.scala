@@ -270,4 +270,23 @@ class CurationSpec extends SparkSpec {
     assert(got == Set(("click here now", 5L, 6L), ("Great Product!!", 3L, 3L)),
       s"flagged set wrong: $got")
   }
+
+  test("dataCard: hand-computed corpus summary row") {
+    val docs = Seq(
+      (1L, "the cat and the dog"), // 5 toks, sr 0.6 -> en
+      (2L, "the cat and the dog"), // exact duplicate of 1
+      (3L, "zz qq ww"),            // 3 toks, sr 0 -> other
+      (4L, "")                     // empty
+    ).toDF("doc_id", "text")
+    val r = Curation.dataCard(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_empty_docs") == 1)
+    assert(r.getAs[Long]("n_dup_docs") == 1)
+    assert(r.getAs[Long]("n_tokens") == 13)
+    // vocabulary: the, cat, and, dog, zz, qq, ww
+    assert(r.getAs[Long]("n_token_types") == 7)
+    assert(r.getAs[Double]("mean_tokens") == 3.25)
+    // counts sorted (0, 3, 5, 5): first cum >= 0.5*4 is at value 3
+    assert(r.getAs[Long]("p50_tokens") == 3)
+    assert(r.getAs[Double]("pct_en") == 0.5)
+  }
 }
