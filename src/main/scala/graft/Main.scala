@@ -317,9 +317,11 @@ object Main {
         def pairsDag(): DataFrame = (featIo, bucketState) match {
           case (Some(io), Some((n, nb))) =>
             DedupPipeline.incrementalPairsFromState(spark, newFeat,
-              corpusFeat, io.readBucketed("corpus_buckets", "key", nb), n, cfg)
+              corpusFeat, io.readBucketed("corpus_buckets", "key", nb), n,
+              cfg, store)
           case _ =>
-            DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg)
+            DedupPipeline.incrementalPairs(spark, newFeat, corpusFeat, cfg,
+              store)
         }
         val pairs = store match {
           case Some(s) => s.stage("incremental_pairs")(pairsDag())

@@ -180,6 +180,13 @@ object DedupPipeline {
     checkpoint.foreach(_.stage("bucket_histogram") {
       SkewStats.bucketHistogram(bucketRows)
     })
+    // ... and the run's recall posture: how much candidate volume the cap
+    // dropped (degrade mode) or spread (salted) — the "no silent caps"
+    // metric, one more aggregation over the same cache
+    checkpoint.foreach(_.stage("cap_loss") {
+      CandidateGen.capLossReport(bucketRows, cfg.maxBucketSize,
+        saltOversized = cfg.saltOversized)
+    })
     val candidates = CandidateGen.pairsFromBuckets(bucketRows, cfg.maxBucketSize,
       saltOversized = cfg.saltOversized)
 
@@ -270,10 +277,11 @@ object DedupPipeline {
    * @return (a = new image_id, b = corpus image_id, jaccard, hamming)
    */
   def incrementalPairs(spark: SparkSession, newFeat: DataFrame,
-      corpusFeat: DataFrame, cfg: DedupConfig): DataFrame = {
+      corpusFeat: DataFrame, cfg: DedupConfig,
+      checkpoint: Option[CheckpointStore] = None): DataFrame = {
     val nCorpus = corpusFeat.count()
     incrementalPairsFromState(spark, newFeat, corpusFeat,
-      corpusStateRows(corpusFeat, nCorpus, cfg), nCorpus, cfg)
+      corpusStateRows(corpusFeat, nCorpus, cfg), nCorpus, cfg, checkpoint)
   }
 
   /** Side-salted join identity of the bipartite DAG: see
@@ -344,12 +352,23 @@ object DedupPipeline {
    */
   def incrementalPairsFromState(spark: SparkSession, newFeat: DataFrame,
       corpusFeat: DataFrame, corpusBuckets: DataFrame, corpusCount: Long,
-      cfg: DedupConfig): DataFrame = {
+      cfg: DedupConfig, checkpoint: Option[CheckpointStore] = None)
+      : DataFrame = {
     val nf = saltedSide(newFeat, 0)
     val cf = saltedSide(corpusFeat, 1)
-    val cand = CandidateGen.bipartitePairsFromBuckets(
-      sideBuckets(nf, corpusCount, cfg).select(col("id").as("a"), col("key")),
-      corpusBuckets.select(col("b"), col("key")),
+    val newBuckets = sideBuckets(nf, corpusCount, cfg)
+      .select(col("id").as("a"), col("key"))
+    val cb = corpusBuckets.select(col("b"), col("key"))
+    // checkpointed runs publish the bipartite recall posture next to the
+    // pairs — dropped candidate volume per status, the incremental "no
+    // silent caps" metric. The report re-derives the (narrow) new-batch
+    // bucket rows; it materializes eagerly inside stage(), so no
+    // persistence hand-off with the lazily-consumed candidate join below.
+    checkpoint.foreach(_.stage("incremental_cap_loss") {
+      CandidateGen.bipartiteCapLossReport(newBuckets, cb,
+        cfg.maxBucketSize, saltOversized = cfg.saltOversized)
+    })
+    val cand = CandidateGen.bipartitePairsFromBuckets(newBuckets, cb,
       cfg.maxBucketSize, saltOversized = cfg.saltOversized)
     val featByNid = nf.unionByName(cf)
       .select((Seq(col("nid").as("id"), col("shingles"), col("simhash"),

@@ -235,6 +235,14 @@ class MainSpec extends SparkSpec {
       .where(col("stage") === "incremental_pairs")
     assert(m1.count() == 1, "incremental run must record its staged metrics")
     assert(spark.read.parquet(s"$out/lineage.parquet").count() > 0)
+    // checkpointed incremental runs also publish the bipartite cap-loss
+    // posture (the incremental "no silent caps" metric)
+    val capLoss = spark.read.parquet(s"$ck/i1/incremental_cap_loss")
+    assert(capLoss.count() > 0)
+    val conserved = capLoss
+      .select("exact_pairs", "emitted_pairs", "dropped_pairs").collect()
+    assert(conserved.forall(r =>
+      r.getLong(0) == r.getLong(1) + r.getLong(2)))
 
     // resume: the staged pairs are reused, no second metric row
     Main.run(spark, in, out, DedupConfig.default, Some(ck), "i1",

@@ -133,6 +133,18 @@ class ImagePipelineSpec extends SparkSpec {
       sys.error("bucket_histogram must come from the checkpoint"))
     assert(hist.count() > 0)
     assert(hist.select("n_rows").as[Long].collect().sum > 0)
+    // ... and the cap-loss posture next to it: statuses legal, volumes
+    // conserved (emitted + dropped = exact), nothing dropped outside the
+    // degrade status
+    assert(store1.exists("cap_loss"))
+    val loss = store1.stage("cap_loss")(
+      sys.error("cap_loss must come from the checkpoint"))
+      .select("status", "exact_pairs", "emitted_pairs", "dropped_pairs")
+      .as[(String, Long, Long, Long)].collect()
+    assert(loss.nonEmpty)
+    assert(loss.forall(r => Set("exact", "salted", "degraded")(r._1)))
+    assert(loss.forall(r => r._2 == r._3 + r._4), "volume conservation")
+    assert(loss.filter(_._1 != "degraded").forall(_._4 == 0L))
   }
 
   test("phash: variants stay close, unrelated bases far (hamming histogram)") {
