@@ -1614,7 +1614,26 @@ object SparkEntry {
     "q104_data_card" -> ((s, d) =>
       // one-row dataset card (Curation.dataCard): volume, dup/empty counts,
       // exact median length, English share — oracle recomputes all of it
-      Curation.dataCard(t(s, d, "documents"), "doc_id", "text")))
+      Curation.dataCard(t(s, d, "documents"), "doc_id", "text")),
+
+    "q105_scale_dups" -> ((s, _) => {
+      // scale-resilient image dedup (Dedup.scaleDups): 300 synthetic bases,
+      // each with a 2x nearest-neighbor upscale, every third also a 3x —
+      // the q88 device for the rescale transform: recall is guaranteed by
+      // scaleKey's exact integer arithmetic (renderBase dims are multiples
+      // of 16), precision by the 64-cell + aspect key, so the EXACT planted
+      // pair set (triangles where the 3x exists) is the oracle
+      import s.implicits._
+      val images = s.range(0L, 300L, 1L, 32).as[Long].flatMap { i =>
+        val png = graft.synth.ImageCodec.encodePng(ImageGen.renderBase(991L, i))
+        val fam = Seq((f"b$i%04d", png, "png"),
+          (f"u$i%04d", ImageGen.upscaleOf(png, 2), "png"))
+        if (i % 3 == 0)
+          fam :+ ((f"v$i%04d", ImageGen.upscaleOf(png, 3), "png"))
+        else fam
+      }.toDF("image_id", "bytes", "fmt")
+      Dedup.scaleDups(s, images, minContrast = 0.0).orderBy("a", "b")
+    }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2408,6 +2427,24 @@ object SparkEntry {
          SELECT n_docs, n_empty_docs, n_dup_docs, n_tokens, n_token_types,
            mean_tokens, p50_tokens, pct_en
          FROM base CROSS JOIN types""",
+
+    "q105_scale_dups" ->
+      // the planted pair set IS the oracle (the q88 device): every base
+      // pairs with its 2x upscale; where the 3x exists the family keys
+      // identically, so the full id-ordered triangle emits
+      """WITH base AS (SELECT i FROM generate_series(0, 299) t(i)),
+         p AS (
+           SELECT 'b' || lpad(CAST(i AS VARCHAR), 4, '0') AS a,
+                  'u' || lpad(CAST(i AS VARCHAR), 4, '0') AS b FROM base
+           UNION ALL
+           SELECT 'b' || lpad(CAST(i AS VARCHAR), 4, '0'),
+                  'v' || lpad(CAST(i AS VARCHAR), 4, '0')
+           FROM base WHERE i % 3 = 0
+           UNION ALL
+           SELECT 'u' || lpad(CAST(i AS VARCHAR), 4, '0'),
+                  'v' || lpad(CAST(i AS VARCHAR), 4, '0')
+           FROM base WHERE i % 3 = 0)
+         SELECT a, b FROM p ORDER BY a, b""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -606,6 +606,33 @@ object Dedup {
   }
 
   /**
+   * Scale-resilient image dedup: pairs where one image is an
+   * integer-factor nearest-neighbor rescale of the other — thumbnails and
+   * resolution re-uploads, the FOURTH common web re-post transform, closing
+   * the geometric family next to [[cropDups]] (re-framed sub-region),
+   * [[borderDups]] (added bars), [[overlayDups]] (stamped region), and the
+   * mirror/rotation orbit in the phash pipeline. Keys are
+   * [[Multimodal.scaleKeys]]: integer-luma 8x8 cell means + reduced aspect
+   * ratio, BIT-IDENTICAL across such rescales of multiple-of-8-dimension
+   * frames ([[graft.synth.ImageCodec.scaleKey]]'s exact-arithmetic
+   * invariant), so recall is guaranteed by construction — and two different
+   * rescales of one base pair with each other too (they share the base's
+   * key). Interpolated / fractional rescales belong to the phash families.
+   * Pairs flow through the shared [[CandidateGen.pairsFromBuckets]]
+   * cap/salt device.
+   *
+   * @return (a, b) with a < b
+   */
+  def scaleDups(spark: org.apache.spark.sql.SparkSession, images: DataFrame,
+      minContrast: Double = 8.0, maxBucketSize: Int = 4096,
+      saltOversized: Boolean = false): DataFrame = {
+    val keys = Multimodal.scaleKeys(spark, images, minContrast)
+      .select("id", "key")
+    CandidateGen.pairsFromBuckets(keys, maxBucketSize,
+      saltOversized = saltOversized)
+  }
+
+  /**
    * Overlay-resilient image dedup: pairs of same-dimension images that are
    * pixel-identical outside a stamped region — watermarks, logos, channel
    * bugs, timestamps: the THIRD common web re-post transform, closing the

@@ -226,6 +226,39 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /**
+   * Scale-canonical content keys: one [[graft.synth.ImageCodec.scaleKey]]
+   * per image — integer-luma 8x8 cell means + reduced aspect ratio, the
+   * key that is BIT-IDENTICAL across integer-factor nearest-neighbor
+   * rescales of multiple-of-8-dimension frames (the "re-uploaded at a
+   * different resolution" transform, complementary to the crop / border /
+   * overlay families). One decode + one O(pixels) integer pass per row;
+   * undecodable rows emit nothing; low-contrast frames are dropped by the
+   * `minContrast` gate unless it is 0.
+   *
+   * @return (id, key, w, h)
+   */
+  def scaleKeys(spark: SparkSession, images: DataFrame,
+      minContrast: Double = 8.0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("key", LongType),
+      StructField("w", IntegerType),
+      StructField("h", IntegerType)))
+    val enc = ExpressionEncoder(schema)
+    val input = images.select(col("image_id"), col("bytes"), col("fmt"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        tryDecode(r.getAs[Array[Byte]](1), r.getString(2)) match {
+          case Some(img) =>
+            ImageCodec.scaleKey(img, minContrast)
+              .map(k => Row(r.getString(0), k, img.getWidth, img.getHeight))
+          case None => None
+        }
+      }
+    }(enc).toDF()
+  }
+
   val resizeSchema: StructType = StructType(Seq(
     StructField("image_id", StringType),
     StructField("bytes", BinaryType),

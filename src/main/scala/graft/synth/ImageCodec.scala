@@ -234,6 +234,99 @@ object ImageCodec {
   def averageHash(img: BufferedImage): Long =
     cellsAHash(regionCells(img, 0, 0, img.getWidth, img.getHeight))
 
+  /** Integer luma 299r + 587g + 114b (milli-luma, 0..255000): the exact-sum
+    * counterpart of [[lumaAccessor]] for keys that must survive rescaling —
+    * Long sums of integer luma never round, where float sums of the
+    * fractional luma re-round per accumulation order. */
+  private def intLumaAccessor(img: BufferedImage): (Int, Int) => Long =
+    img.getRaster.getDataBuffer match {
+      case b: java.awt.image.DataBufferByte
+          if img.getType == BufferedImage.TYPE_3BYTE_BGR &&
+            b.getData.length == img.getWidth * img.getHeight * 3 =>
+        val d = b.getData
+        val w = img.getWidth
+        (x, y) => {
+          val o = (y * w + x) * 3
+          299L * (d(o + 2) & 0xFF) + 587L * (d(o + 1) & 0xFF) +
+            114L * (d(o) & 0xFF)
+        }
+      case _ => (x, y) => {
+        val rgb = img.getRGB(x, y)
+        299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+      }
+    }
+
+  /**
+   * Scale-canonical content key: 8x8 grid of INTEGER-luma cell means over
+   * the whole frame, mixed with the gcd-reduced aspect ratio.
+   *
+   * EXACT invariant — for an integer-factor nearest-neighbor rescale (in
+   * either direction) of an image whose dimensions are multiples of 8, the
+   * key is bit-identical:
+   *  - cell boundaries `gx·w/8` are exact multiples of w/8, so the rescaled
+   *    boundaries are exactly `f` times the original ones — cells map to
+   *    cells;
+   *  - per-cell sums are exact integers (milli-luma ≤ 255000/px; a Long
+   *    holds ~3.6·10¹³ px/cell before overflow), and NN replication
+   *    multiplies sum and area both by exactly f², so the IEEE quotient
+   *    sum/area rounds the SAME real number → bit-equal doubles;
+   *  - gcd-reduced (w, h) is invariant under uniform scaling.
+   * [[regionKey]]'s fractional luma cannot promise this (float sums of
+   * replicated values re-round per accumulation order); integer luma
+   * removes rounding from the sums entirely. Fractional-factor or
+   * interpolated (lossy) rescales perturb the means and belong to the
+   * phash/average-hash families.
+   *
+   * @param minContrast same units as [[regionKey]] (luma, 0..255): frames
+   *        whose cell-mean spread is below it emit nothing
+   */
+  def scaleKey(img: BufferedImage, minContrast: Double = 8.0): Option[Long] = {
+    val w = img.getWidth; val h = img.getHeight
+    val li = intLumaAccessor(img)
+    val cells = new Array[Double](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val cx0 = gx * w / 8; val cx1 = math.max(cx0 + 1, (gx + 1) * w / 8)
+        val cy0 = gy * h / 8; val cy1 = math.max(cy0 + 1, (gy + 1) * h / 8)
+        var sum = 0L
+        var y = cy0
+        while (y < cy1) {
+          var x = cx0
+          while (x < cx1) { sum += li(x, y); x += 1 }
+          y += 1
+        }
+        cells(gy * 8 + gx) =
+          sum.toDouble / ((cx1 - cx0).toLong * (cy1 - cy0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var mn = cells(0); var mx = cells(0)
+    var i = 1
+    while (i < 64) {
+      if (cells(i) < mn) mn = cells(i)
+      if (cells(i) > mx) mx = cells(i)
+      i += 1
+    }
+    if ((mx - mn) / 1000.0 < minContrast) None
+    else {
+      var a = w.toLong; var b = h.toLong
+      while (b != 0) { val t = a % b; a = b; b = t }
+      var k = graft.functions.HashKernels.mix64(0x5C4E9A27D31B86FL ^ (w / a))
+      k = graft.functions.HashKernels.mix64(k ^ (h / a))
+      i = 0
+      while (i < 64) {
+        k = graft.functions.HashKernels.mix64(
+          k ^ java.lang.Double.doubleToRawLongBits(cells(i)))
+        i += 1
+      }
+      Some(k)
+    }
+  }
+
   /**
    * Content bounding box after stripping uniform borders: any outermost row
    * or column whose pixels are all ONE color is trimmed, repeatedly, until

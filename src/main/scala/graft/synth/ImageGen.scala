@@ -185,6 +185,34 @@ object ImageGen {
     ImageCodec.encodePng(out)
   }
 
+  /** Integer-factor nearest-neighbor upscale (each pixel becomes an f×f
+    * block) — the planted input for [[graft.operators.Dedup.scaleDups]]:
+    * the lossless "re-uploaded at a different resolution" transform whose
+    * scale-canonical key is bit-identical to the original's
+    * ([[graft.synth.ImageCodec.scaleKey]]'s exact invariant). */
+  def upscaleOf(bytes: Array[Byte], f: Int): Array[Byte] = {
+    require(f >= 2, s"upscale factor($f) must be >= 2")
+    val img = ImageCodec.decode(bytes)
+    val w = img.getWidth; val h = img.getHeight
+    val out = new BufferedImage(w * f, h * f, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        var dy = 0
+        while (dy < f) {
+          var dx = 0
+          while (dx < f) { out.setRGB(x * f + dx, y * f + dy, rgb); dx += 1 }
+          dy += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.encodePng(out)
+  }
+
   /** Lossless re-post of an encoded image inside a solid border of `px`
     * pixels on every side — the planted input for [[graft.operators.Dedup
     * .borderDups]] specs and the q89 oracle corpus. */

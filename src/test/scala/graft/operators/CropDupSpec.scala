@@ -173,4 +173,40 @@ class CropDupSpec extends SparkSpec {
     assert(loose.toSeq == Seq(("a", "v", 8L)),
       s"at minTiles = 8 the band pair emits with exactly 8 tiles: $loose")
   }
+
+  test("scaleKey invariant: integer-factor NN rescales key bit-identically") {
+    val png = pngOf(7L) // renderBase dims are multiples of 16
+    val img = ImageCodec.decode(png)
+    val k0 = ImageCodec.scaleKey(img, 0.0)
+    assert(k0.nonEmpty)
+    for (f <- Seq(2, 3)) {
+      val up = ImageCodec.decode(ImageGen.upscaleOf(png, f))
+      assert(up.getWidth == img.getWidth * f)
+      assert(ImageCodec.scaleKey(up, 0.0) == k0,
+        s"factor-$f NN upscale must keep the scale key bit-identical")
+    }
+    // a different base keys differently (no trivial collisions)
+    assert(ImageCodec.scaleKey(ImageCodec.decode(pngOf(8L)), 0.0) != k0)
+    // flat frames are dropped by the contrast gate
+    val flat = new BufferedImage(64, 64, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 64; x <- 0 until 64) flat.setRGB(x, y, 0x404040)
+    assert(ImageCodec.scaleKey(flat).isEmpty)
+  }
+
+  test("scaleDups: planted rescale family pairs transitively, unrelated " +
+    "bases never pair") {
+    val rows = (0L until 6L).flatMap { i =>
+      val png = pngOf(i)
+      Seq((s"b$i", png, "png"), (s"u$i", ImageGen.upscaleOf(png, 2), "png"),
+        (s"v$i", ImageGen.upscaleOf(png, 3), "png"))
+    }
+    val images = rows.toDF("image_id", "bytes", "fmt")
+    val got = Dedup.scaleDups(spark, images, minContrast = 0.0)
+      .as[(String, String)].collect().toSet
+    // all three family members share one key -> the full triangle per base
+    val want = (0L until 6L).flatMap { i =>
+      Seq((s"b$i", s"u$i"), (s"b$i", s"v$i"), (s"u$i", s"v$i"))
+    }.toSet
+    assert(got == want, s"expected exactly the planted triangles: $got")
+  }
 }
