@@ -344,4 +344,48 @@ class PlanSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"unpartitioned WindowExec present: ${bad.headOption}")
   }
+
+  test("q99/q101/q104: data-sized joins are equi; only bounded 1-row " +
+    "combines may nest-loop; no unpartitioned window") {
+    // q104's budget: dataCard's two card combines + exactQuantiles'
+    // internal 1-row total broadcast + the cumSums boundary stitch
+    Seq("q99_transitivity_audit" -> 2, "q101_distribution_drift" -> 1,
+      "q104_data_card" -> 4).foreach { case (q, maxOneRowCombines) =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+      // crossJoins of 1-row aggregates plan as BNLJ with a 1-row build
+      // side — bounded at any scale; anything beyond that budget would be
+      // a data-sized nested loop
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= maxOneRowCombines,
+        s"$q plans $bnlj nested-loop joins (allowed $maxOneRowCombines " +
+          "1-row combines)")
+      val bad = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q has an unpartitioned WindowExec")
+    }
+  }
+
+  test("q100/q102: planner table and cap-loss report are join-free " +
+    "aggregation shapes") {
+    val p100 = planOf(SparkEntry.queries("q100_lsh_plan")(spark, dir))
+    assert(!p100.contains("Join"), "unexpected join in lshPlan")
+    // divisor frame -> HOF aggregate projection -> sort: nothing else
+    assert("Exchange".r.findAllIn(p100).size <= 1, p100.take(1500))
+    val p102 = planOf(SparkEntry.queries("q102_cap_loss_report")(spark, dir))
+    assert(!p102.contains("Join"), "unexpected join in capLossReport")
+    // key-count shuffle + status agg + final orderBy
+    assert("Exchange".r.findAllIn(p102).size <= 3, p102.take(1500))
+  }
+
+  test("q103/q105: bipartite cap-loss and scale dedup plan equi-joins, " +
+    "never a nested loop") {
+    Seq("q103_bipartite_cap_loss", "q105_scale_dups").foreach { q =>
+      val p = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
+    }
+  }
 }
