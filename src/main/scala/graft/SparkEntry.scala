@@ -1633,6 +1633,28 @@ object SparkEntry {
         else fam
       }.toDF("image_id", "bytes", "fmt")
       Dedup.scaleDups(s, images, minContrast = 0.0).orderBy("a", "b")
+    }),
+
+    "q106_dup_by_stratum" -> ((s, d) => {
+      // per-stratum exact-dup report (Dedup.dupRateByStratum): documents
+      // plus a planted quarter-corpus 'recrawl' stratum (the q15 + 100000
+      // id device); the oracle regroups on the raw text in SQL
+      val docs = t(s, d, "documents").select("doc_id", "text", "source")
+      val recrawl = docs.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          lit("recrawl").as("source"))
+      Dedup.dupRateByStratum(docs.unionByName(recrawl),
+        "doc_id", "text", "source")
+    }),
+
+    "q107_embedding_drift" -> ((s, d) => {
+      // embedding-space drift gate (Validate.embeddingDrift) between the
+      // vec_id-parity slices; means rounded before the cosine so the
+      // statistic is a pure function of the two rounded mean vectors
+      val emb = t(s, d, "embeddings")
+      Validate.embeddingDrift(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1), "embedding")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -2445,6 +2467,66 @@ object SparkEntry {
                   'v' || lpad(CAST(i AS VARCHAR), 4, '0')
            FROM base WHERE i % 3 = 0)
          SELECT a, b FROM p ORDER BY a, b""",
+
+    "q106_dup_by_stratum" ->
+      // independent recomputation: group on the RAW text (the Spark side
+      // groups on xxhash64(text) — same groups absent a 64-bit collision),
+      // per-group size + distinct strata, then the stratum rollup
+      """WITH all_docs AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text, 'recrawl' FROM documents
+           WHERE doc_id % 4 = 0),
+         g AS (SELECT text, count(*) AS n_in_group,
+             count(DISTINCT source) AS n_strata
+           FROM all_docs GROUP BY 1)
+         SELECT source AS stratum,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_in_group > 1) AS BIGINT)
+             AS n_dup_docs,
+           CAST(count(*) FILTER (WHERE n_strata > 1) AS BIGINT)
+             AS n_cross_dup_docs,
+           round(avg(CASE WHEN n_in_group > 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS dup_rate
+         FROM all_docs JOIN g USING (text)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q107_embedding_drift" ->
+      // independent recomputation: zipped unnest for (pos, value), per-pos
+      // means rounded to 6 BEFORE the cosine (the Spark side's determinism
+      // device), q97's norm-fold idiom for the per-side norm averages
+      """WITH a AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0
+             AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+         b AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 1
+             AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+         ma AS (SELECT pos, round(avg(CAST(x AS DOUBLE)), 6) AS m
+           FROM (SELECT unnest(embedding) AS x,
+                   unnest(range(len(embedding))) AS pos FROM a)
+           GROUP BY 1),
+         mb AS (SELECT pos, round(avg(CAST(x AS DOUBLE)), 6) AS m
+           FROM (SELECT unnest(embedding) AS x,
+                   unnest(range(len(embedding))) AS pos FROM b)
+           GROUP BY 1),
+         cosp AS (SELECT
+             sum(coalesce(ma.m, 0) * coalesce(mb.m, 0)) AS dot,
+             sum(coalesce(ma.m, 0) * coalesce(ma.m, 0)) AS na2,
+             sum(coalesce(mb.m, 0) * coalesce(mb.m, 0)) AS nb2
+           FROM ma FULL OUTER JOIN mb USING (pos)),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+             round(avg(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+               AS mean_norm_a,
+             max(len(embedding)) AS da FROM a),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+             round(avg(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+               AS mean_norm_b,
+             max(len(embedding)) AS db FROM b)
+         SELECT CAST(greatest(da, db) AS BIGINT) AS dim, n_a, n_b,
+           mean_norm_a, mean_norm_b,
+           CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0
+             ELSE round(dot / (sqrt(na2) * sqrt(nb2)), 6) END AS mean_cosine
+         FROM na CROSS JOIN nb CROSS JOIN cosp""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

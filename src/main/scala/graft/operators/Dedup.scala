@@ -389,6 +389,40 @@ object Dedup {
   }
 
   /**
+   * Per-stratum exact-duplicate report — the "which sources duplicate each
+   * other" table a multi-source corpus publishes (Common Crawl snapshots vs
+   * a curated set, yesterday's crawl vs today's): for every stratum, how
+   * many of its documents have an exact-text duplicate ANYWHERE in the
+   * corpus, and how many duplicate across stratum lines specifically —
+   * cross-stratum mass is the overlap dedup must reconcile BEFORE mixture
+   * weights ([[graft.operators.Curation.mixtureRates]]) mean anything.
+   *
+   * Scale shape: texts group by 64-bit content hash (an 8-byte shuffle key,
+   * never the full text; collisions ~n²/2⁶⁵ can only merge two text groups
+   * and move a count by one), one group aggregation, one hash equi-join
+   * back, one stratum aggregation.
+   *
+   * @return one row per stratum: (stratum, n_docs, n_dup_docs,
+   *         n_cross_dup_docs, dup_rate), ordered by stratum
+   */
+  def dupRateByStratum(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String): DataFrame = {
+    val g = docs.select(col(idCol),
+      xxhash64(col(textCol)).as("__k"), col(strataCol).as("stratum"))
+    val stats = g.groupBy("__k").agg(
+      count(lit(1)).as("__n"),
+      countDistinct(col("stratum")).as("__s"))
+    g.join(stats, "__k")
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("__n") > 1, lit(1))).as("n_dup_docs"),
+        count(when(col("__s") > 1, lit(1))).as("n_cross_dup_docs"),
+        round(avg(when(col("__n") > 1, 1.0).otherwise(0.0)), 6)
+          .as("dup_rate"))
+      .orderBy("stratum")
+  }
+
+  /**
    * Dedup audit histogram over a cluster-assignment table — the per-run
    * monitoring surface a production dedup pipeline publishes next to its
    * output (dup rate, cluster-size distribution; the numbers a FineWeb-style

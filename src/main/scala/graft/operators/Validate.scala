@@ -95,4 +95,60 @@ object Validate {
       round(max(norm), 6).as("max_norm"),
       round(avg(norm), 6).as("avg_norm"))
   }
+
+  /**
+   * Embedding-space drift between two corpus slices — the vector-modality
+   * companion of [[graft.operators.TextScores.distributionDrift]]: compare
+   * snapshot A's embedding cloud with snapshot B's before folding B into
+   * ANN / SemDeDup state built on A's geometry. A mean-direction swing
+   * (low `mean_cosine`) or a norm-scale shift flags an encoder change or a
+   * content shift that silently degrades every cosine threshold downstream.
+   *
+   * Both per-dimension means are ROUNDED to 6 before the cosine so the
+   * statistic is a pure function of the two rounded mean vectors —
+   * re-derivable bit-for-bit by an independent engine (the oracle), the
+   * same determinism device as the mixture-rate tables.
+   *
+   * Scale shape: one posexplode + dimension-keyed aggregation per side
+   * (shuffle width = dim rows), a dim-sized equi-join for the dot product,
+   * and one narrow per-row pass for the norm averages; the 1-row frames
+   * meet by broadcast. Non-finite rows are excluded from norms (the
+   * [[embeddingReport]] rule) and, being unusable, from means as well.
+   *
+   * @return one row: (dim, n_a, n_b, mean_norm_a, mean_norm_b,
+   *         mean_cosine) — doubles rounded to 6; mean_cosine is 0.0 when
+   *         either mean vector is all-zero
+   */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    def finite(df: DataFrame) = df.where(!exists(v, x =>
+      isnan(x) || x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity)))
+    def meanVec(df: DataFrame) = finite(df)
+      .select(posexplode(v).as(Seq("pos", "x")))
+      .groupBy("pos").agg(round(avg(col("x").cast("double")), 6).as("m"))
+    def normAvg(df: DataFrame, nOut: String, out: String) = finite(df)
+      .select(sqrt(aggregate(v, lit(0.0), (acc, x) =>
+        acc + x.cast("double") * x.cast("double"))).as("nrm"), size(v).as("d"))
+      .agg(count(lit(1)).as(nOut), round(avg(col("nrm")), 6).as(out),
+        max(col("d")).as(s"__dim_$out"))
+    val ma = meanVec(a).select(col("pos"), col("m").as("ma"))
+    val mb = meanVec(b).select(col("pos"), col("m").as("mb"))
+    val cosParts = ma.join(mb, Seq("pos"), "full_outer")
+      .select(coalesce(col("ma"), lit(0.0)).as("ma"),
+        coalesce(col("mb"), lit(0.0)).as("mb"))
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("na2"),
+        sum(col("mb") * col("mb")).as("nb2"))
+      .select(when(col("na2") === 0.0 || col("nb2") === 0.0, lit(0.0))
+        .otherwise(round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))),
+          6)).as("mean_cosine"))
+    val na = normAvg(a, "n_a", "mean_norm_a")
+    val nb = normAvg(b, "n_b", "mean_norm_b")
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(cosParts))
+      .select(greatest(col("__dim_mean_norm_a"), col("__dim_mean_norm_b"))
+          .cast("long").as("dim"),
+        col("n_a"), col("n_b"), col("mean_norm_a"), col("mean_norm_b"),
+        col("mean_cosine"))
+  }
 }

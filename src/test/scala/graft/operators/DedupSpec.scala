@@ -545,6 +545,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupRateByStratum: within- and cross-stratum duplication by hand") {
+    val docs = Seq(
+      (1L, "x", "s1"), (2L, "x", "s2"), // cross-stratum dup pair
+      (3L, "y", "s1"), (4L, "y", "s1"), // within-s1 dup pair
+      (5L, "z", "s2")                   // unique
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.dupRateByStratum(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 3L, 3L, 1L, 1.0),   // 1, 3, 4 all dup somewhere; only 1 crosses
+      ("s2", 2L, 1L, 1L, 0.5)))  // 2 dups (and crosses), 5 unique
+  }
+
   test("audit histogram: sizes, counts, row fractions") {
     // groups: {1,2,3} size 3, {4} singleton, {5,6} size 2
     val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L),

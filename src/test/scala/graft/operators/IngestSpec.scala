@@ -77,4 +77,27 @@ class IngestSpec extends SparkSpec {
     assert(r.getAs[Double]("max_norm") == 5.0)
     assert(r.getAs[Double]("avg_norm") == 2.0, "(5 + 0 + 1)/3 over finite rows")
   }
+
+  test("embeddingDrift: hand means, non-finite exclusion, zero-mean guard") {
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f)),       // norm 1
+      (2L, Array(0.0f, 1.0f)),       // norm 1 -> mean vec (0.5, 0.5)
+      (3L, Array(Float.NaN, 9.0f)))  // excluded everywhere
+      .toDF("vec_id", "embedding")
+    val b = Seq((4L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Validate.embeddingDrift(a, b, "embedding").head()
+    assert(r.getAs[Long]("dim") == 2)
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 1)
+    assert(r.getAs[Double]("mean_norm_a") == 1.0)
+    assert(r.getAs[Double]("mean_norm_b") == 2.0)
+    // cos((0.5, 0.5), (2, 0)) = 1 / (sqrt(0.5) * 2)
+    assert(math.abs(r.getAs[Double]("mean_cosine") - 0.707107) < 1e-9)
+    // identical slices: cosine exactly 1
+    val same = Validate.embeddingDrift(a, a, "embedding").head()
+    assert(same.getAs[Double]("mean_cosine") == 1.0)
+    // an all-zero mean on one side yields the guarded 0.0, not NaN
+    val z = Seq((5L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rz = Validate.embeddingDrift(a, z, "embedding").head()
+    assert(rz.getAs[Double]("mean_cosine") == 0.0)
+  }
 }
