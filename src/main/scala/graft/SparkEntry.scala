@@ -1655,6 +1655,22 @@ object SparkEntry {
       Validate.embeddingDrift(
         emb.where(col("vec_id") % 2 === 0),
         emb.where(col("vec_id") % 2 === 1), "embedding")
+    }),
+
+    "q108_geometric_dups" -> ((s, _) => {
+      // unified geometric-canonical dedup (Dedup.geometricDups): 150 bases,
+      // each with a letterboxed re-post, a 2x NN upscale, and the COMPOUND
+      // rescaled letterbox — the pair neither borderDups nor scaleDups can
+      // catch alone; the planted 4-cliques are the oracle (the q88 device)
+      import s.implicits._
+      val images = s.range(0L, 150L, 1L, 32).as[Long].flatMap { i =>
+        val png = graft.synth.ImageCodec.encodePng(ImageGen.renderBase(337L, i))
+        val bar = ImageGen.withBorder(png, 4 + (i % 5).toInt, 0x2040FF)
+        Seq((f"b$i%04d", png, "png"), (f"l$i%04d", bar, "png"),
+          (f"u$i%04d", ImageGen.upscaleOf(png, 2), "png"),
+          (f"c$i%04d", ImageGen.upscaleOf(bar, 2), "png"))
+      }.toDF("image_id", "bytes", "fmt")
+      Dedup.geometricDups(s, images, minContrast = 0.0).orderBy("a", "b")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -2527,6 +2543,23 @@ object SparkEntry {
            CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0
              ELSE round(dot / (sqrt(na2) * sqrt(nb2)), 6) END AS mean_cosine
          FROM na CROSS JOIN nb CROSS JOIN cosp""",
+
+    "q108_geometric_dups" ->
+      // the planted pair set IS the oracle: all four family members share
+      // one canonical key, so each base emits its full id-ordered 4-clique
+      // (b < c < l < u lexicographically)
+      """WITH base AS (SELECT i FROM generate_series(0, 149) t(i)),
+         m AS (SELECT i, 'b' || lpad(CAST(i AS VARCHAR), 4, '0') AS id
+             FROM base
+           UNION ALL SELECT i, 'c' || lpad(CAST(i AS VARCHAR), 4, '0')
+             FROM base
+           UNION ALL SELECT i, 'l' || lpad(CAST(i AS VARCHAR), 4, '0')
+             FROM base
+           UNION ALL SELECT i, 'u' || lpad(CAST(i AS VARCHAR), 4, '0')
+             FROM base)
+         SELECT x.id AS a, y.id AS b
+         FROM m x JOIN m y ON x.i = y.i AND x.id < y.id
+         ORDER BY a, b""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

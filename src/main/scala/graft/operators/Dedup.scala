@@ -667,6 +667,30 @@ object Dedup {
   }
 
   /**
+   * Geometric-canonical image dedup — [[borderDups]] and [[scaleDups]]
+   * UNIFIED, plus their composition: pairs where one image is the other
+   * with added uniform bars, an integer-factor NN rescale, or a rescale OF
+   * a barred re-post (the letterboxed thumbnail — a pair NEITHER
+   * single-transform family can catch: the bars defeat the scale key, the
+   * rescale defeats the raw border key). One canonical key per image
+   * ([[Multimodal.canonicalKeys]]: trim, then scale-canonical content key),
+   * exactness per its commuting-trim argument; the whole transform family
+   * and its compositions collapse to key equality, so recall is guaranteed
+   * by construction for multiple-of-8 content dims and precision rides the
+   * 64-cell + aspect key as in the component families.
+   *
+   * @return (a, b) with a < b
+   */
+  def geometricDups(spark: org.apache.spark.sql.SparkSession,
+      images: DataFrame, minContrast: Double = 8.0, maxBucketSize: Int = 4096,
+      saltOversized: Boolean = false): DataFrame = {
+    val keys = Multimodal.canonicalKeys(spark, images, minContrast)
+      .select("id", "key")
+    CandidateGen.pairsFromBuckets(keys, maxBucketSize,
+      saltOversized = saltOversized)
+  }
+
+  /**
    * Overlay-resilient image dedup: pairs of same-dimension images that are
    * pixel-identical outside a stamped region — watermarks, logos, channel
    * bugs, timestamps: the THIRD common web re-post transform, closing the

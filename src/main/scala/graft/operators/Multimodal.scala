@@ -259,6 +259,42 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /**
+   * Geometric-canonical content keys — border trim COMPOSED with the
+   * scale-canonical key: strip uniform bars ([[graft.synth.ImageCodec
+   * .contentBounds]]), then key the remaining content region with
+   * [[graft.synth.ImageCodec.scaleKeyRegion]]. One key catches added bars,
+   * integer-factor NN rescales, AND their composition (the letterboxed
+   * thumbnail): trim commutes with NN rescaling — a uniform row upscales to
+   * f uniform rows, so trim(upscale(X)) is exactly upscale(trim(X)) — and
+   * the scale key is then exact on the trimmed content whenever ITS
+   * dimensions are multiples of 8. One decode + one O(pixels) trim + one
+   * integer pass per row; undecodable rows emit nothing.
+   *
+   * @return (id, key, content_w, content_h)
+   */
+  def canonicalKeys(spark: SparkSession, images: DataFrame,
+      minContrast: Double = 8.0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("key", LongType),
+      StructField("content_w", IntegerType),
+      StructField("content_h", IntegerType)))
+    val enc = ExpressionEncoder(schema)
+    val input = images.select(col("image_id"), col("bytes"), col("fmt"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        tryDecode(r.getAs[Array[Byte]](1), r.getString(2)) match {
+          case Some(img) =>
+            val (x0, y0, cw, ch) = ImageCodec.contentBounds(img)
+            ImageCodec.scaleKeyRegion(img, x0, y0, cw, ch, minContrast)
+              .map(k => Row(r.getString(0), k, cw, ch))
+          case None => None
+        }
+      }
+    }(enc).toDF()
+  }
+
   val resizeSchema: StructType = StructType(Seq(
     StructField("image_id", StringType),
     StructField("bytes", BinaryType),

@@ -281,21 +281,32 @@ object ImageCodec {
    * @param minContrast same units as [[regionKey]] (luma, 0..255): frames
    *        whose cell-mean spread is below it emit nothing
    */
-  def scaleKey(img: BufferedImage, minContrast: Double = 8.0): Option[Long] = {
-    val w = img.getWidth; val h = img.getHeight
+  def scaleKey(img: BufferedImage, minContrast: Double = 8.0): Option[Long] =
+    scaleKeyRegion(img, 0, 0, img.getWidth, img.getHeight, minContrast)
+
+  /** [[scaleKey]] generalized to a sub-region — the composition device for
+    * trim-then-rescale canonicalization ([[graft.operators.Multimodal
+    * .canonicalKeys]]): the exact invariant holds for the REGION's
+    * dimensions (multiples of 8) under integer-factor NN rescaling of the
+    * region's pixels, wherever the region sits in its frame. */
+  def scaleKeyRegion(img: BufferedImage, x0: Int, y0: Int, rw: Int, rh: Int,
+      minContrast: Double = 8.0): Option[Long] = {
+    require(rw > 0 && rh > 0 && x0 >= 0 && y0 >= 0 &&
+      x0 + rw <= img.getWidth && y0 + rh <= img.getHeight,
+      s"region ($x0,$y0,$rw,$rh) outside ${img.getWidth}x${img.getHeight}")
     val li = intLumaAccessor(img)
     val cells = new Array[Double](64)
     var gy = 0
     while (gy < 8) {
       var gx = 0
       while (gx < 8) {
-        val cx0 = gx * w / 8; val cx1 = math.max(cx0 + 1, (gx + 1) * w / 8)
-        val cy0 = gy * h / 8; val cy1 = math.max(cy0 + 1, (gy + 1) * h / 8)
+        val cx0 = gx * rw / 8; val cx1 = math.max(cx0 + 1, (gx + 1) * rw / 8)
+        val cy0 = gy * rh / 8; val cy1 = math.max(cy0 + 1, (gy + 1) * rh / 8)
         var sum = 0L
         var y = cy0
         while (y < cy1) {
           var x = cx0
-          while (x < cx1) { sum += li(x, y); x += 1 }
+          while (x < cx1) { sum += li(x0 + x, y0 + y); x += 1 }
           y += 1
         }
         cells(gy * 8 + gx) =
@@ -313,10 +324,10 @@ object ImageCodec {
     }
     if ((mx - mn) / 1000.0 < minContrast) None
     else {
-      var a = w.toLong; var b = h.toLong
+      var a = rw.toLong; var b = rh.toLong
       while (b != 0) { val t = a % b; a = b; b = t }
-      var k = graft.functions.HashKernels.mix64(0x5C4E9A27D31B86FL ^ (w / a))
-      k = graft.functions.HashKernels.mix64(k ^ (h / a))
+      var k = graft.functions.HashKernels.mix64(0x5C4E9A27D31B86FL ^ (rw / a))
+      k = graft.functions.HashKernels.mix64(k ^ (rh / a))
       i = 0
       while (i < 64) {
         k = graft.functions.HashKernels.mix64(

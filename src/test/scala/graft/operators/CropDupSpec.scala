@@ -209,4 +209,52 @@ class CropDupSpec extends SparkSpec {
     }.toSet
     assert(got == want, s"expected exactly the planted triangles: $got")
   }
+
+  test("canonical key: bars, rescales, and their compositions all key " +
+    "bit-identically") {
+    def keyOf(bytes: Array[Byte]): Option[Long] = {
+      val img = ImageCodec.decode(bytes)
+      val (x0, y0, cw, ch) = ImageCodec.contentBounds(img)
+      ImageCodec.scaleKeyRegion(img, x0, y0, cw, ch, 0.0)
+    }
+    val png = pngOf(11L)
+    val k0 = keyOf(png)
+    assert(k0.nonEmpty)
+    assert(keyOf(ImageGen.withBorder(png, 5, 0xFF0000)) == k0, "bars")
+    assert(keyOf(ImageGen.upscaleOf(png, 2)) == k0, "rescale")
+    assert(keyOf(ImageGen.upscaleOf(ImageGen.withBorder(png, 5, 0xFF0000),
+      2)) == k0, "rescaled letterbox — the compound transform")
+    assert(keyOf(ImageGen.withBorder(ImageGen.upscaleOf(png, 3), 7,
+      0x00FF00)) == k0, "letterboxed rescale — the other order")
+    assert(keyOf(pngOf(12L)) != k0, "different base keys differently")
+  }
+
+  test("geometricDups: the unified family pairs the compound transform " +
+    "neither component family catches") {
+    val rows = (0L until 5L).flatMap { i =>
+      val png = pngOf(20L + i)
+      Seq((s"b$i", png, "png"),
+        (s"l$i", ImageGen.withBorder(png, 4, 0x2040FF), "png"),
+        (s"u$i", ImageGen.upscaleOf(png, 2), "png"),
+        (s"c$i", ImageGen.upscaleOf(ImageGen.withBorder(png, 4, 0x2040FF),
+          2), "png"))
+    }
+    val images = rows.toDF("image_id", "bytes", "fmt")
+    val got = Dedup.geometricDups(spark, images, minContrast = 0.0)
+      .as[(String, String)].collect().toSet
+    val want = (0L until 5L).flatMap { i =>
+      val m = Seq(s"b$i", s"c$i", s"l$i", s"u$i")
+      for (x <- m; y <- m if x < y) yield (x, y)
+    }.toSet
+    assert(got == want, s"expected the full planted 4-cliques: $got")
+    // the compound member is invisible to BOTH component families
+    val bScale = Dedup.scaleDups(spark, images, minContrast = 0.0)
+      .as[(String, String)].collect().toSet
+    assert(!bScale.exists(p => p._1 == "b0" && p._2 == "c0"),
+      "scaleDups must not see through the bars")
+    val bBorder = Dedup.borderDups(spark, images, minContrast = 0.0)
+      .as[(String, String)].collect().toSet
+    assert(!bBorder.exists(p => p._1 == "b0" && p._2 == "c0"),
+      "borderDups must not see through the rescale")
+  }
 }
