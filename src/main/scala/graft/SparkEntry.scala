@@ -1671,7 +1671,15 @@ object SparkEntry {
           (f"c$i%04d", ImageGen.upscaleOf(bar, 2), "png"))
       }.toDF("image_id", "bytes", "fmt")
       Dedup.geometricDups(s, images, minContrast = 0.0).orderBy("a", "b")
-    }))
+    }),
+
+    "q109_packing_report" -> ((s, d) =>
+      // packing-efficiency summary (Curation.packingReport) over the q77
+      // layout: windows filled, straddler fraction, budget fill fraction
+      Curation.packingReport(
+        t(s, d, "documents")
+          .select(col("doc_id"), token_count(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", 512L)))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2560,6 +2568,33 @@ object SparkEntry {
          SELECT x.id AS a, y.id AS b
          FROM m x JOIN m y ON x.i = y.i AND x.id < y.id
          ORDER BY a, b""",
+
+    "q109_packing_report" ->
+      // q77's window-cumsum re-derivation rolled up to the one-row report
+      """WITH t AS (SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n
+           FROM documents),
+         c AS (SELECT doc_id, n,
+             CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t),
+         p AS (SELECT n, (cum - n) // 512 AS bin_first,
+             CASE WHEN n > 0 THEN (cum - 1) // 512
+                  ELSE (cum - n) // 512 END AS bin_last
+           FROM c),
+         agg AS (SELECT
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN sum(n) > 0 THEN max(bin_last) + 1 ELSE 0 END
+               AS BIGINT) AS n_windows,
+             CAST(count(*) FILTER (WHERE bin_first < bin_last) AS BIGINT)
+               AS n_straddlers
+           FROM p)
+         SELECT n_docs, n_tokens, n_windows, n_straddlers,
+           CASE WHEN n_docs = 0 THEN 0.0
+             ELSE round(n_straddlers * 1.0 / n_docs, 6) END AS straddle_frac,
+           CASE WHEN n_windows = 0 THEN 0.0
+             ELSE round(n_tokens * 1.0 / (n_windows * 512), 6) END
+             AS fill_frac
+         FROM agg""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

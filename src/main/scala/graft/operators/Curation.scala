@@ -172,6 +172,43 @@ object Curation {
   }
 
   /**
+   * Packing-efficiency report over [[packAssignments]] — the one-row
+   * summary a pretraining-export job publishes next to its packed shards:
+   * how many context windows the corpus fills, what fraction of documents
+   * straddle a window boundary (the attention-mask / document-boundary
+   * cost of concat-then-chunk packing), and the fill fraction of the
+   * window budget (1 − tail waste). Reading this row is how an operator
+   * picks the window budget: straddle_frac falls and fill_frac rises with
+   * larger windows, and the report makes the trade a number per candidate
+   * budget instead of folklore.
+   *
+   * Scale: [[packAssignments]]' distributed prefix sums plus one aggregate
+   * to a single row — no extra shuffle beyond the packing itself.
+   *
+   * @return one row: (n_docs, n_tokens, n_windows, n_straddlers,
+   *         straddle_frac, fill_frac) — fractions rounded to 6; the empty
+   *         corpus yields zeros
+   */
+  def packingReport(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    packAssignments(df, orderCol, tokenCol, budget).agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col(tokenCol)).cast("long"), lit(0L)).as("n_tokens"),
+      coalesce(when(sum(col(tokenCol)) > 0, max(col("bin_last")) + 1),
+        lit(0L)).as("n_windows"),
+      count(when(col("bin_first") < col("bin_last"), lit(1)))
+        .as("n_straddlers"))
+      .select(col("n_docs"), col("n_tokens"), col("n_windows"),
+        col("n_straddlers"),
+        when(col("n_docs") === 0, lit(0.0))
+          .otherwise(round(col("n_straddlers") / col("n_docs").cast("double"),
+            6)).as("straddle_frac"),
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(round(col("n_tokens") /
+            (col("n_windows") * budget).cast("double"), 6)).as("fill_frac"))
+  }
+
+  /**
    * Per-stratum sampling rates that hit a global TOKEN budget at target
    * mixture weights — the data-mixing step of a pretraining pipeline (the
    * Pile/Dolma-style source reweighting): stratum `s` with weight `w_s` is

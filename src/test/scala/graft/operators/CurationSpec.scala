@@ -271,6 +271,26 @@ class CurationSpec extends SparkSpec {
       s"flagged set wrong: $got")
   }
 
+  test("packingReport: straddlers, window count, and fill by hand") {
+    // budget 4, token counts in id order: 3, 2, 0, 2 -> cums 3, 5, 5, 7
+    val docs = Seq((1L, 3L), (2L, 2L), (3L, 0L), (4L, 2L))
+      .toDF("doc_id", "n_tokens")
+    val r = Curation.packingReport(docs, "doc_id", "n_tokens", 4L).head()
+    assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_tokens") == 7)
+    assert(r.getAs[Long]("n_windows") == 2)
+    // only doc 2 spans the 4-token boundary (offsets 3..4)
+    assert(r.getAs[Long]("n_straddlers") == 1)
+    assert(r.getAs[Double]("straddle_frac") == 0.25)
+    assert(r.getAs[Double]("fill_frac") == 0.875)
+    // empty corpus: all zeros, no division blowups
+    val empty = Curation.packingReport(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", 4L).head()
+    assert(empty.getAs[Long]("n_docs") == 0 &&
+      empty.getAs[Long]("n_windows") == 0)
+    assert(empty.getAs[Double]("fill_frac") == 0.0)
+  }
+
   test("dataCard: hand-computed corpus summary row") {
     val docs = Seq(
       (1L, "the cat and the dog"), // 5 toks, sr 0.6 -> en
