@@ -1679,7 +1679,12 @@ object SparkEntry {
       Curation.packingReport(
         t(s, d, "documents")
           .select(col("doc_id"), token_count(col("text")).as("n_tokens")),
-        "doc_id", "n_tokens", 512L)))
+        "doc_id", "n_tokens", 512L)),
+
+    "q110_zipf_fit" -> ((s, d) =>
+      // corpus-health scalar (TextScores.zipfFit): OLS slope/intercept/r2
+      // on the log-log frequency spectrum; oracle refits in SQL
+      TextScores.zipfFit(t(s, d, "documents"), "text")))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2595,6 +2600,31 @@ object SparkEntry {
              ELSE round(n_tokens * 1.0 / (n_windows * 512), 6) END
              AS fill_frac
          FROM agg""",
+
+    "q110_zipf_fit" ->
+      // q93's spectrum re-derivation, then the same closed-form OLS in SQL
+      """WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+             x -> length(x) > 0)) AS tok FROM documents),
+         tf AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+         spec AS (SELECT f AS freq, count(*) AS n_types FROM tf GROUP BY 1),
+         pts AS (SELECT ln(CAST(freq AS DOUBLE)) AS x,
+             ln(CAST(n_types AS DOUBLE)) AS y FROM spec),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(x * y) AS sxy, sum(y * y) AS syy FROM pts)
+         SELECT CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0.0
+             ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0.0
+             ELSE round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+               / n, 6) END AS intercept,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+             THEN 0.0
+             ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+               ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+         FROM s""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -376,6 +376,44 @@ object TextScores {
       .groupBy("freq").agg(count(lit(1)).as("n_types"))
 
   /**
+   * Zipf fit over the [[frequencySpectrum]] — the corpus-health scalar next
+   * to the raw spectrum: ordinary least squares on (ln f, ln n_types).
+   * Natural text follows Zipf's law, which on the frequency-of-frequencies
+   * axis means slope ≈ −2 (n_types(f) ∝ f^(−1−1/s) with s ≈ 1); a much
+   * flatter slope flags template/boilerplate mass, a much steeper one
+   * tokenizer damage or OCR noise flooding the hapax bucket. One number an
+   * ingest gate can threshold where the spectrum needs a human eye.
+   *
+   * Scale: the spectrum's two aggregations plus one more to a single row
+   * (the spectrum has ≤ ~sqrt(token mass) rows — tiny).
+   *
+   * @return one row: (n_points, slope, intercept, r2), rounded to 6;
+   *         degenerate fits (fewer than 2 points, zero x-variance) yield
+   *         zeros
+   */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val pts = frequencySpectrum(docs, textCol)
+      .select(log(col("freq").cast("double")).as("x"),
+        log(col("n_types").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("n").cast("long").as("n_points"),
+      when(col("n") < 2 || varXN === 0.0, lit(0.0))
+        .otherwise(round(covN / varXN, 6)).as("slope"),
+      when(col("n") < 2 || varXN === 0.0, lit(0.0))
+        .otherwise(round((col("sy") - covN / varXN * col("sx")) / col("n"),
+          6)).as("intercept"),
+      when(col("n") < 2 || varXN === 0.0 || varYN === 0.0, lit(0.0))
+        .otherwise(round(covN * covN / (varXN * varYN), 6)).as("r2"))
+  }
+
+  /**
    * Corpus drift report between two corpus slices — the monitoring gate a
    * continuous-crawl pipeline runs before folding a new snapshot into the
    * training mix: compare the token distribution of slice A (e.g. the

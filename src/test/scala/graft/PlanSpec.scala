@@ -388,4 +388,37 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
     }
   }
+
+  test("q106/q108: stratum-dup and geometric dedup plan equi-joins, " +
+    "never a nested loop") {
+    Seq("q106_dup_by_stratum", "q108_geometric_dups").foreach { q =>
+      val p = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
+    }
+  }
+
+  test("q107/q109: drift and packing report keep data-sized joins equi; " +
+    "only bounded 1-row combines nest-loop; no unpartitioned window") {
+    // q107: two 1-row card combines; q109: the cumSums boundary stitch
+    Seq("q107_embedding_drift" -> 2, "q109_packing_report" -> 2).foreach {
+      case (q, maxOneRowCombines) =>
+        val df = SparkEntry.queries(q)(spark, dir)
+        val p = planOf(df)
+        assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+        assert(bnlj <= maxOneRowCombines, s"$q plans $bnlj nested loops")
+        val bad = df.queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty, s"$q has an unpartitioned WindowExec")
+    }
+  }
+
+  test("q110: zipf fit is a join-free aggregation chain") {
+    val p = planOf(SparkEntry.queries("q110_zipf_fit")(spark, dir))
+    assert(!p.contains("Join"), "unexpected join in zipfFit")
+    // token-count shuffle + spectrum shuffle + the 1-row final agg
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(1500))
+  }
 }

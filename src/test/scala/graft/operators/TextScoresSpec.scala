@@ -248,6 +248,22 @@ class TextScoresSpec extends SparkSpec {
     assert(math.abs(got(11L)._2 - -math.log((3 + a) / (3 + a * 3))) < 1e-6)
   }
 
+  test("zipfFit: exact two-point fit and degenerate guards") {
+    // spectrum {(1, 4), (2, 2)}: slope ln(2/4)/ln 2 = -1, intercept ln 4,
+    // two points fit exactly -> r2 = 1
+    val docs = Seq((1L, "a b c d e e f f")).toDF("doc_id", "text")
+    val r = TextScores.zipfFit(docs, "text").head()
+    assert(r.getAs[Long]("n_points") == 2)
+    assert(r.getAs[Double]("slope") == -1.0)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(4)) < 1e-6)
+    assert(r.getAs[Double]("r2") == 1.0)
+    // one spectrum point: no variance to fit -> zeros, not NaN
+    val deg = TextScores.zipfFit(Seq((1L, "a")).toDF("doc_id", "text"),
+      "text").head()
+    assert(deg.getAs[Long]("n_points") == 1)
+    assert(deg.getAs[Double]("slope") == 0.0 && deg.getAs[Double]("r2") == 0.0)
+  }
+
   test("distributionDrift: identical slices have zero divergence") {
     val docs = Seq((1L, "a b b c"), (2L, "c d")).toDF("doc_id", "text")
     val r = TextScores.distributionDrift(docs, docs, "text").head()
