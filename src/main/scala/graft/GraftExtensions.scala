@@ -238,6 +238,11 @@ object GraftExtensions {
     reg("graft_hamming64", "graft_hamming64(a, b) - Hamming distance of two 64-bit hashes") { args =>
       arity("graft_hamming64", args, 2, 2)
       resolvedExpression(hamming64(column(args.head), column(args(1))))
+    },
+    reg("graft_char_entropy",
+        "graft_char_entropy(s) - Shannon entropy (bits/char) of the code-point distribution") { args =>
+      arity("graft_char_entropy", args, 1, 1)
+      CharEntropy(args.head)
     })
 
   private def reg(name: String, usage: String)(builder: Seq[Expression] => Expression)

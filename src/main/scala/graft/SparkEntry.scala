@@ -1684,7 +1684,28 @@ object SparkEntry {
     "q110_zipf_fit" -> ((s, d) =>
       // corpus-health scalar (TextScores.zipfFit): OLS slope/intercept/r2
       // on the log-log frequency spectrum; oracle refits in SQL
-      TextScores.zipfFit(t(s, d, "documents"), "text")))
+      TextScores.zipfFit(t(s, d, "documents"), "text")),
+
+    "q111_char_entropy" -> ((s, d) =>
+      // per-doc code-point Shannon entropy (char_entropy — codegen'd
+      // Catalyst expression, one narrow projection): the cheap junk gate
+      // (spam runs ~0 bits/char, prose ~4, base64 noise >= 6). Oracle:
+      // DuckDB's entropy() aggregate over the docs' unnested characters —
+      // both engines round the double to 6 (NMI-entropy precedent)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(char_entropy(col("text")), 6).as("char_entropy"))
+        .orderBy("doc_id")),
+
+    "q112_activity_powerlaw" -> ((s, d) =>
+      // heavy-tail gate over per-user event volumes (Metrics.powerLawFit —
+      // the generic spectrum+OLS behind zipfFit): slope/r2 answer "does
+      // this count distribution have the hub shape the skew devices exist
+      // for"; oracle re-derives spectrum + closed-form OLS in SQL
+      Metrics.powerLawFit(
+        t(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n_events")),
+        "n_events")))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2609,6 +2630,43 @@ object SparkEntry {
          spec AS (SELECT f AS freq, count(*) AS n_types FROM tf GROUP BY 1),
          pts AS (SELECT ln(CAST(freq AS DOUBLE)) AS x,
              ln(CAST(n_types AS DOUBLE)) AS y FROM spec),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(x * y) AS sxy, sum(y * y) AS syy FROM pts)
+         SELECT CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0.0
+             ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0.0
+             ELSE round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+               / n, 6) END AS intercept,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+             THEN 0.0
+             ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+               ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+         FROM s""",
+
+    "q111_char_entropy" ->
+      // DuckDB's entropy() is already log2-based Shannon entropy; the LEFT
+      // JOIN + coalesce keeps zero-length docs at 0.0 (they unnest to no
+      // character rows). FP note: both engines sum p*log2 p in double and
+      // round to 6 — iteration order differs by ~1 ulp, absorbed by the
+      // rounding (the q53 NMI-entropy device)
+      """SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS char_entropy
+         FROM documents d LEFT JOIN (
+           SELECT doc_id, entropy(c) AS ent FROM (
+             SELECT doc_id, unnest(string_split(text, '')) AS c
+             FROM documents) GROUP BY 1) e USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    "q112_activity_powerlaw" ->
+      // the q110 closed-form OLS over the per-user activity spectrum
+      """WITH a AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         spec AS (SELECT c AS value, count(*) AS n_entities FROM a
+           WHERE c > 0 GROUP BY 1),
+         pts AS (SELECT ln(CAST(value AS DOUBLE)) AS x,
+             ln(CAST(n_entities AS DOUBLE)) AS y FROM spec),
          s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
              sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
              sum(x * y) AS sxy, sum(y * y) AS syy FROM pts)

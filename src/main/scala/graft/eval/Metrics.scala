@@ -236,6 +236,51 @@ object Metrics {
       .select("n_edges", "n_wedges", "n_triangles", "transitivity")
   }
 
+  /**
+   * Power-law fit over the spectrum of a positive count column — the
+   * generic heavy-tail gate behind `TextScores.zipfFit`: build the
+   * frequency-of-frequencies spectrum (count value → how many entities
+   * carry it), then ordinary least squares on (ln value, ln n_entities).
+   * Heavy-tailed count distributions (dup-cluster sizes, per-user event
+   * volumes, in-degrees) sit on a line with negative slope and high r²;
+   * a near-zero r² says the tail is NOT power-law (e.g. Poisson-ish
+   * uniform traffic) — both are one-number answers to "does this
+   * distribution have the hub/boilerplate shape the skew devices exist
+   * for".
+   *
+   * Scale: one aggregation to the spectrum (≤ distinct count values —
+   * tiny) plus one to a single row. Non-positive counts carry no log
+   * point and are excluded.
+   *
+   * @param counts one row per entity, `countCol` a positive integral count
+   * @return one row: (n_points, slope, intercept, r2), rounded to 6;
+   *         degenerate fits (fewer than 2 points, zero x-variance) yield
+   *         zeros
+   */
+  def powerLawFit(counts: DataFrame, countCol: String): DataFrame = {
+    val pts = counts.where(col(countCol) > 0)
+      .groupBy(col(countCol).as("value"))
+      .agg(count(lit(1)).as("n_entities"))
+      .select(log(col("value").cast("double")).as("x"),
+        log(col("n_entities").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("n").cast("long").as("n_points"),
+      when(col("n") < 2 || varXN === 0.0, lit(0.0))
+        .otherwise(round(covN / varXN, 6)).as("slope"),
+      when(col("n") < 2 || varXN === 0.0, lit(0.0))
+        .otherwise(round((col("sy") - covN / varXN * col("sx")) / col("n"),
+          6)).as("intercept"),
+      when(col("n") < 2 || varXN === 0.0 || varYN === 0.0, lit(0.0))
+        .otherwise(round(covN * covN / (varXN * varYN), 6)).as("r2"))
+  }
+
   /** Cluster-level pair recall: pairs implied by co-membership in predicted
     * clusters vs pairs implied by truth clusters (assignment-level parity
     * with the reference's cluster semantics). */

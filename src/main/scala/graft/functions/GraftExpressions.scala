@@ -376,6 +376,23 @@ case class RollingFingerprint(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
+/** string -> double Shannon entropy (bits/char) of its code-point
+  * distribution — the cheap junk gate (spam runs ≈ 0, prose ≈ 4,
+  * base64/binary noise ≥ 6). Order-independent by construction
+  * (HashKernels sums in ascending code-point order). */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.charEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** array<long> hashes -> int count of elements the inlined Bloom sketch
   * might contain. The sketch rides in the expression (serialized with the
   * plan) and deserializes ONCE per task via the lazy field; the per-row

@@ -657,4 +657,53 @@ object HashKernels {
   def winnowAnchors(s: UTF8String, k: Int, w: Int, seed: Long): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(
       winnowAnchorsFromChars(if (s == null) null else s.toString, k, w, seed))
+
+  /**
+   * Shannon entropy (bits per character) of the code-point distribution of
+   * a string — the classic cheap junk gate: near 0 for single-character
+   * spam runs, ~4.1 for English prose, ~6+ for base64/binary noise pasted
+   * into text fields. Summed in ascending code-point order so the value is
+   * a pure function of the multiset (no per-row iteration-order noise).
+   *
+   * Empty string → 0.0 (a zero-length doc carries no information, and the
+   * quality gate that consumes this already screens empties by length).
+   */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n == 0) return 0.0
+    // ASCII fast path: a 128-slot table covers web text's hot loop; the
+    // sorted-key map absorbs the general Unicode tail.
+    val ascii = new Array[Int](128)
+    var wide: java.util.TreeMap[Integer, Integer] = null
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (wide == null) wide = new java.util.TreeMap[Integer, Integer]()
+        wide.merge(cp, 1, (a: Integer, b: Integer) => a + b)
+      }
+      i += Character.charCount(cp)
+    }
+    val invN = 1.0 / n
+    val invLog2 = 1.0 / math.log(2.0)
+    var h = 0.0
+    var c = 0
+    while (c < 128) {
+      if (ascii(c) > 0) {
+        val p = ascii(c) * invN
+        h -= p * math.log(p) * invLog2
+      }
+      c += 1
+    }
+    if (wide != null) {
+      val it = wide.values().iterator()
+      while (it.hasNext) {
+        val p = it.next().intValue() * invN
+        h -= p * math.log(p) * invLog2
+      }
+    }
+    h
+  }
 }

@@ -70,6 +70,12 @@ package object functions {
   def srp_bucket(vec: Column, bits: Int, seed: Long = 42L): Column =
     column(SrpBucket(expression(vec), bits, seed))
 
+  /** Shannon entropy (bits/char) of the string's code-point distribution —
+    * the cheap junk gate next to the ratio signals: spam runs ≈ 0, English
+    * prose ≈ 4, base64/binary noise ≥ 6. */
+  def char_entropy(s: Column): Column =
+    column(CharEntropy(expression(s)))
+
   def phash_tokens(phash: Column): Column =
     column(PhashTokens(expression(phash)))
 

@@ -391,27 +391,13 @@ object TextScores {
    *         degenerate fits (fewer than 2 points, zero x-variance) yield
    *         zeros
    */
-  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
-    val pts = frequencySpectrum(docs, textCol)
-      .select(log(col("freq").cast("double")).as("x"),
-        log(col("n_types").cast("double")).as("y"))
-    val s = pts.agg(count(lit(1)).cast("double").as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("y") * col("y")).as("syy"))
-    val covN = col("n") * col("sxy") - col("sx") * col("sy")
-    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
-    val varYN = col("n") * col("syy") - col("sy") * col("sy")
-    s.select(col("n").cast("long").as("n_points"),
-      when(col("n") < 2 || varXN === 0.0, lit(0.0))
-        .otherwise(round(covN / varXN, 6)).as("slope"),
-      when(col("n") < 2 || varXN === 0.0, lit(0.0))
-        .otherwise(round((col("sy") - covN / varXN * col("sx")) / col("n"),
-          6)).as("intercept"),
-      when(col("n") < 2 || varXN === 0.0 || varYN === 0.0, lit(0.0))
-        .otherwise(round(covN * covN / (varXN * varYN), 6)).as("r2"))
-  }
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame =
+    // per-token frequencies; powerLawFit derives the spectrum + OLS (one
+    // shared closed form for every heavy-tail gate — same output schema)
+    graft.eval.Metrics.powerLawFit(
+      docs.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq")),
+      "freq")
 
   /**
    * Corpus drift report between two corpus slices — the monitoring gate a

@@ -183,6 +183,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("literal") || e.getMessage.toLowerCase.contains("foldable"))
   }
 
+  test("graft_char_entropy: SQL surface agrees with the Column API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_char_entropy('aabb') AS h2,
+           graft_char_entropy('aaaa') AS h0,
+           graft_char_entropy('') AS he""").head()
+    assert(math.abs(r.getAs[Double]("h2") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("h0") == 0.0 && r.getAs[Double]("he") == 0.0)
+    val docs = Seq((1L, "the quick brown fox"), (2L, "zzzzzz zz z"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ent_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_char_entropy(text) AS h FROM ent_docs")
+      .as[(Long, Double)].collect().toMap
+    val viaCol = docs.select($"doc_id",
+        graft.functions.char_entropy($"text").as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaSql == viaCol)
+  }
+
   test("extensions hook injects the functions into a fresh session") {
     // Reuse the shared SparkContext but build a NEW session through the
     // public extensions path (Builder.withExtensions), then restore the

@@ -421,4 +421,20 @@ class PlanSpec extends SparkSpec {
     // token-count shuffle + spectrum shuffle + the 1-row final agg
     assert("Exchange".r.findAllIn(p).size <= 3, p.take(1500))
   }
+
+  test("q111: char entropy is a narrow join-free projection in codegen") {
+    val p = planOf(SparkEntry.queries("q111_char_entropy")(spark, dir))
+    assert(!p.contains("Join"), "unexpected join in char entropy")
+    // codegen fusion is pinned in ExpressionsSpec (the AQE plan string
+    // carries no codegen stars pre-execution); here: only the orderBy's
+    // range exchange
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
+  }
+
+  test("q112: activity power-law fit is a join-free aggregation chain") {
+    val p = planOf(SparkEntry.queries("q112_activity_powerlaw")(spark, dir))
+    assert(!p.contains("Join"), "unexpected join in powerLawFit")
+    // per-user agg shuffle + spectrum shuffle + the 1-row final agg
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(1500))
+  }
 }

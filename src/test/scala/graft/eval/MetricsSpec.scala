@@ -196,6 +196,27 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Double]("transitivity") == 1.0)
   }
 
+  test("powerLawFit: exact two-point fit, degenerate guards, non-positive exclusion") {
+    // counts {1,1,1,1,2,2}: spectrum {(1,4),(2,2)} — the q110 hand case:
+    // slope ln(2/4)/ln 2 = -1, intercept ln 4, exact 2-point fit -> r2 = 1
+    val counts = Seq(1L, 1L, 1L, 1L, 2L, 2L).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("id", "c")
+    val r = Metrics.powerLawFit(counts, "c").head()
+    assert(r.getAs[Long]("n_points") == 2)
+    assert(r.getAs[Double]("slope") == -1.0)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(4)) < 1e-6)
+    assert(r.getAs[Double]("r2") == 1.0)
+    // one spectrum point -> zeros, not NaN
+    val deg = Metrics.powerLawFit(Seq((1L, 3L), (2L, 3L)).toDF("id", "c"), "c").head()
+    assert(deg.getAs[Long]("n_points") == 1)
+    assert(deg.getAs[Double]("slope") == 0.0 && deg.getAs[Double]("r2") == 0.0)
+    // zero/negative counts carry no log point — excluded, not NaN-poisoned
+    val mixed = Seq((1L, 0L), (2L, -5L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 1L), (7L, 2L), (8L, 2L)).toDF("id", "c")
+    val m = Metrics.powerLawFit(mixed, "c").head()
+    assert(m.getAs[Long]("n_points") == 2 && m.getAs[Double]("slope") == -1.0)
+  }
+
   test("clusterChurn: identical snapshots are all stable; empty overlap is all zero") {
     val snap = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("id", "c")
     val r = Metrics.clusterChurn(snap, snap, "id", "c").head()

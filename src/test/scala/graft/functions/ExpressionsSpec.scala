@@ -81,6 +81,17 @@ class ExpressionsSpec extends SparkSpec {
       s"fast_align fell out of codegen:\n$plan")
   }
 
+  test("char_entropy stays inside whole-stage codegen") {
+    val df = spark.range(100)
+      .withColumn("text", concat_ws(" ", lit("tok"), ($"id" % 7).cast("string")))
+    val plan = df.select(char_entropy($"text").as("h"))
+      .queryExecution.executedPlan
+    val line = plan.toString.linesIterator
+      .find(_.contains("char_entropy")).getOrElse("")
+    assert(line.trim.startsWith("*("),
+      s"char_entropy fell out of codegen:\n$plan")
+  }
+
   test("null propagation: null input yields null output, no NPE") {
     val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("id", "text")
     val out = df.select($"id",
@@ -88,6 +99,30 @@ class ExpressionsSpec extends SparkSpec {
       .collect()
     assert(out.find(_.getLong(0) == 1L).get.isNullAt(1))
     assert(!out.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
+  test("char_entropy: hand values, empty, null, and non-ASCII counting") {
+    val df = Seq(
+      (1L, Some("aabb")),              // two symbols, p=1/2 each -> 1 bit
+      (2L, Some("aaab")),              // -(3/4)lg(3/4)-(1/4)lg(1/4)
+      (3L, Some("aaaa")),              // single symbol -> 0
+      (4L, Some("")),                  // empty -> 0 by convention
+      (5L, Option.empty[String]),      // null -> null
+      (6L, Some("αβ")),      // 2 distinct BMP code points -> 1 bit
+      (7L, Some("😀😁"))) // 2 surrogate-pair code points -> 1 bit
+      .toDF("id", "text")
+      .select($"id", char_entropy($"text").as("h")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(math.abs(df(1L).get - 1.0) < 1e-12)
+    val expected2 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)) / math.log(2)
+    assert(math.abs(df(2L).get - expected2) < 1e-12)
+    assert(df(3L).get == 0.0)
+    assert(df(4L).get == 0.0)
+    assert(df(5L).isEmpty)
+    assert(math.abs(df(6L).get - 1.0) < 1e-12)
+    // surrogate pairs must count as ONE code point each, not two chars
+    assert(math.abs(df(7L).get - 1.0) < 1e-12)
   }
 
   test("text helpers: normalize / token_count / lang_id / quality") {
