@@ -2648,12 +2648,18 @@ object SparkEntry {
          FROM s""",
 
     "q111_char_entropy" ->
-      // DuckDB's entropy() is already log2-based Shannon entropy; the LEFT
-      // JOIN + coalesce keeps zero-length docs at 0.0 (they unnest to no
-      // character rows). FP note: both engines sum p*log2 p in double and
-      // round to 6 — iteration order differs by ~1 ulp, absorbed by the
-      // rounding (the q53 NMI-entropy device)
-      """SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS char_entropy
+      // DuckDB's entropy() is already log2-based Shannon entropy. Edge
+      // semantics pinned to the Spark expression: NULL text stays NULL
+      // (char_entropy is nullIntolerant; string_split(NULL) unnests to no
+      // rows, so the CASE guards the LEFT-JOIN miss from coercing to 0.0);
+      // empty text is 0.0 on both (string_split('','') yields [''] — ONE
+      // single-symbol row, entropy 0 — not zero rows, so the coalesce arm
+      // is only for future-proofing). FP note: both engines sum p*log2 p
+      // in double and round to 6 — iteration order differs by ~1 ulp,
+      // absorbed by the rounding (the q53 NMI-entropy device)
+      """SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+             ELSE round(coalesce(e.ent, 0.0), 6) END AS char_entropy
          FROM documents d LEFT JOIN (
            SELECT doc_id, entropy(c) AS ent FROM (
              SELECT doc_id, unnest(string_split(text, '')) AS c

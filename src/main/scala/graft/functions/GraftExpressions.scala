@@ -382,6 +382,17 @@ case class RollingFingerprint(child: Expression, seed: Long)
   * (HashKernels sums in ascending code-point order). */
 case class CharEntropy(child: Expression)
     extends UnaryExpression {
+  // analysis-time type check: a non-string argument from the SQL surface
+  // must fail resolution, not janino/ClassCastException per row
+  // (ExpectsInputTypes is closed to third parties in Spark 4 —
+  // AbstractDataType is private[sql] — so the check is spelled out)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_entropy requires a string argument, got ${child.dataType.sql}")
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "char_entropy"

@@ -670,12 +670,12 @@ object HashKernels {
    */
   def charEntropy(s: UTF8String): Double = {
     val str = s.toString
-    val n = str.codePointCount(0, str.length)
-    if (n == 0) return 0.0
     // ASCII fast path: a 128-slot table covers web text's hot loop; the
-    // sorted-key map absorbs the general Unicode tail.
+    // sorted-key map absorbs the general Unicode tail. One pass: each
+    // iteration advances exactly one code point, so n falls out for free.
     val ascii = new Array[Int](128)
     var wide: java.util.TreeMap[Integer, Integer] = null
+    var n = 0
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
@@ -684,8 +684,10 @@ object HashKernels {
         if (wide == null) wide = new java.util.TreeMap[Integer, Integer]()
         wide.merge(cp, 1, (a: Integer, b: Integer) => a + b)
       }
+      n += 1
       i += Character.charCount(cp)
     }
+    if (n == 0) return 0.0
     val invN = 1.0 / n
     val invLog2 = 1.0 / math.log(2.0)
     var h = 0.0

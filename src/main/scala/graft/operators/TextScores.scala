@@ -370,9 +370,14 @@ object TextScores {
    *
    * @return (freq, n_types) — one row per distinct occurrence count
    */
-  def frequencySpectrum(docs: DataFrame, textCol: String): DataFrame =
+  /** Per-token corpus frequencies — the shared first stage of the spectrum
+    * and the Zipf fit, factored so their tokenization cannot diverge. */
+  private def termFreqs(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
+
+  def frequencySpectrum(docs: DataFrame, textCol: String): DataFrame =
+    termFreqs(docs, textCol)
       .groupBy("freq").agg(count(lit(1)).as("n_types"))
 
   /**
@@ -394,10 +399,7 @@ object TextScores {
   def zipfFit(docs: DataFrame, textCol: String): DataFrame =
     // per-token frequencies; powerLawFit derives the spectrum + OLS (one
     // shared closed form for every heavy-tail gate — same output schema)
-    graft.eval.Metrics.powerLawFit(
-      docs.select(explode(tokens(col(textCol))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("freq")),
-      "freq")
+    graft.eval.Metrics.powerLawFit(termFreqs(docs, textCol), "freq")
 
   /**
    * Corpus drift report between two corpus slices — the monitoring gate a

@@ -202,6 +202,11 @@ class GraftExtensionsSpec extends SparkSpec {
         graft.functions.char_entropy($"text").as("h"))
       .as[(Long, Double)].collect().toMap
     assert(viaSql == viaCol)
+    // non-string argument fails at analysis, not per-row in codegen
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_char_entropy(42)").collect()
+    }
+    assert(e.getMessage.contains("string"), e.getMessage)
   }
 
   test("extensions hook injects the functions into a fresh session") {
