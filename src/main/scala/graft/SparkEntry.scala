@@ -1705,7 +1705,28 @@ object SparkEntry {
       Metrics.powerLawFit(
         t(s, d, "events").groupBy("user_id")
           .agg(count(lit(1)).as("n_events")),
-        "n_events")))
+        "n_events")),
+
+    "q113_table_profile" -> ((s, d) =>
+      // ANALYZE-style snapshot pre-flight (Validate.tableProfile): one
+      // pass, exact distincts (the oracle-checkable default; approx=true
+      // documented for 1e12 rows), min/max on native types cast to string
+      Validate.tableProfile(t(s, d, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
+    "q114_dedup_weights" -> ((s, d) => {
+      // dedup-weighted canonical export (Curation.dedupWeights): plant an
+      // exact duplicate of every 5th doc under a shifted id (the q81/q16
+      // planting device — both engines see the same corpus), then keep
+      // min-id canonicals with weight = occurrence count
+      val docs = t(s, d, "documents")
+      val planted = docs.unionByName(
+        docs.where(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      Curation.dedupWeights(planted, "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"), col("weight"))
+        .orderBy("doc_id")
+    }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2689,6 +2710,54 @@ object SparkEntry {
                ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
            END AS r2
          FROM s""",
+
+    "q113_table_profile" ->
+      // per-column UNION ALL re-derivation; sums cast to BIGINT (DuckDB
+      // sums integers to HUGEINT), min/max cast to VARCHAR like the engine
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val,
+           CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+         UNION ALL
+         SELECT 'text', count(*),
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT text) AS BIGINT),
+           CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+         FROM documents
+         UNION ALL
+         SELECT 'lang', count(*),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+         FROM documents
+         UNION ALL
+         SELECT 'source', count(*),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+         FROM documents
+         UNION ALL
+         SELECT 'n_chars', count(*),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+         FROM documents""",
+
+    "q114_dedup_weights" ->
+      // same planted corpus; canonical = min id per exact text group,
+      // weight = group size
+      """WITH t AS (
+           SELECT doc_id, text, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text, n_chars FROM documents
+           WHERE doc_id % 5 = 0),
+         g AS (SELECT text, min(doc_id) AS id, count(*) AS c
+           FROM t GROUP BY 1)
+         SELECT t.doc_id, t.n_chars, CAST(g.c AS BIGINT) AS weight
+         FROM t JOIN g ON t.text = g.text AND t.doc_id = g.id
+         ORDER BY t.doc_id""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -458,4 +458,32 @@ object Curation {
       .select("n_docs", "n_empty_docs", "n_dup_docs", "n_tokens",
         "n_token_types", "mean_tokens", "p50_tokens", "pct_en")
   }
+
+  /**
+   * Dedup-weighted canonical export — "keep each document once, remember
+   * how often it occurred": exact content groups collapse to their
+   * min-id canonical row plus a `weight` column (the group size). The
+   * loss-weighted-training alternative to plain dropping (a document seen
+   * 10⁴ times carries signal a single survivor row loses; samplers and
+   * loss scalers consume the weight downstream). Composes with the
+   * near-dup families by running AFTER them: feed the assignments'
+   * canonical text through here for the exact layer.
+   *
+   * Scale: groups shuffle on an 8-byte content hash (xxhash64 of the raw
+   * text — equal groups modulo 64-bit collisions, the q12/q106 device),
+   * one aggregation; the winning row comes back by joining the (hash,
+   * min-id, weight) group table to the input on (hash, id) — an equi-join
+   * AQE handles, no wide struct ride-along through the shuffle.
+   *
+   * @return the canonical rows of `docs` (original schema) plus `weight`
+   */
+  def dedupWeights(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val keyed = docs.withColumn("__k", xxhash64(col(textCol)))
+    val groups = keyed.groupBy("__k").agg(
+      min(col(idCol)).as(idCol),
+      count(lit(1)).as("weight"))
+    keyed.join(groups, Seq("__k", idCol))
+      .select(docs.columns.map(col) :+ col("weight"): _*)
+  }
 }

@@ -151,4 +151,49 @@ object Validate {
         col("n_a"), col("n_b"), col("mean_norm_a"), col("mean_norm_b"),
         col("mean_cosine"))
   }
+
+  /**
+   * ANALYZE-style per-column table profile — the pre-flight a pipeline
+   * runs on an unfamiliar snapshot before pointing the dedup DAG at it:
+   * one row per requested column with row count, null count, distinct
+   * cardinality, and min/max (rendered as strings so heterogeneous column
+   * types share one output schema; min/max are computed on the NATIVE type
+   * first, so numeric columns order numerically).
+   *
+   * Scale: a single aggregation pass. Exact `count(DISTINCT)` over k
+   * columns expands the input k-ways before the shuffle (Spark's standard
+   * multi-distinct Expand plan) — the right default here because the
+   * profile doubles as an oracle-checkable correctness surface; at
+   * 10¹²-row scale pass `approx = true` to swap in HyperLogLog
+   * `approx_count_distinct` (±2.3% relative error, no Expand, not
+   * oracle-comparable across engines).
+   *
+   * @return one row per column: (col_name, n_rows, n_nulls, n_distinct,
+   *         min_val, max_val), in the requested column order
+   */
+  def tableProfile(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "tableProfile: at least one column")
+    // the stack() unpivot goes through selectExpr: plain identifiers only
+    // (no quoting games with injected names)
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"tableProfile: column names must be plain identifiers, got $cols")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
+        (if (approx) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__${c}_distinct"),
+        min(col(c)).cast("string").as(s"__${c}_min"),
+        max(col(c)).cast("string").as(s"__${c}_max"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    // unpivot the single stats row into one row per column: stack() keeps
+    // this a narrow projection of the 1-row aggregate (no joins, no extra
+    // shuffle beyond the aggregation's own)
+    val stackArgs = cols.map { c =>
+      s"'$c', __rows, __${c}_nulls, __${c}_distinct, __${c}_min, __${c}_max"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+      "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
+  }
 }

@@ -437,4 +437,22 @@ class PlanSpec extends SparkSpec {
     // per-user agg shuffle + spectrum shuffle + the 1-row final agg
     assert("Exchange".r.findAllIn(p).size <= 3, p.take(1500))
   }
+
+  test("q113: table profile is one join-free multi-distinct aggregation") {
+    val p = planOf(SparkEntry.queries("q113_table_profile")(spark, dir))
+    assert(!p.contains("Join"), "unexpected join in tableProfile")
+    // the multi-distinct Expand plan's own exchanges only (partial/final)
+    assert(p.contains("Expand"), "expected Spark's multi-distinct Expand")
+  }
+
+  test("q114: dedup weights plan equi-joins only, no unpartitioned window") {
+    val df = SparkEntry.queries("q114_dedup_weights")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), "cartesian product in q114")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested loop in q114")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "q114 has an unpartitioned WindowExec")
+  }
 }

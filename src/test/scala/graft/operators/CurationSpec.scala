@@ -309,4 +309,22 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("p50_tokens") == 3)
     assert(r.getAs[Double]("pct_en") == 0.5)
   }
+
+  test("dedupWeights: min-id canonicals with occurrence counts, " +
+    "schema preserved") {
+    val docs = Seq(
+      (5L, "dup text", "en"),
+      (2L, "dup text", "en"),   // canonical of the group of 3
+      (9L, "dup text", "de"),   // same text, other cols differ: canonical's kept
+      (7L, "unique", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.dedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Long]("weight")))).toMap
+    assert(out.keySet == Set(2L, 7L))
+    assert(out(2L) == (("en", 3L)))   // canonical row's own columns survive
+    assert(out(7L) == (("en", 1L)))
+    // weights conserve mass: sum == input rows
+    assert(out.values.map(_._2).sum == 4L)
+  }
 }

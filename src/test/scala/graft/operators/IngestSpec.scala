@@ -100,4 +100,34 @@ class IngestSpec extends SparkSpec {
     val rz = Validate.embeddingDrift(a, z, "embedding").head()
     assert(rz.getAs[Double]("mean_cosine") == 0.0)
   }
+
+  test("tableProfile: nulls, exact distincts, native-type min/max, " +
+    "identifier guard") {
+    val df = Seq(
+      (1L, Some("b"), Some(10)),
+      (2L, Some("a"), Some(2)),   // numeric min 2 < 10 but string '10' < '2'
+      (3L, None, Some(10)),
+      (4L, Some("a"), None))
+      .toDF("id", "s", "v")
+    val rows = Validate.tableProfile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("id").getAs[Long]("n_rows") == 4)
+    assert(rows("id").getAs[Long]("n_nulls") == 0)
+    assert(rows("id").getAs[Long]("n_distinct") == 4)
+    assert(rows("s").getAs[Long]("n_nulls") == 1)
+    // countDistinct skips NULLs: {a, b}
+    assert(rows("s").getAs[Long]("n_distinct") == 2)
+    assert(rows("s").getAs[String]("min_val") == "a" &&
+      rows("s").getAs[String]("max_val") == "b")
+    // min/max on the NATIVE int type, cast after: 2..10, not "10".."2"
+    assert(rows("v").getAs[String]("min_val") == "2" &&
+      rows("v").getAs[String]("max_val") == "10")
+    // approx mode still produces a sane cardinality for tiny inputs
+    val ap = Validate.tableProfile(df, Seq("id"), approx = true)
+      .head().getAs[Long]("n_distinct")
+    assert(ap >= 3 && ap <= 5)
+    intercept[IllegalArgumentException] {
+      Validate.tableProfile(df, Seq("id; DROP"))
+    }
+  }
 }
