@@ -1726,7 +1726,15 @@ object SparkEntry {
       Curation.dedupWeights(planted, "doc_id", "text")
         .select(col("doc_id"), col("n_chars"), col("weight"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    "q115_sessionize" -> ((s, d) =>
+      // gap-based sessionization (EventReplay.sessionize): 30-min gap
+      // splits per user, event_id tie-break for deterministic indexing
+      // under equal timestamps; both windows partition by user (pinned)
+      EventReplay.sessionize(t(s, d, "events"), "user_id", "ts",
+          gapSeconds = 1800L, tieCol = Some("event_id"))
+        .orderBy("user_id", "session_idx")))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2758,6 +2766,26 @@ object SparkEntry {
          SELECT t.doc_id, t.n_chars, CAST(g.c AS BIGINT) AS weight
          FROM t JOIN g ON t.text = g.text AND t.doc_id = g.id
          ORDER BY t.doc_id""",
+
+    "q115_sessionize" ->
+      // same lag/gap/cumsum construction; epoch floored to match Spark's
+      // truncating timestamp->long cast, event_id tie-break in both windows
+      """WITH e AS (SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+         f AS (SELECT user_id, t, event_id,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         s AS (SELECT user_id, t,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+               AS session_idx
+           FROM f)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           min(t) AS start_ts, max(t) AS end_ts,
+           max(t) - min(t) AS duration_s
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

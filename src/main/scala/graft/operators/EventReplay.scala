@@ -87,4 +87,46 @@ object EventReplay {
         Window.partitionBy(partitionCol)
           .orderBy(col(tsCol).cast("timestamp").cast("long"))
           .rangeBetween(-forgetDays.toLong * 86400L, -1)))
+
+  /**
+   * Gap-based sessionization — split each key's event stream wherever
+   * consecutive events are more than `gapSeconds` apart, and roll each
+   * session up to one row. The burst/bot-detection primitive of a crawl
+   * pipeline (a "user" hammering ingestion with near-identical uploads
+   * shows up as one long dense session long before content signals fire)
+   * and the classic warm-up for per-entity rate caps ([[Curation]]'s
+   * capPerKey consumes the session counts).
+   *
+   * Scale: both windows partition BY KEY (never unpartitioned) — one
+   * shuffle on the key, then per-partition sorts; ties on ts break by a
+   * second sort column when provided so session indexing is deterministic
+   * under concurrent-equal timestamps.
+   *
+   * @param tieCol optional deterministic tie-break within equal timestamps
+   *               (e.g. the event id)
+   * @return one row per session: (key, session_idx — 0-based per key in
+   *         time order, n_events, start_ts, end_ts, duration_s)
+   */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long, tieCol: Option[String] = None): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val prepared = events.select(
+      col(keyCol) +: col(tsCol).cast("timestamp").cast("long").as("__ts") +:
+        tieCol.map(c => col(c).as("__tie")).toSeq: _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts") +: tieCol.map(_ => col("__tie")).toSeq: _*)
+    val prevTs = lag(col("__ts"), 1).over(w)
+    val flagged = prepared
+      .withColumn("__new_session",
+        when(prevTs.isNull || col("__ts") - prevTs > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("__session_idx",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+    flagged.groupBy(col(keyCol), col("__session_idx").as("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__ts")).as("start_ts"),
+        max(col("__ts")).as("end_ts"))
+      .withColumn("duration_s", col("end_ts") - col("start_ts"))
+  }
 }

@@ -445,6 +445,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), "expected Spark's multi-distinct Expand")
   }
 
+  test("q115: sessionize windows all partition by user, no joins") {
+    val df = SparkEntry.queries("q115_sessionize")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("Join"), "unexpected join in sessionize")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "q115 has an unpartitioned WindowExec")
+  }
+
   test("q114: dedup weights plan equi-joins only, no unpartitioned window") {
     val df = SparkEntry.queries("q114_dedup_weights")(spark, dir)
     val p = planOf(df)

@@ -61,4 +61,37 @@ class EventReplaySpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSet
     assert(sliced == Set(3L, 4L)) // event 2 at exactly 01-03 excluded
   }
+
+  test("sessionize: gap splits, boundary gap stays, per-key indexing, " +
+    "durations") {
+    // user 1: events at t=0, 100, 1900 with gap 1000 -> sessions
+    // {0,100} (gap 1800 > 1000 splits) and {1900}; a gap of EXACTLY 1000
+    // must NOT split (strict >): user 2 at t=0, 1000
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(100)), (3L, 1L, ts(1900)),
+      (4L, 2L, ts(0)), (5L, 2L, ts(1000)))
+      .toDF("event_id", "user_id", "ts")
+    val out = EventReplay.sessionize(events, "user_id", "ts", 1000L,
+        tieCol = Some("event_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("start_ts"),
+          r.getAs[Long]("duration_s")))).toMap
+    assert(out.keySet == Set((1L, 0L), (1L, 1L), (2L, 0L)))
+    assert(out((1L, 0L)) == ((2L, 0L, 100L)))
+    assert(out((1L, 1L)) == ((1L, 1900L, 0L)))
+    assert(out((2L, 0L)) == ((2L, 0L, 1000L))) // boundary gap: one session
+    // deterministic under equal timestamps: tie-broken by event_id, the
+    // session structure is identical however ties land
+    val tied = Seq((10L, 3L, ts(5)), (11L, 3L, ts(5)), (12L, 3L, ts(5000)))
+      .toDF("event_id", "user_id", "ts")
+    val t3 = EventReplay.sessionize(tied, "user_id", "ts", 1000L,
+      tieCol = Some("event_id")).collect()
+    assert(t3.length == 2 &&
+      t3.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      EventReplay.sessionize(events, "user_id", "ts", 0L)
+    }
+  }
 }
