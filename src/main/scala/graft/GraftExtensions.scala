@@ -243,6 +243,17 @@ object GraftExtensions {
         "graft_char_entropy(s) - Shannon entropy (bits/char) of the code-point distribution") { args =>
       arity("graft_char_entropy", args, 1, 1)
       CharEntropy(args.head)
+    },
+    reg("graft_icws",
+        "graft_icws(hashes, numHashes[, seed]) - ICWS weighted-MinHash signature (repeats = weights)") { args =>
+      arity("graft_icws", args, 2, 3)
+      IcwsSignature(args.head, intOf(args(1), "graft_icws", "numHashes"),
+        seedArg("graft_icws", args, 2))
+    },
+    reg("graft_weighted_jaccard",
+        "graft_weighted_jaccard(a, b) - exact weighted Jaccard of two hash multisets") { args =>
+      arity("graft_weighted_jaccard", args, 2, 2)
+      WeightedJaccard(args.head, args(1))
     })
 
   private def reg(name: String, usage: String)(builder: Seq[Expression] => Expression)

@@ -1734,7 +1734,17 @@ object SparkEntry {
       // under equal timestamps; both windows partition by user (pinned)
       EventReplay.sessionize(t(s, d, "events"), "user_id", "ts",
           gapSeconds = 1800L, tieCol = Some("event_id"))
-        .orderBy("user_id", "session_idx")))
+        .orderBy("user_id", "session_idx")),
+
+    "q116_weighted_minhash_pairs" -> ((s, d) =>
+      // ICWS weighted-MinHash near-dup pairs (Dedup.weightedMinhashPairs):
+      // the q15 corpus + brute-force device, but thresholding the WEIGHTED
+      // Jaccard (sum-min/sum-max of tri-shingle counts) — the oracle
+      // re-derives it count-for-count in SQL. Recall argument mirrors q15:
+      // planted near-dups sit at wj ~ 0.97, P[all 64 bands miss] < 1e-60
+      Dedup.weightedMinhashPairs(docsWithNearDups(s, d), "doc_id", "text",
+          DedupConfig.default)
+        .select("a", "b").orderBy("a")))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2786,6 +2796,31 @@ object SparkEntry {
            min(t) AS start_ts, max(t) AS end_ts,
            max(t) - min(t) AS duration_s
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q116_weighted_minhash_pairs" ->
+      // the q15 brute-force oracle with COUNTS: tri-shingles keep repeats,
+      // intersection mass = sum of per-tri minima, weighted jaccard =
+      // sum-min / (|A| + |B| - sum-min)
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
+         toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM corpus),
+         tris AS (SELECT doc_id, list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS tl FROM toks),
+         posting AS (SELECT doc_id, tri, count(*) AS c FROM
+           (SELECT doc_id, unnest(tl) AS tri FROM tris) GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(tl) AS n FROM tris),
+         inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b,
+             sum(least(p1.c, p2.c)) AS ic
+           FROM posting p1 JOIN posting p2
+             ON p1.tri = p2.tri AND p1.doc_id < p2.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b FROM inter
+         JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5 ORDER BY a, b""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -376,6 +376,44 @@ case class RollingFingerprint(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
+/** array<long> hash multiset (repeats = weights) -> array<long> ICWS
+  * weighted-MinHash signature: per-slot collision probability equals the
+  * WEIGHTED Jaccard (sum-min/sum-max of counts). Band with LshBandKeys
+  * exactly like the classic signature. Ioffe ICDM 2010. */
+case class IcwsSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  require(numHashes >= 1, s"icws_signature: numHashes($numHashes) must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "icws_signature"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.icws(input.asInstanceOf[ArrayData], numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.icws($c, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): IcwsSignature =
+    copy(child = newChild)
+}
+
+/** (array<long>, array<long>) hash multisets -> double exact weighted
+  * Jaccard (sum-min/sum-max of per-element counts) — the verify metric of
+  * the ICWS candidate family. */
+case class WeightedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "weighted_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.weightedJaccardData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.weightedJaccardData($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): WeightedJaccard =
+    copy(left = l, right = r)
+}
+
 /** string -> double Shannon entropy (bits/char) of its code-point
   * distribution — the cheap junk gate (spam runs ≈ 0, prose ≈ 4,
   * base64/binary noise ≥ 6). Order-independent by construction

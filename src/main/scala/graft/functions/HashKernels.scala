@@ -658,6 +658,108 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(
       winnowAnchorsFromChars(if (s == null) null else s.toString, k, w, seed))
 
+  // ---------------------------------------------------------------------
+  // Weighted MinHash (ICWS): collision law over the WEIGHTED Jaccard
+  // sum-min/sum-max — token multiplicity matters, the bridge between plain
+  // set-Jaccard LSH and TF-IDF cosine. Ioffe, "Improved Consistent Sampling,
+  // Weighted Minhash and L1 Sketching", ICDM 2010.
+
+  /** Uniform in (0,1) from a mixed 64-bit state (never exactly 0 or 1,
+    * so the ln() calls below stay finite). */
+  @inline private def unit(h: Long): Double =
+    ((h >>> 11) + 0.5) * (1.0 / 9007199254740992.0)
+
+  /**
+   * ICWS signature over a hash multiset — repeats in `hashes` ARE the
+   * weights (integer tf). For each of `numHashes` samples the winning
+   * element's mixed hash is emitted, so identical multisets produce
+   * identical signatures and `P[sig_k(A) == sig_k(B)] = weightedJaccard
+   * (A, B)`; band the signature with the same LSH machinery as classic
+   * MinHash. Per sample and distinct element: r, c ~ Gamma(2,1) and
+   * beta ~ U(0,1), all deterministic from (element, sample, seed);
+   * t = floor(ln w / r + beta); ln y = r (t − beta); minimize
+   * ln c − ln y − r. O(distinct · numHashes) per row.
+   *
+   * Empty input → the [[EMPTY_MIN]] sentinel in every slot (matches
+   * [[minhash]]'s convention; two empty docs collide everywhere).
+   */
+  def icwsArray(hashes: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    if (hashes.isEmpty) {
+      java.util.Arrays.fill(sig, EMPTY_MIN)
+      return sig
+    }
+    // run-length the multiset: sorted copy, (element, weight) runs
+    val sorted = hashes.clone()
+    java.util.Arrays.sort(sorted)
+    var k = 0
+    while (k < numHashes) {
+      var best = Double.PositiveInfinity
+      var bestEl = 0L
+      var bestT = 0L
+      var i = 0
+      while (i < sorted.length) {
+        val el = sorted(i)
+        var w = 1
+        while (i + w < sorted.length && sorted(i + w) == el) w += 1
+        // five deterministic uniforms for (element, sample)
+        var h = mix64(el ^ mix64(seed + GOLDEN * (k + 1)))
+        val u1 = unit(h); h = mix64(h + GOLDEN)
+        val u2 = unit(h); h = mix64(h + GOLDEN)
+        val u3 = unit(h); h = mix64(h + GOLDEN)
+        val u4 = unit(h); h = mix64(h + GOLDEN)
+        val beta = unit(h)
+        val r = -math.log(u1 * u2)          // Gamma(2,1)
+        val lnC = math.log(-math.log(u3 * u4))
+        val t = math.floor(math.log(w.toDouble) / r + beta)
+        val lnY = r * (t - beta)
+        val lnA = lnC - lnY - r
+        if (lnA < best) { best = lnA; bestEl = el; bestT = t.toLong }
+        i += w
+      }
+      // the ICWS sample identity is the PAIR (element, level t): two
+      // multisets agree on slot k iff both the winner and its weight level
+      // match — {a:1} vs {a:3} must collide at rate 1/3, not 1
+      sig(k) = mix64(mix64(bestEl ^ GOLDEN) ^ (bestT * GOLDEN))
+      k += 1
+    }
+    sig
+  }
+
+  def icws(hashes: ArrayData, numHashes: Int, seed: Long): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      icwsArray(hashes.toLongArray(), numHashes, seed))
+
+  /** Exact weighted Jaccard of two hash multisets: sum-min over sum-max of
+    * per-element counts. Equal multisets → 1; both empty → 1 (matches
+    * [[jaccard]]'s convention). */
+  def weightedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val ca = new java.util.HashMap[java.lang.Long, Integer](a.length * 2)
+    var i = 0
+    while (i < a.length) {
+      ca.merge(a(i), 1, (x: Integer, y: Integer) => x + y); i += 1
+    }
+    val cb = new java.util.HashMap[java.lang.Long, Integer](b.length * 2)
+    i = 0
+    while (i < b.length) {
+      cb.merge(b(i), 1, (x: Integer, y: Integer) => x + y); i += 1
+    }
+    var sumMin = 0L
+    val it = ca.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val w = cb.get(e.getKey)
+      if (w != null) sumMin += math.min(e.getValue.intValue(), w.intValue())
+    }
+    // sum-max = |A| + |B| - sum-min (total multiset masses)
+    sumMin.toDouble / (a.length.toLong + b.length - sumMin)
+  }
+
+  def weightedJaccardData(a: ArrayData, b: ArrayData): Double =
+    weightedJaccard(a.toLongArray(), b.toLongArray())
+
   /**
    * Shannon entropy (bits per character) of the code-point distribution of
    * a string — the classic cheap junk gate: near 0 for single-character

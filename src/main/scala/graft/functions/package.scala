@@ -52,6 +52,15 @@ package object functions {
   def jaccard_sim(a: Column, b: Column): Column =
     column(JaccardSim(expression(a), expression(b)))
 
+  /** ICWS weighted-MinHash signature — repeats in the hash array are the
+    * weights; per-slot collision probability = weighted Jaccard. */
+  def icws_signature(hashes: Column, numHashes: Int, seed: Long = 42L): Column =
+    column(IcwsSignature(expression(hashes), numHashes, seed))
+
+  /** Exact weighted Jaccard (sum-min/sum-max of multiset counts). */
+  def weighted_jaccard(a: Column, b: Column): Column =
+    column(WeightedJaccard(expression(a), expression(b)))
+
   def lcs_length(a: Column, b: Column, maxLen: Int = 2000): Column =
     column(LcsLength(expression(a), expression(b), maxLen))
 

@@ -85,6 +85,44 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /**
+   * WEIGHTED MinHash near-dup pairs — token multiplicity matters: candidate
+   * generation through an ICWS signature (per-band collision law over the
+   * weighted Jaccard, Ioffe ICDM 2010) and exact sum-min/sum-max verify.
+   * The bridge between [[minhashLshPairs]]' set semantics (a document that
+   * repeats one slogan 100× looks identical to one mentioning it once) and
+   * TF-IDF cosine: repeated-mass differences now lower the similarity, so
+   * copy-paste-inflated spam no longer dedups against its seed.
+   *
+   * Same plan shape and scale posture as [[minhashLshPairs]]: fused
+   * signature+banding projection, the shared capped/salted bucket device,
+   * two equi-joins back for verify. `cfg.jaccardMin` thresholds the
+   * WEIGHTED score here.
+   */
+  def weightedMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig, persistFeatures: Boolean = true): DataFrame = {
+    val feat = maybePersist(
+      docs.select(
+        col(idCol).as("id"),
+        shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed)
+          .as("shingles"))
+        .withColumn("band_keys",
+          lsh_band_keys(
+            icws_signature(col("shingles"), cfg.numHashes, cfg.seed),
+            cfg.bands, cfg.rowsPerBand, cfg.seed)),
+      persistFeatures)
+    val buckets = CandidateGen.explodeBands(
+      feat.where(size(col("shingles")) > 0), "id", "band_keys")
+    val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize,
+      saltOversized = cfg.saltOversized)
+    val fa = feat.select(col("id").as("a"), col("shingles").as("sh_a"))
+    val fb = feat.select(col("id").as("b"), col("shingles").as("sh_b"))
+    pairs.join(fa, "a").join(fb, "b")
+      .withColumn("wjaccard", weighted_jaccard(col("sh_a"), col("sh_b")))
+      .where(col("wjaccard") >= cfg.jaccardMin)
+      .select("a", "b", "wjaccard")
+  }
+
   /** SimHash near-dup pairs: Hamming-subset buckets + bit_count verify.
     * `persistFeatures`: see [[minhashLshPairs]]. In persisted (bounded-
     * corpus) mode the corpus is counted — one cheap pass over the cache —

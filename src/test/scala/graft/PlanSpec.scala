@@ -445,6 +445,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), "expected Spark's multi-distinct Expand")
   }
 
+  test("q116: weighted minhash keeps the q15 plan shape — equi-joins only") {
+    val p = planOf(SparkEntry.queries("q116_weighted_minhash_pairs")(spark, dir))
+    assert(!p.contains("CartesianProduct"), "cartesian product in q116")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested loop in q116")
+  }
+
   test("q115: sessionize windows all partition by user, no joins") {
     val df = SparkEntry.queries("q115_sessionize")(spark, dir)
     val p = planOf(df)

@@ -81,6 +81,36 @@ class ExpressionsSpec extends SparkSpec {
       s"fast_align fell out of codegen:\n$plan")
   }
 
+  test("icws / weighted_jaccard: exact values, determinism, calibration") {
+    // weighted_jaccard hand values
+    val wj = Seq(
+      (1L, Array(7L), Array(7L, 7L, 7L)),          // {a:1} vs {a:3} -> 1/3
+      (2L, Array(1L, 2L), Array(2L, 3L)),          // sum-min 1 / (2+2-1) -> 1/3
+      (3L, Array(5L, 5L), Array(5L, 5L)),          // identical -> 1
+      (4L, Array.empty[Long], Array.empty[Long]))  // both empty -> 1
+      .toDF("id", "a", "b")
+      .select($"id", weighted_jaccard($"a", $"b").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(wj(1L) - 1.0 / 3) < 1e-12)
+    assert(math.abs(wj(2L) - 1.0 / 3) < 1e-12)
+    assert(wj(3L) == 1.0 && wj(4L) == 1.0)
+
+    // identical multisets -> identical signatures (slot-for-slot);
+    // collision fraction over 256 slots estimates the WEIGHTED jaccard:
+    // {a:1} vs {a:3} has SET jaccard 1 but wj 1/3 — the estimator must
+    // track the weighted value, not the set one
+    val sigs = Seq(
+      ("x", Array(7L, 8L, 9L)), ("y", Array(7L, 8L, 9L)),
+      ("p", Array(7L)), ("q", Array(7L, 7L, 7L)))
+      .toDF("k", "h")
+      .select($"k", icws_signature($"h", 256, 42L).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("x") == sigs("y"), "identical multisets must collide fully")
+    val coll = sigs("p").zip(sigs("q")).count { case (a, b) => a == b } / 256.0
+    assert(coll > 1.0 / 3 - 0.12 && coll < 1.0 / 3 + 0.12,
+      s"ICWS collision rate $coll far from weighted jaccard 1/3")
+  }
+
   test("char_entropy stays inside whole-stage codegen") {
     val df = spark.range(100)
       .withColumn("text", concat_ws(" ", lit("tok"), ($"id" % 7).cast("string")))

@@ -569,4 +569,31 @@ class DedupSpec extends SparkSpec {
       (2L, 1L, 2L, 0.333333),
       (3L, 1L, 3L, 0.5)))
   }
+
+  test("weightedMinhashPairs: copy-paste inflation no longer dedups against " +
+    "its seed; exact copies still do") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),               // exact copy: wj = 1, must pair with 1
+      (3L, base + " " + base))  // doubled spam: shingle SET ~ same, wj ~ 1/2
+      .toDF("doc_id", "text")
+    val cfg = DedupConfig.default.copy(jaccardMin = 0.6)
+    val weighted = Dedup.weightedMinhashPairs(docs, "doc_id", "text", cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(weighted == Set((1L, 2L)),
+      s"weighted must keep only the exact pair, got $weighted")
+    // the UNWEIGHTED family pairs the doubled doc with its seed (set
+    // jaccard near 1) — the distinction this operator exists for
+    val unweighted = Dedup.minhashLshPairs(docs, "doc_id", "text", cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(unweighted.contains((1L, 3L)) && unweighted.contains((1L, 2L)),
+      s"set-jaccard family should pair the doubled doc too, got $unweighted")
+    // exact verify values ride along
+    val w12 = Dedup.weightedMinhashPairs(docs, "doc_id", "text", cfg)
+      .where(col("a") === 1 && col("b") === 2)
+      .select("wjaccard").as[Double].head()
+    assert(w12 == 1.0)
+  }
 }
