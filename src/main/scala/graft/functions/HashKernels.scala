@@ -689,19 +689,33 @@ object HashKernels {
       java.util.Arrays.fill(sig, EMPTY_MIN)
       return sig
     }
-    // run-length the multiset: sorted copy, (element, weight) runs
+    // run-length the multiset ONCE into (element, ln weight) runs — the
+    // per-sample loop then touches each distinct element exactly once
+    // (O(distinct · numHashes) as documented; high-multiplicity spam rows
+    // are precisely where the difference is ~100x)
     val sorted = hashes.clone()
     java.util.Arrays.sort(sorted)
+    var nDistinct = 0
+    val els = new Array[Long](sorted.length)
+    val lnW = new Array[Double](sorted.length)
+    var i0 = 0
+    while (i0 < sorted.length) {
+      val el = sorted(i0)
+      var w = 1
+      while (i0 + w < sorted.length && sorted(i0 + w) == el) w += 1
+      els(nDistinct) = el
+      lnW(nDistinct) = math.log(w.toDouble)
+      nDistinct += 1
+      i0 += w
+    }
     var k = 0
     while (k < numHashes) {
       var best = Double.PositiveInfinity
       var bestEl = 0L
       var bestT = 0L
       var i = 0
-      while (i < sorted.length) {
-        val el = sorted(i)
-        var w = 1
-        while (i + w < sorted.length && sorted(i + w) == el) w += 1
+      while (i < nDistinct) {
+        val el = els(i)
         // five deterministic uniforms for (element, sample)
         var h = mix64(el ^ mix64(seed + GOLDEN * (k + 1)))
         val u1 = unit(h); h = mix64(h + GOLDEN)
@@ -711,11 +725,11 @@ object HashKernels {
         val beta = unit(h)
         val r = -math.log(u1 * u2)          // Gamma(2,1)
         val lnC = math.log(-math.log(u3 * u4))
-        val t = math.floor(math.log(w.toDouble) / r + beta)
+        val t = math.floor(lnW(i) / r + beta)
         val lnY = r * (t - beta)
         val lnA = lnC - lnY - r
         if (lnA < best) { best = lnA; bestEl = el; bestT = t.toLong }
-        i += w
+        i += 1
       }
       // the ICWS sample identity is the PAIR (element, level t): two
       // multisets agree on slot k iff both the winner and its weight level

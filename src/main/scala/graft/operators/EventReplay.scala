@@ -105,14 +105,20 @@ object EventReplay {
    * @param tieCol optional deterministic tie-break within equal timestamps
    *               (e.g. the event id)
    * @return one row per session: (key, session_idx — 0-based per key in
-   *         time order, n_events, start_ts, end_ts, duration_s)
+   *         time order, n_events, start_ts, end_ts, duration_s). Rows
+   *         whose timestamp casts to null are dropped (no position on the
+   *         time axis — they must not become phantom sessions).
    */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       gapSeconds: Long, tieCol: Option[String] = None): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    // rows whose timestamp casts to null carry no position on the time
+    // axis: dropped here rather than becoming phantom null-bounded
+    // sessions that would shift every real session's index
     val prepared = events.select(
-      col(keyCol) +: col(tsCol).cast("timestamp").cast("long").as("__ts") +:
-        tieCol.map(c => col(c).as("__tie")).toSeq: _*)
+        col(keyCol) +: col(tsCol).cast("timestamp").cast("long").as("__ts") +:
+          tieCol.map(c => col(c).as("__tie")).toSeq: _*)
+      .where(col("__ts").isNotNull)
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__ts") +: tieCol.map(_ => col("__tie")).toSeq: _*)
     val prevTs = lag(col("__ts"), 1).over(w)

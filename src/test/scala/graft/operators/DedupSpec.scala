@@ -580,20 +580,16 @@ class DedupSpec extends SparkSpec {
       (3L, base + " " + base))  // doubled spam: shingle SET ~ same, wj ~ 1/2
       .toDF("doc_id", "text")
     val cfg = DedupConfig.default.copy(jaccardMin = 0.6)
-    val weighted = Dedup.weightedMinhashPairs(docs, "doc_id", "text", cfg)
-      .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(weighted == Set((1L, 2L)),
-      s"weighted must keep only the exact pair, got $weighted")
+    val wRows = Dedup.weightedMinhashPairs(docs, "doc_id", "text", cfg)
+      .select("a", "b", "wjaccard").as[(Long, Long, Double)].collect()
+    assert(wRows.map(r => (r._1, r._2)).toSet == Set((1L, 2L)),
+      s"weighted must keep only the exact pair, got ${wRows.toSeq}")
+    assert(wRows.head._3 == 1.0) // exact verify value rides along
     // the UNWEIGHTED family pairs the doubled doc with its seed (set
     // jaccard near 1) — the distinction this operator exists for
     val unweighted = Dedup.minhashLshPairs(docs, "doc_id", "text", cfg)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(unweighted.contains((1L, 3L)) && unweighted.contains((1L, 2L)),
       s"set-jaccard family should pair the doubled doc too, got $unweighted")
-    // exact verify values ride along
-    val w12 = Dedup.weightedMinhashPairs(docs, "doc_id", "text", cfg)
-      .where(col("a") === 1 && col("b") === 2)
-      .select("wjaccard").as[Double].head()
-    assert(w12 == 1.0)
   }
 }

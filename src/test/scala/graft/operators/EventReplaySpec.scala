@@ -93,5 +93,14 @@ class EventReplaySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventReplay.sessionize(events, "user_id", "ts", 0L)
     }
+    // null timestamps are dropped, not phantom sessions shifting indices
+    val withNull = Seq((20L, 4L, Option.empty[Timestamp]),
+      (21L, 4L, Some(ts(100))), (22L, 4L, Some(ts(5000))))
+      .toDF("event_id", "user_id", "ts")
+    val s4 = EventReplay.sessionize(withNull, "user_id", "ts", 1000L,
+        tieCol = Some("event_id"))
+      .select("session_idx", "n_events").as[(Long, Long)].collect().toSet
+    assert(s4 == Set((0L, 1L), (1L, 1L)),
+      s"null ts must vanish, real sessions keep 0-based indices: $s4")
   }
 }
