@@ -1744,7 +1744,32 @@ object SparkEntry {
       // planted near-dups sit at wj ~ 0.97, P[all 64 bands miss] < 1e-60
       Dedup.weightedMinhashPairs(docsWithNearDups(s, d), "doc_id", "text",
           DedupConfig.default)
-        .select("a", "b").orderBy("a")))
+        .select("a", "b").orderBy("a")),
+
+    "q117_numeric_histogram" -> ((s, d) =>
+      // dense equi-width histogram (SkewStats.numericHistogram) over doc
+      // lengths: explicit [0, 600) x 12 bins, zero-filled, under/overflow
+      // rows — the distribution companion to q113's scalar profile
+      SkewStats.numericHistogram(t(s, d, "documents"), "n_chars",
+        lo = 0.0, hi = 600.0, nBins = 12)),
+
+    "q118_rrf_fusion" -> ((s, d) => {
+      // reciprocal-rank fusion (Ranking.rrfFuse, Cormack SIGIR'09) of the
+      // two retrieval indexes the engine already evaluates — q63's TF-IDF
+      // and q98's BM25 posting joins, same query set and determinism
+      // devices; the oracle recomputes both lists and the fusion in SQL
+      val docs = t(s, d, "documents")
+      val queries = docs.where(col("doc_id") % 25 === 0)
+      def list(scored: DataFrame) = Ranking.topKItems(
+        scored.where(col("query_id") =!= col("item_id"))
+          .withColumn("score", round(col("score"), 4)), 10)
+        .select("query_id", "item_id", "rank")
+      val tf = list(TextScores.tfidfIndexScores(docs, queries, "doc_id", "text"))
+      val bm = list(TextScores.bm25IndexScores(docs, queries, "doc_id", "text"))
+      Ranking.rrfFuse(Seq(tf, bm), topK = 10)
+        .select("query_id", "item_id", "rank", "score")
+        .orderBy("query_id", "rank")
+    }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2821,6 +2846,95 @@ object SparkEntry {
          SELECT a, b FROM inter
          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5 ORDER BY a, b""",
+
+    "q117_numeric_histogram" ->
+      // identical bin formula (same IEEE double ops -> same bin), dense
+      // join against range(-1, nBins+1), NULL open edges, edges rounded 6
+      """WITH b AS (SELECT range AS bin FROM range(-1, 13)),
+         c AS (SELECT CASE WHEN v < 0.0 THEN -1
+                 WHEN v >= 600.0 THEN 12
+                 ELSE CAST(floor((v - 0.0) / 50.0) AS BIGINT) END AS bin,
+               count(*) AS n
+           FROM (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+                 WHERE n_chars IS NOT NULL)
+           GROUP BY 1)
+         SELECT b.bin,
+           CASE WHEN b.bin = -1 THEN NULL
+             ELSE round(b.bin * CAST(50.0 AS DOUBLE), 6) END AS lo_edge,
+           CASE WHEN b.bin = 12 THEN NULL
+             ELSE round((b.bin + 1) * CAST(50.0 AS DOUBLE), 6) END AS hi_edge,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         FROM b LEFT JOIN c USING (bin) ORDER BY b.bin""",
+
+    "q118_rrf_fusion" ->
+      // q63's TF-IDF CTEs + q98's BM25 CTEs verbatim, each ranked top-10
+      // on the rounded score, fused by sum 1/(60 + rank) rounded to 6,
+      // re-ranked with the same item_id tie-break
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(string_split(
+             regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'), ' '), x -> length(x) > 0))) AS token
+           FROM documents),
+         idf AS (
+           SELECT token,
+             1.0 + ln((SELECT count(*) FROM documents) * 1.0 / (count(*) + 1))
+               AS idf
+           FROM toks GROUP BY token),
+         tf_scored AS (
+           SELECT q.doc_id AS query_id, p.doc_id AS item_id,
+             round(sum(i.idf * i.idf), 4) AS score
+           FROM toks q
+           JOIN toks p ON q.token = p.token AND q.doc_id <> p.doc_id
+           JOIN idf i ON i.token = q.token
+           WHERE q.doc_id % 25 = 0
+           GROUP BY 1, 2),
+         tf_ranked AS (
+           SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, item_id) AS rank
+           FROM tf_scored),
+         lt AS (SELECT doc_id, list_filter(string_split(
+             regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'), ' '), x -> length(x) > 0) AS l
+           FROM documents),
+         w AS (SELECT doc_id, l, len(l) AS dl FROM lt WHERE len(l) > 0),
+         stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl
+           FROM w),
+         tok AS (SELECT doc_id, dl, unnest(l) AS token FROM w),
+         btf AS (SELECT doc_id, dl, token, count(*) AS tf FROM tok
+           GROUP BY 1, 2, 3),
+         bidf AS (SELECT token,
+             ln((n - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+           FROM btf, stats GROUP BY token, n),
+         bq AS (SELECT doc_id AS query_id, unnest(list_distinct(l)) AS token
+           FROM w WHERE doc_id % 25 = 0),
+         bm_scored AS (SELECT bq.query_id, t.doc_id AS item_id,
+             round(sum(i.idf * (t.tf * 2.2) /
+               (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 4) AS score
+           FROM bq JOIN btf t ON bq.token = t.token AND bq.query_id <> t.doc_id
+           JOIN bidf i ON i.token = bq.token CROSS JOIN stats s
+           GROUP BY 1, 2),
+         bm_ranked AS (
+           SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, item_id) AS rank
+           FROM bm_scored),
+         contrib AS (
+           SELECT query_id, item_id, 1.0 / (60 + rank) AS c
+           FROM tf_ranked WHERE rank <= 10
+           UNION ALL
+           SELECT query_id, item_id, 1.0 / (60 + rank) AS c
+           FROM bm_ranked WHERE rank <= 10),
+         fused AS (
+           SELECT query_id, item_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY 1, 2),
+         out AS (
+           SELECT query_id, item_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, item_id) AS rank
+           FROM fused)
+         SELECT query_id, item_id, rank, score FROM out
+         WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

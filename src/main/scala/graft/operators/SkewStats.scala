@@ -104,4 +104,46 @@ object SkewStats {
       .groupBy("q").agg(min(col("v")).as("value"))
       .orderBy("q")
   }
+
+  /**
+   * Dense equi-width histogram over an explicit [lo, hi) range — the
+   * distribution companion to `Validate.tableProfile`'s scalar stats:
+   * every bin appears (zero-filled), so two snapshots' histograms line up
+   * row-for-row for drift eyeballing; under/overflow mass is reported in
+   * two extra rows (bin −1 and nBins) instead of silently clipped or
+   * silently dropped — the no-silent-caps posture.
+   *
+   * Scale: one aggregation on the bin index (≤ nBins+2 groups) plus a
+   * broadcast join against the generated bin table. Explicit bounds (not
+   * data-derived min/max) keep the layout stable across snapshots and the
+   * whole computation single-pass.
+   *
+   * @return nBins + 2 rows: (bin, lo_edge, hi_edge, n) — bin −1/nBins are
+   *         the underflow/overflow rows with a NULL edge on the open side
+   */
+  def numericHistogram(df: DataFrame, valueCol: String, lo: Double,
+      hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins($nBins) must be >= 1")
+    require(lo < hi, s"lo($lo) must be < hi($hi)")
+    val w = (hi - lo) / nBins
+    val v = col(valueCol).cast("double")
+    val bin = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(nBins.toLong))
+      .otherwise(floor((v - lo) / w).cast("long"))
+    val counts = df.where(v.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val bins = spark.range(-1L, nBins + 1L).toDF("bin")
+      .select(col("bin"),
+        when(col("bin") === -1L, lit(null).cast("double"))
+          .otherwise(lit(lo) + col("bin") * w).as("lo_edge"),
+        when(col("bin") === nBins.toLong, lit(null).cast("double"))
+          .otherwise(lit(lo) + (col("bin") + 1L) * w).as("hi_edge"))
+    bins.join(counts, Seq("bin"), "left")
+      .select(col("bin"), round(col("lo_edge"), 6).as("lo_edge"),
+        round(col("hi_edge"), 6).as("hi_edge"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bin")
+  }
 }

@@ -445,6 +445,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), "expected Spark's multi-distinct Expand")
   }
 
+  test("q117/q118: histogram and RRF fusion plan equi-joins, " +
+    "never a nested loop") {
+    Seq("q117_numeric_histogram", "q118_rrf_fusion").foreach { q =>
+      val p = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
+    }
+  }
+
   test("q116: weighted minhash keeps the q15 plan shape — equi-joins only") {
     val p = planOf(SparkEntry.queries("q116_weighted_minhash_pairs")(spark, dir))
     assert(!p.contains("CartesianProduct"), "cartesian product in q116")

@@ -77,4 +77,31 @@ class SkewStatsSpec extends SparkSpec {
       SkewStats.exactQuantiles(df, "v", Seq.empty)
     }
   }
+
+  test("numericHistogram: dense zero-filled bins, edge ownership, " +
+    "under/overflow rows, null exclusion") {
+    // [0, 10) x 2 bins of width 5: -3 underflows, 0 and 4.9 -> bin 0,
+    // 5 (left edge ownership) -> bin 1, 10 and 12 overflow, null dropped
+    val df = Seq(Some(-3.0), Some(0.0), Some(4.9), Some(5.0), Some(10.0),
+      Some(12.0), None).toDF("v")
+    val rows = SkewStats.numericHistogram(df, "v", 0.0, 10.0, 2)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getAs[Long]("n")))).toMap
+    assert(rows.keySet == Set(-1L, 0L, 1L, 2L))
+    assert(rows(-1L) == ((None, Some(0.0), 1L)))       // open lo edge
+    assert(rows(0L) == ((Some(0.0), Some(5.0), 2L)))
+    assert(rows(1L) == ((Some(5.0), Some(10.0), 1L)))  // 5.0 owned left
+    assert(rows(2L) == ((Some(10.0), None, 2L)))       // open hi edge
+    // an empty bin still appears, zero-filled
+    val sparse = SkewStats.numericHistogram(
+      Seq(1.0).toDF("v"), "v", 0.0, 10.0, 2).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+    assert(sparse == Map(-1L -> 0L, 0L -> 1L, 1L -> 0L, 2L -> 0L))
+    intercept[IllegalArgumentException] {
+      SkewStats.numericHistogram(df, "v", 5.0, 5.0, 2)
+    }
+    intercept[IllegalArgumentException] {
+      SkewStats.numericHistogram(df, "v", 0.0, 10.0, 0)
+    }
+  }
 }
