@@ -1769,7 +1769,16 @@ object SparkEntry {
       Ranking.rrfFuse(Seq(tf, bm), topK = 10)
         .select("query_id", "item_id", "rank", "score")
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    "q119_percentile_ranks" -> ((s, d) =>
+      // score calibration (Ranking.percentileRanks): SQL percent_rank
+      // semantics via the q62 value-bucketed device — no global window;
+      // oracle IS percent_rank() (the oracle may window globally, the
+      // engine must not — PlanSpec pins it)
+      Ranking.percentileRanks(
+          t(s, d, "events").select("event_id", "value"), "value")
+        .select("event_id", "value", "pct").orderBy("event_id")))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2935,6 +2944,13 @@ object SparkEntry {
            FROM fused)
          SELECT query_id, item_id, rank, score FROM out
          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q119_percentile_ranks" ->
+      // the oracle uses the global window the engine is forbidden: DuckDB
+      // percent_rank() = strictly-below / (n-1), ties share a value
+      """SELECT event_id, value,
+           round(percent_rank() OVER (ORDER BY value), 6) AS pct
+         FROM events ORDER BY event_id""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

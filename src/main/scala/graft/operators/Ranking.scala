@@ -42,6 +42,38 @@ object Ranking {
       .where(col("rank") <= k)
 
   /**
+   * Global percentile ranks WITHOUT a global window — the calibration step
+   * before fusing heterogeneous quality scores (perplexity, char entropy,
+   * repetition fractions live on incomparable scales; their percentile
+   * transforms are directly mixable). SQL `percent_rank` semantics:
+   * pct = #{rows with strictly smaller score} / (n − 1), ties share a
+   * value, single-row/degenerate input → 0.
+   *
+   * Scale: the q62 device — distinct scores collapse first (the widest
+   * shuffle is bounded by the value domain), cumulative counts ride
+   * [[OrderedScan.cumSums]]' value-bucketed prefix sums, and the tiny
+   * (score → pct) table equi-joins back on the score value. No
+   * unpartitioned window anywhere. NULL scores pass through with NULL pct.
+   *
+   * @return `df` plus `outCol` (double, rounded to 6)
+   */
+  def percentileRanks(df: DataFrame, scoreCol: String,
+      outCol: String = "pct"): DataFrame = {
+    val counts = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val cum = OrderedScan.cumSums(counts, "__s", Seq("__c" -> "__cum"))
+    val total = counts.agg(sum(col("__c")).as("__n"))
+    val pct = cum.crossJoin(broadcast(total)) // 1-row broadcast
+      .select(col("__s"),
+        when(col("__n") <= 1.0, lit(0.0))
+          .otherwise(round((col("__cum") - col("__c")) / (col("__n") - 1.0),
+            6)).as(outCol))
+    df.join(pct, df(scoreCol).cast("double") === pct("__s"), "left")
+      .drop("__s")
+  }
+
+  /**
    * Reciprocal-rank fusion of N ranked retrieval lists (Cormack et al.,
    * SIGIR 2009): fused score = Σ_lists 1/(kConst + rank), item absent from
    * a list contributes nothing. The standard score-free way to combine

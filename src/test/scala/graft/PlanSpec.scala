@@ -454,6 +454,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q119: percentile ranks use no unpartitioned window, no cartesian") {
+    val df = SparkEntry.queries("q119_percentile_ranks")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), "cartesian product in q119")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "q119 has an unpartitioned WindowExec")
+  }
+
   test("q116: weighted minhash keeps the q15 plan shape — equi-joins only") {
     val p = planOf(SparkEntry.queries("q116_weighted_minhash_pairs")(spark, dir))
     assert(!p.contains("CartesianProduct"), "cartesian product in q116")

@@ -122,6 +122,27 @@ class OrderedScanSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Ranking.rrfFuse(Seq(a), 0) }
   }
 
+  test("percentileRanks: percent_rank semantics with ties, nulls, " +
+    "degenerate input, partitioning-independent") {
+    // scores 10, 20, 20, 30: pct = below/(n-1) -> 0, 1/3, 1/3, 1
+    val df = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(20.0)),
+      (4L, Some(30.0)), (5L, Option.empty[Double])).toDF("id", "s")
+    for (parts <- Seq(1, 7)) {
+      val got = Ranking.percentileRanks(df.repartition(parts), "s")
+        .select("id", "pct").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(got(1L) == Some(0.0))
+      assert(got(2L) == Some(0.333333) && got(3L) == Some(0.333333))
+      assert(got(4L) == Some(1.0))
+      assert(got(5L).isEmpty, "null score must keep a null pct")
+    }
+    // single-row input: denominator guard -> 0, not NaN
+    val one = Ranking.percentileRanks(Seq((1L, 5.0)).toDF("id", "s"), "s")
+      .select("pct").head().getDouble(0)
+    assert(one == 0.0)
+  }
+
   test("topFractionByGroup: per-group tie-inclusive rule, partitioning-independent") {
     // unequal group sizes and coarse (tie-heavy) scores per group
     val rows = (1L to 500L).map { i =>
