@@ -1778,7 +1778,15 @@ object SparkEntry {
       // engine must not — PlanSpec pins it)
       Ranking.percentileRanks(
           t(s, d, "events").select("event_id", "value"), "value")
-        .select("event_id", "value", "pct").orderBy("event_id")))
+        .select("event_id", "value", "pct").orderBy("event_id")),
+
+    "q120_quantiles_by_group" -> ((s, d) =>
+      // per-stratum exact quantiles (SkewStats.exactQuantilesByGroup):
+      // p50/p90/p99 doc length per language — PERCENTILE_DISC semantics,
+      // window partitioned by group (pinned); oracle re-derives the same
+      // construction in SQL
+      SkewStats.exactQuantilesByGroup(t(s, d, "documents"), "lang",
+        "n_chars", Seq(0.5, 0.9, 0.99))))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2951,6 +2959,22 @@ object SparkEntry {
       """SELECT event_id, value,
            round(percent_rank() OVER (ORDER BY value), 6) AS pct
          FROM events ORDER BY event_id""",
+
+    "q120_quantiles_by_group" ->
+      // same construction: per-(lang, distinct value) counts, partitioned
+      // cumulative sums, smallest value with cum >= q * n; probes cast to
+      // DOUBLE (DuckDB list literals are DECIMAL)
+      """WITH c AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+           FROM documents WHERE n_chars IS NOT NULL),
+         g AS (SELECT lang, v, count(*) AS cnt FROM c GROUP BY 1, 2),
+         cum AS (SELECT lang, v, sum(cnt) OVER (PARTITION BY lang
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum FROM g),
+         tot AS (SELECT lang, count(*) AS n FROM c GROUP BY 1),
+         qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+         SELECT cum.lang, q, min(v) AS value
+         FROM cum JOIN tot USING (lang) CROSS JOIN qs
+         WHERE cum >= q * n GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -106,6 +106,44 @@ object SkewStats {
   }
 
   /**
+   * Per-group EXACT quantiles — [[exactQuantiles]]' PERCENTILE_DISC
+   * semantics stratified by a group column: the per-lang / per-source
+   * p50/p95 profile that sizes stratum-specific filters and token budgets
+   * (one global quantile over a mixed corpus hides that one stratum's p95
+   * is another's p50).
+   *
+   * Scale: values collapse to one row per (group, DISTINCT value) first;
+   * the cumulative count window partitions BY GROUP (never unpartitioned —
+   * each stratum's distinct-value list is the bounded unit of work), and
+   * the per-group totals join back on the group key. Probes explode as
+   * literals.
+   *
+   * @return (group, q, value) one row per group x probe, ordered
+   */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "qs must name at least one quantile probe")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile probes must lie in [0,1], got $qs")
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+      .orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val totals = counts.groupBy("__g").agg(sum(col("c")).as("n"))
+    cum.join(totals, "__g")
+      .select(col("__g"), col("v"), col("cum"),
+        explode(array(qs.distinct.sorted.map(lit(_)): _*)).as("q"), col("n"))
+      .where(col("cum") >= col("q") * col("n"))
+      .groupBy(col("__g").as(groupCol), col("q"))
+      .agg(min(col("v")).as("value"))
+      .orderBy(groupCol, "q")
+  }
+
+  /**
    * Dense equi-width histogram over an explicit [lo, hi) range — the
    * distribution companion to `Validate.tableProfile`'s scalar stats:
    * every bin appears (zero-filled), so two snapshots' histograms line up

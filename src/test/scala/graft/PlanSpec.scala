@@ -454,14 +454,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q119: percentile ranks use no unpartitioned window, no cartesian") {
-    val df = SparkEntry.queries("q119_percentile_ranks")(spark, dir)
-    val p = planOf(df)
-    assert(!p.contains("CartesianProduct"), "cartesian product in q119")
-    val bad = df.queryExecution.executedPlan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
+  test("q119/q120: rank calibration and grouped quantiles use no " +
+    "unpartitioned window, no cartesian") {
+    Seq("q119_percentile_ranks", "q120_quantiles_by_group").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+      val bad = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q has an unpartitioned WindowExec")
     }
-    assert(bad.isEmpty, "q119 has an unpartitioned WindowExec")
   }
 
   test("q116: weighted minhash keeps the q15 plan shape — equi-joins only") {

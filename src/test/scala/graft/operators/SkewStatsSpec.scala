@@ -78,6 +78,25 @@ class SkewStatsSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesByGroup: PERCENTILE_DISC per stratum, hand values, " +
+    "guards") {
+    // group a: {1, 2, 3, 4} -> p50 = 2 (cum 2 >= 0.5*4), p100 = 4
+    // group b: {10, 10, 30}  -> p50 = 10, p100 = 30 (ties collapse)
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4),
+      ("b", 10), ("b", 10), ("b", 30)).toDF("g", "v")
+    val got = SkewStats.exactQuantilesByGroup(df, "g", "v", Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == Map(("a", 0.5) -> 2.0, ("a", 1.0) -> 4.0,
+      ("b", 0.5) -> 10.0, ("b", 1.0) -> 30.0))
+    intercept[IllegalArgumentException] {
+      SkewStats.exactQuantilesByGroup(df, "g", "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      SkewStats.exactQuantilesByGroup(df, "g", "v", Seq(-0.1))
+    }
+  }
+
   test("numericHistogram: dense zero-filled bins, edge ownership, " +
     "under/overflow rows, null exclusion") {
     // [0, 10) x 2 bins of width 5: -3 underflows, 0 and 4.9 -> bin 0,
