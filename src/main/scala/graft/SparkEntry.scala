@@ -1786,7 +1786,17 @@ object SparkEntry {
       // window partitioned by group (pinned); oracle re-derives the same
       // construction in SQL
       SkewStats.exactQuantilesByGroup(t(s, d, "documents"), "lang",
-        "n_chars", Seq(0.5, 0.9, 0.99))))
+        "n_chars", Seq(0.5, 0.9, 0.99))),
+
+    "q121_weighted_sample" -> ((s, d) =>
+      // deterministic weighted sampling (Curation.weightedSample, A-ES
+      // exponential race): 100 docs proportional to length, selection a
+      // pure function of (salt, doc_id, n_chars) — the oracle recomputes
+      // the identical priorities and top-k in SQL
+      Curation.weightedSample(
+          t(s, d, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 100)
+        .orderBy("doc_id")))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2975,6 +2985,20 @@ object SparkEntry {
          SELECT cum.lang, q, min(v) AS value
          FROM cum JOIN tot USING (lang) CROSS JOIN qs
          WHERE cum >= q * n GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q121_weighted_sample" ->
+      // identical exponential-race priorities: u from the md5-prefix hex
+      // parsed as an integer (the q76 device + '0x' cast), pri =
+      // -ln((v + 0.5)/2^32)/weight, k smallest with doc_id tie-break
+      """WITH w AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+         pri AS (SELECT doc_id, n_chars,
+             -ln((CAST(concat('0x', substr(md5('graft' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0) / CAST(n_chars AS DOUBLE) AS p
+           FROM w)
+         SELECT doc_id, n_chars FROM
+           (SELECT doc_id, n_chars FROM pri ORDER BY p, doc_id LIMIT 100)
+         ORDER BY doc_id""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

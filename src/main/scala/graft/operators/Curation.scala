@@ -460,6 +460,38 @@ object Curation {
   }
 
   /**
+   * Deterministic WEIGHTED sampling without replacement (Efraimidis–
+   * Spirakis via the exponential race): row i gets priority
+   * −ln(u_i)/w_i with u_i a pure function of (salt, key) — the k smallest
+   * priorities are the sample, each row's inclusion probability
+   * proportional to its weight. The weighted companion of
+   * [[deterministicSample]]: same reproducible-by-construction guarantee
+   * (no rand(), no execution-order dependence — the oracle recomputes the
+   * identical selection in SQL), but mass-aware, e.g. sample training docs
+   * proportional to token count or dedup weight ([[dedupWeights]]'
+   * output feeds straight in).
+   *
+   * Scale: a narrow projection plus a global top-k — Spark plans
+   * `orderBy(pri).limit(k)` as TakeOrderedAndProject (per-partition heaps,
+   * k rows to the driver), never a full sort. Rows with NULL or
+   * non-positive weight are excluded (they have no sampling mass).
+   *
+   * @return the k sampled rows with `df`'s columns
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k($k) must be >= 1")
+    val w = col(weightCol).cast("double")
+    val v = conv(hashHex(col(keyCol), salt), 16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / 4294967296.0
+    df.where(w > 0.0)
+      .withColumn("__pri", -log(u) / w)
+      .orderBy(col("__pri"), col(keyCol))
+      .limit(k)
+      .drop("__pri")
+  }
+
+  /**
    * Dedup-weighted canonical export — "keep each document once, remember
    * how often it occurred": exact content groups collapse to their
    * min-id canonical row plus a `weight` column (the group size). The

@@ -467,6 +467,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q121: weighted sample is a narrow top-k, never a full global sort") {
+    val df = SparkEntry.queries("q121_weighted_sample")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected the per-partition-heap top-k operator:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "unexpected join in q121")
+  }
+
   test("q116: weighted minhash keeps the q15 plan shape — equi-joins only") {
     val p = planOf(SparkEntry.queries("q116_weighted_minhash_pairs")(spark, dir))
     assert(!p.contains("CartesianProduct"), "cartesian product in q116")

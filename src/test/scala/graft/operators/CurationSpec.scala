@@ -310,6 +310,29 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Double]("pct_en") == 0.5)
   }
 
+  test("weightedSample: exact A-ES selection vs an independent Scala " +
+    "replication; zero/null weights excluded; guards") {
+    val rows = (1L to 20L).map(i => (i, Some(i.toDouble))) ++
+      Seq((21L, Some(0.0)), (22L, Option.empty[Double]))
+    val df = rows.toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", "w", k = 5)
+      .select("id").as[Long].collect().toSet
+    // independent replication of the priority race
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pri(id: Long, w: Double): Double = {
+      val hex = md.digest(s"graft$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val v = java.lang.Long.parseLong(hex, 16)
+      -math.log((v + 0.5) / 4294967296.0) / w
+    }
+    val expect = (1L to 20L).map(i => (pri(i, i.toDouble), i))
+      .sortBy(identity).take(5).map(_._2).toSet
+    assert(got == expect, s"got $got expect $expect")
+    intercept[IllegalArgumentException] {
+      Curation.weightedSample(df, "id", "w", k = 0)
+    }
+  }
+
   test("dedupWeights: min-id canonicals with occurrence counts, " +
     "schema preserved") {
     val docs = Seq(
