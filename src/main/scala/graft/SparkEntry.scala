@@ -1796,7 +1796,22 @@ object SparkEntry {
       Curation.weightedSample(
           t(s, d, "documents").select("doc_id", "n_chars"),
           "doc_id", "n_chars", k = 100)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    "q122_group_neardup_pairs" -> ((s, d) => {
+      // cluster-merge monitor (Dedup.groupNearDupPairs): groups g and
+      // g+1000 carry IDENTICAL member text (the mirrored-group planting
+      // device) -> identical merged signatures, guaranteed band collision,
+      // union jaccard 1; oracle recomputes group-union tri-shingle jaccard
+      val docs = t(s, d, "documents")
+      val corpus = docs.select((col("doc_id") % 97).as("grp"),
+          col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") % 97 + 1000).as("grp"),
+          (col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.groupNearDupPairs(corpus, "doc_id", "text", "grp",
+          DedupConfig.default)
+        .orderBy("ga", "gb")
+    }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
     * SQL interpolates the SCALA-computed per-stratum target (Double.toString
@@ -2999,6 +3014,29 @@ object SparkEntry {
          SELECT doc_id, n_chars FROM
            (SELECT doc_id, n_chars FROM pri ORDER BY p, doc_id LIMIT 100)
          ORDER BY doc_id""",
+
+    "q122_group_neardup_pairs" ->
+      // group-union distinct tri-shingle jaccard over the same mirrored
+      // corpus; the engine hashes tri-grams (equal modulo 64-bit
+      // collisions, the q15 convention)
+      """WITH corpus AS (
+           SELECT doc_id % 97 AS g, text FROM documents
+           UNION ALL SELECT doc_id % 97 + 1000, text FROM documents),
+         toks AS (SELECT g, list_filter(string_split(text, ' '),
+             x -> length(x) > 0) AS l FROM corpus),
+         tris AS (SELECT g, unnest(list_distinct(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS tri
+           FROM toks),
+         gset AS (SELECT DISTINCT g, tri FROM tris),
+         sizes AS (SELECT g, count(*) AS n FROM gset GROUP BY 1),
+         inter AS (SELECT a.g AS ga, b.g AS gb, count(*) AS ic
+           FROM gset a JOIN gset b ON a.tri = b.tri AND a.g < b.g
+           GROUP BY 1, 2)
+         SELECT ga, gb, round(ic * 1.0 / (sa.n + sb.n - ic), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.g = ga JOIN sizes sb ON sb.g = gb
+         WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5 ORDER BY ga, gb""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -960,6 +960,54 @@ object Dedup {
   }
 
   /**
+   * GROUP-level near-dup pairs — "should these clusters merge": candidate
+   * generation over the MERGEABLE group signatures ([[groupSignatures]]'
+   * elementwise-min MinHash, whose per-slot collision law is the Jaccard
+   * of the groups' UNION shingle sets), verified by the exact union-set
+   * Jaccard. The monitor a pipeline runs over last run's cluster
+   * assignments: two clusters whose content converged (re-crawls, merged
+   * sources) surface as a pair before the next full dedup would find them.
+   *
+   * Scale: the signature path never materializes union sets (numHashes
+   * rows/group is its widest shuffle); the exact VERIFY does aggregate
+   * each candidate group's distinct shingles — bounded by group content,
+   * fine for cluster-sized groups; for pathological mega-groups verify on
+   * [[graft.functions.jaccard_sim]] of the merged signatures instead
+   * (estimate, no aggregation) before this exact pass.
+   *
+   * @return (ga, gb, jaccard) — group pair ordered least/greatest, exact
+   *         union Jaccard rounded to 6, thresholded at `cfg.jaccardMin`
+   */
+  def groupNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, cfg: DedupConfig,
+      persistFeatures: Boolean = true): DataFrame = {
+    val sigs = groupSignatures(docs, idCol, textCol, groupCol, cfg,
+      persistFeatures)
+    val withNid = sigs.select(
+      xxhash64(col("group").cast("string")).as("id"),
+      lsh_band_keys(col("merged_sig"), cfg.bands, cfg.rowsPerBand, cfg.seed)
+        .as("band_keys"))
+    val buckets = CandidateGen.explodeBands(withNid, "id", "band_keys")
+    val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize,
+      saltOversized = cfg.saltOversized)
+    val unions = docs.select(col(groupCol).as("group"),
+        explode(shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed))
+          .as("sh"))
+      .groupBy("group").agg(collect_set(col("sh")).as("ush"))
+      .select(xxhash64(col("group").cast("string")).as("gid"),
+        col("group"), col("ush"))
+    pairs
+      .join(unions.select(col("gid").as("a"), col("group").as("group_a"),
+        col("ush").as("ua")), "a")
+      .join(unions.select(col("gid").as("b"), col("group").as("group_b"),
+        col("ush").as("ub")), "b")
+      .withColumn("jaccard", round(jaccard_sim(col("ua"), col("ub")), 6))
+      .where(col("jaccard") >= cfg.jaccardMin)
+      .select(least(col("group_a"), col("group_b")).as("ga"),
+        greatest(col("group_a"), col("group_b")).as("gb"), col("jaccard"))
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
    * arXiv:2303.09540): coarse-cluster the embedding space (the IVF
    * quantizer, [[Ann.kmeansCentroids]] + [[Ann.cellAssignments]] — one

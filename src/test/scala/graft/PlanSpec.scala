@@ -475,10 +475,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "unexpected join in q121")
   }
 
-  test("q116: weighted minhash keeps the q15 plan shape — equi-joins only") {
-    val p = planOf(SparkEntry.queries("q116_weighted_minhash_pairs")(spark, dir))
-    assert(!p.contains("CartesianProduct"), "cartesian product in q116")
-    assert(!p.contains("BroadcastNestedLoopJoin"), "nested loop in q116")
+  test("q116/q122: weighted and group-level minhash keep the q15 plan " +
+    "shape — equi-joins only") {
+    Seq("q116_weighted_minhash_pairs", "q122_group_neardup_pairs").foreach { q =>
+      val p = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
+    }
   }
 
   test("q115: sessionize windows all partition by user, no joins") {

@@ -570,6 +570,23 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 3L, 0.5)))
   }
 
+  test("groupNearDupPairs: identical-content groups pair at jaccard 1, " +
+    "unrelated groups stay apart, order is least/greatest") {
+    val docs = Seq(
+      (1L, 10L, "alpha bravo charlie delta echo foxtrot"),
+      (2L, 10L, "golf hotel india juliet kilo lima"),
+      // group 20: same content as 10, different doc ids / order
+      (3L, 20L, "golf hotel india juliet kilo lima"),
+      (4L, 20L, "alpha bravo charlie delta echo foxtrot"),
+      (5L, 30L, "mike november oscar papa quebec romeo sierra"))
+      .toDF("doc_id", "grp", "text")
+    val got = Dedup.groupNearDupPairs(docs, "doc_id", "text", "grp",
+        DedupConfig.default)
+      .select("ga", "gb", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((10L, 20L, 1.0)), s"got $got")
+  }
+
   test("weightedMinhashPairs: copy-paste inflation no longer dedups against " +
     "its seed; exact copies still do") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
