@@ -1808,7 +1808,7 @@ object SparkEntry {
           col("doc_id"), col("text"))
         .unionByName(docs.select((col("doc_id") % 97 + 1000).as("grp"),
           (col("doc_id") + 100000).as("doc_id"), col("text")))
-      Dedup.groupNearDupPairs(corpus, "doc_id", "text", "grp",
+      Dedup.groupNearDupPairs(corpus, "text", "grp",
           DedupConfig.default)
         .orderBy("ga", "gb")
     }))
@@ -2895,7 +2895,8 @@ object SparkEntry {
       """WITH b AS (SELECT range AS bin FROM range(-1, 13)),
          c AS (SELECT CASE WHEN v < 0.0 THEN -1
                  WHEN v >= 600.0 THEN 12
-                 ELSE CAST(floor((v - 0.0) / 50.0) AS BIGINT) END AS bin,
+                 ELSE least(CAST(floor((v - 0.0) / 50.0) AS BIGINT), 11)
+                 END AS bin,
                count(*) AS n
            FROM (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
                  WHERE n_chars IS NOT NULL)
@@ -2980,10 +2981,15 @@ object SparkEntry {
 
     "q119_percentile_ranks" ->
       // the oracle uses the global window the engine is forbidden: DuckDB
-      // percent_rank() = strictly-below / (n-1), ties share a value
-      """SELECT event_id, value,
-           round(percent_rank() OVER (ORDER BY value), 6) AS pct
-         FROM events ORDER BY event_id""",
+      // percent_rank() = strictly-below / (n-1), ties share a value. NULL
+      // scores are excluded from the partition and re-attached with NULL
+      // pct (the engine's documented semantics — a windowed-over-everything
+      // percent_rank would give NULL rows numeric pcts AND inflate n-1)
+      """SELECT e.event_id, e.value, p.pct FROM events e LEFT JOIN (
+           SELECT event_id, round(percent_rank() OVER (ORDER BY value), 6)
+             AS pct
+           FROM events WHERE value IS NOT NULL) p USING (event_id)
+         ORDER BY e.event_id""",
 
     "q120_quantiles_by_group" ->
       // same construction: per-(lang, distinct value) counts, partitioned

@@ -476,6 +476,12 @@ object Curation {
    * k rows to the driver), never a full sort. Rows with NULL or
    * non-positive weight are excluded (they have no sampling mass).
    *
+   * Precondition: keys must be UNIQUE in `df` (the usual id contract).
+   * Duplicate keys share a priority tuple, so which duplicate survives a
+   * k-cut between them would depend on partition layout — dedup first
+   * ([[dedupWeights]] produces exactly the unique-key, weight-carrying
+   * shape this consumes).
+   *
    * @return the k sampled rows with `df`'s columns
    */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,

@@ -978,21 +978,35 @@ object Dedup {
    * @return (ga, gb, jaccard) — group pair ordered least/greatest, exact
    *         union Jaccard rounded to 6, thresholded at `cfg.jaccardMin`
    */
-  def groupNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+  def groupNearDupPairs(docs: DataFrame, textCol: String,
       groupCol: String, cfg: DedupConfig,
       persistFeatures: Boolean = true): DataFrame = {
-    val sigs = groupSignatures(docs, idCol, textCol, groupCol, cfg,
+    require(!cfg.oph, "groupNearDupPairs merges member signatures " +
+      "elementwise — the classic MinHash kernel only (see groupSignatures)")
+    // featurize ONCE: both the signature path and the exact-union verify
+    // read this frame (tokenize+hash is the dominant per-row cost)
+    val feat = maybePersist(
+      docs.select(col(groupCol).as("group"),
+          shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed)
+            .as("shingles"))
+        .where(size(col("shingles")) > 0),
       persistFeatures)
-    val withNid = sigs.select(
+    val merged = feat
+      .withColumn("sig",
+        minhash_signature(col("shingles"), cfg.numHashes, cfg.seed))
+      .select(col("group"), posexplode(col("sig")))
+      .groupBy("group", "pos").agg(min("col").as("mh"))
+      .groupBy("group")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mh")))),
+        s => s("mh")).as("merged_sig"))
+    val withNid = merged.select(
       xxhash64(col("group").cast("string")).as("id"),
       lsh_band_keys(col("merged_sig"), cfg.bands, cfg.rowsPerBand, cfg.seed)
         .as("band_keys"))
     val buckets = CandidateGen.explodeBands(withNid, "id", "band_keys")
     val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize,
       saltOversized = cfg.saltOversized)
-    val unions = docs.select(col(groupCol).as("group"),
-        explode(shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed))
-          .as("sh"))
+    val unions = feat.select(col("group"), explode(col("shingles")).as("sh"))
       .groupBy("group").agg(collect_set(col("sh")).as("ush"))
       .select(xxhash64(col("group").cast("string")).as("gid"),
         col("group"), col("ush"))
@@ -1001,10 +1015,13 @@ object Dedup {
         col("ush").as("ua")), "a")
       .join(unions.select(col("gid").as("b"), col("group").as("group_b"),
         col("ush").as("ub")), "b")
-      .withColumn("jaccard", round(jaccard_sim(col("ua"), col("ub")), 6))
-      .where(col("jaccard") >= cfg.jaccardMin)
+      // threshold the UNROUNDED value (sibling-operator and oracle parity);
+      // round only the reported score
+      .withColumn("__j", jaccard_sim(col("ua"), col("ub")))
+      .where(col("__j") >= cfg.jaccardMin)
       .select(least(col("group_a"), col("group_b")).as("ga"),
-        greatest(col("group_a"), col("group_b")).as("gb"), col("jaccard"))
+        greatest(col("group_a"), col("group_b")).as("gb"),
+        round(col("__j"), 6).as("jaccard"))
   }
 
   /**

@@ -165,9 +165,13 @@ object SkewStats {
     require(lo < hi, s"lo($lo) must be < hi($hi)")
     val w = (hi - lo) / nBins
     val v = col(valueCol).cast("double")
+    // least(.., nBins-1) guards the FP edge where (v-lo)/w for the largest
+    // double below hi rounds UP to exactly nBins — an in-range value must
+    // never land in the overflow row
     val bin = when(v < lo, lit(-1L))
       .when(v >= hi, lit(nBins.toLong))
-      .otherwise(floor((v - lo) / w).cast("long"))
+      .otherwise(least(floor((v - lo) / w).cast("long"),
+        lit(nBins.toLong - 1L)))
     val counts = df.where(v.isNotNull)
       .select(bin.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))

@@ -580,7 +580,7 @@ class DedupSpec extends SparkSpec {
       (4L, 20L, "alpha bravo charlie delta echo foxtrot"),
       (5L, 30L, "mike november oscar papa quebec romeo sierra"))
       .toDF("doc_id", "grp", "text")
-    val got = Dedup.groupNearDupPairs(docs, "doc_id", "text", "grp",
+    val got = Dedup.groupNearDupPairs(docs, "text", "grp",
         DedupConfig.default)
       .select("ga", "gb", "jaccard")
       .as[(Long, Long, Double)].collect().toSet

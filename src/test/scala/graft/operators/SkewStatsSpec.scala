@@ -122,5 +122,13 @@ class SkewStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SkewStats.numericHistogram(df, "v", 0.0, 10.0, 0)
     }
+    // FP edge: the largest double below hi has (v-lo)/w rounding UP to
+    // nBins for many (hi, nBins); the clamp must keep it in the last
+    // REAL bin, never the overflow row
+    val edge = Seq(Math.nextDown(0.1)).toDF("v")
+    val eRows = SkewStats.numericHistogram(edge, "v", 0.0, 0.1, 3)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+    assert(eRows(2L) == 1L && eRows(3L) == 0L,
+      s"in-range edge value leaked into overflow: $eRows")
   }
 }
