@@ -1811,6 +1811,20 @@ object SparkEntry {
       Dedup.groupNearDupPairs(corpus, "text", "grp",
           DedupConfig.default)
         .orderBy("ga", "gb")
+    }),
+
+    "q123_incremental_weighted" -> ((s, d) => {
+      // the ICWS weighted family in the daily-ingest shape (Dedup
+      // .incrementalWeightedPairs): q57's planted new batch, q116's
+      // weighted threshold; oracle = bipartite brute-force weighted
+      // jaccard with tri-gram COUNTS
+      val corpus = t(s, d, "documents").select("doc_id", "text")
+      val fresh = corpus.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      Dedup.incrementalWeightedPairs(fresh, corpus, "doc_id", "text",
+          DedupConfig.default)
+        .select("a", "b")
+        .orderBy("a", "b")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -3043,6 +3057,30 @@ object SparkEntry {
          FROM inter
          JOIN sizes sa ON sa.g = ga JOIN sizes sb ON sb.g = gb
          WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5 ORDER BY ga, gb""",
+
+    "q123_incremental_weighted" ->
+      // q57's bipartite device with COUNTS (the q116 weighted formula):
+      // intersection mass = per-tri minima, wj = min-sum/(|A|+|B|-min-sum)
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' zz' FROM documents),
+         toks AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM corpus),
+         tris AS (SELECT doc_id, list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS tl FROM toks),
+         posting AS (SELECT doc_id, tri, count(*) AS c FROM
+           (SELECT doc_id, unnest(tl) AS tri FROM tris) GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(tl) AS n FROM tris),
+         inter AS (SELECT p1.doc_id AS a, p2.doc_id AS b,
+             sum(least(p1.c, p2.c)) AS ic
+           FROM posting p1 JOIN posting p2 ON p1.tri = p2.tri
+           WHERE p1.doc_id >= 100000 AND p2.doc_id < 100000
+           GROUP BY 1, 2)
+         SELECT a, b
+         FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5 ORDER BY a, b""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

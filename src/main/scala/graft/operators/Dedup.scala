@@ -816,6 +816,47 @@ object Dedup {
   }
 
   /**
+   * Incremental WEIGHTED near-dup: the ICWS family
+   * ([[weightedMinhashPairs]]) in the new-batch-vs-corpus shape — same
+   * bipartite candidate device as [[incrementalNearDupPairs]] (per-side
+   * band frames through `bipartitePairsFromBuckets`' hot-key
+   * cap/salt/degrade), verified by the exact weighted Jaccard. Completes
+   * the batch/incremental symmetry for the multiplicity-aware family: a
+   * daily ingest can hold spam-inflation to the same standard as the
+   * batch pass.
+   *
+   * @return (a = new id, b = corpus id, wjaccard) at `cfg.jaccardMin`+
+   */
+  def incrementalWeightedPairs(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, cfg: DedupConfig,
+      persistFeatures: Boolean = true): DataFrame = {
+    def feats(df: DataFrame) = maybePersist(
+      df.select(col(idCol).as("id"),
+          shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed)
+            .as("shingles"))
+        .where(size(col("shingles")) > 0)
+        .withColumn("band_keys",
+          lsh_band_keys(
+            icws_signature(col("shingles"), cfg.numHashes, cfg.seed),
+            cfg.bands, cfg.rowsPerBand, cfg.seed)),
+      persistFeatures)
+    val nf = feats(newDocs)
+    val cf = feats(corpus)
+    val nb = CandidateGen.explodeBands(nf, "id", "band_keys")
+      .select(col("id").as("a"), col("key"))
+    val cb = CandidateGen.explodeBands(cf, "id", "band_keys")
+      .select(col("id").as("b"), col("key"))
+    val pairs = CandidateGen.bipartitePairsFromBuckets(nb, cb,
+      cfg.maxBucketSize, saltOversized = cfg.saltOversized)
+    val fa = nf.select(col("id").as("a"), col("shingles").as("sh_a"))
+    val fb = cf.select(col("id").as("b"), col("shingles").as("sh_b"))
+    pairs.join(fa, "a").join(fb, "b")
+      .withColumn("wjaccard", weighted_jaccard(col("sh_a"), col("sh_b")))
+      .where(col("wjaccard") >= cfg.jaccardMin)
+      .select("a", "b", "wjaccard")
+  }
+
+  /**
    * Serialized Bloom sketch over a corpus's exact content hashes — the O(1)
    * membership artifact a daily ingest probes INSTEAD of touching the corpus
    * (the exact-identity counterpart of [[graft.streaming.StreamingDedup

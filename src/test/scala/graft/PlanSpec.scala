@@ -477,7 +477,8 @@ class PlanSpec extends SparkSpec {
 
   test("q116/q122: weighted and group-level minhash keep the q15 plan " +
     "shape — equi-joins only") {
-    Seq("q116_weighted_minhash_pairs", "q122_group_neardup_pairs").foreach { q =>
+    Seq("q116_weighted_minhash_pairs", "q122_group_neardup_pairs",
+        "q123_incremental_weighted").foreach { q =>
       val p = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")

@@ -587,6 +587,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((10L, 20L, 1.0)), s"got $got")
   }
 
+  test("incrementalWeightedPairs: bipartite only, exact copies pair, " +
+    "doubled spam does not") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val corpus = Seq((1L, base), (2L, "unrelated words entirely here now " +
+      "with more filler tokens to shingle")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, base),               // exact copy of corpus doc 1: wj = 1
+      (102L, base + " " + base))  // doubled spam: wj ~ 0.46 < 0.6
+      .toDF("doc_id", "text")
+    val cfg = DedupConfig.default.copy(jaccardMin = 0.6)
+    val got = Dedup.incrementalWeightedPairs(fresh, corpus, "doc_id",
+        "text", cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((101L, 1L)), s"got $got")
+    // bipartite contract: 'a' is always a new id, 'b' always corpus
+    assert(got.forall { case (a, b) => a >= 100L && b < 100L })
+  }
+
   test("weightedMinhashPairs: copy-paste inflation no longer dedups against " +
     "its seed; exact copies still do") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
