@@ -1825,6 +1825,22 @@ object SparkEntry {
           DedupConfig.default)
         .select("a", "b")
         .orderBy("a", "b")
+    }),
+
+    "q124_repeated_spans" -> ((s, d) => {
+      // exact repeated-span removal (Curation.removeRepeatedSpans — the
+      // Lee et al. 2022 exact-substring-dedup shape at 5-gram
+      // granularity): plant an 8-token shared prefix on every 5th doc
+      // (the q81 device); its interior 5-grams hit df >= 2 and the whole
+      // prefix is masked in every planted doc, boundary grams stay unique
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("shared span alert five tokens exactly seven words "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      Curation.removeRepeatedSpans(planted, "doc_id", "text",
+          n = 5, minDocs = 2)
+        .orderBy("id")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -3081,6 +3097,44 @@ object SparkEntry {
          SELECT a, b
          FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5 ORDER BY a, b""",
+
+    "q124_repeated_spans" ->
+      // same construction on RAW 5-grams (engine hashes them — q15
+      // convention), 1-based list positions throughout: heavy grams by
+      // distinct-doc df, coverage = union of [i, i+4], anti-join rebuild
+      // with position-ordered string_agg, every doc present
+      """WITH t AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               'shared span alert five tokens exactly seven words ' || text
+             ELSE text END AS text
+           FROM documents),
+         tk AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM t),
+         gpos AS (SELECT doc_id, l,
+             unnest(generate_series(1, greatest(len(l) - 4, 0))) AS i
+           FROM tk),
+         grams AS (SELECT doc_id, i, l[i] || ' ' || l[i+1] || ' ' ||
+             l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS gram FROM gpos),
+         heavy AS (SELECT gram FROM grams GROUP BY 1
+           HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT g.doc_id, g.i + o.off AS p
+           FROM grams g JOIN heavy h ON g.gram = h.gram
+           CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS off) o),
+         tokpos AS (SELECT doc_id, unnest(l) AS tok,
+             generate_subscripts(l, 1) AS p FROM tk),
+         kept AS (SELECT tp.doc_id, tp.tok, tp.p FROM tokpos tp
+           LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+           WHERE cov.p IS NULL),
+         rebuilt AS (SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY 1)
+         SELECT tk.doc_id AS id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(tk.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+         FROM tk LEFT JOIN rebuilt r USING (doc_id)
+         ORDER BY tk.doc_id""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -460,6 +460,58 @@ object Curation {
   }
 
   /**
+   * Corpus-wide REPEATED-SPAN removal — the token-level analogue of
+   * [[removeBoilerplateLines]] and the batch shape of Lee et al. 2022's
+   * exact substring deduplication ("Deduplicating Training Data Makes
+   * Language Models Better"): any token n-gram appearing in ≥ `minDocs`
+   * DISTINCT documents marks its n token positions for removal in EVERY
+   * document containing it; overlapping heavy grams union their coverage.
+   * What survives is each document's unique prose; what goes is the
+   * shared boilerplate/quote/template mass that plain doc-level dedup
+   * can't touch (the documents are distinct — their SPANS are not).
+   *
+   * Scale: grams shuffle as 8-byte hashes (one count aggregation,
+   * `minDocs` gate); the heavy set joins back by gram hash; coverage
+   * positions explode only for heavy grams (boilerplate-sized, not
+   * corpus-sized); the rebuild is one per-doc aggregation. No windows.
+   *
+   * @return every input doc: (id, clean_text, n_removed) — clean_text ''
+   *         when everything was shared, n_removed counts tokens dropped
+   */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    require(n >= 1, s"n($n) must be >= 1")
+    require(minDocs >= 2, s"minDocs($minDocs) must be >= 2 — a span is " +
+      "'repeated' only across documents")
+    import graft.functions.{tokens, shingle_hashes}
+    val withToks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    val grams = withToks
+      .select(col("id"), posexplode(shingle_hashes(col("tk"), n, 42L)))
+      .select(col("id"), col("pos"), col("col").as("gram"))
+    val heavy = grams.groupBy("gram")
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select("gram")
+    val covered = grams.join(heavy, "gram")
+      .select(col("id"), explode(sequence(col("pos"),
+        col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val tokPos = withToks.select(col("id"), posexplode(col("tk")))
+      .select(col("id"), col("pos"), col("col").as("tok"))
+    val kept = tokPos.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    withToks.select(col("id"), size(col("tk")).as("n_toks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /**
    * Deterministic WEIGHTED sampling without replacement (Efraimidis–
    * Spirakis via the exponential race): row i gets priority
    * −ln(u_i)/w_i with u_i a pure function of (salt, key) — the k smallest

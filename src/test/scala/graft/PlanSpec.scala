@@ -485,6 +485,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q124: repeated-span removal plans equi-joins only, no window") {
+    val p = planOf(SparkEntry.queries("q124_repeated_spans")(spark, dir))
+    assert(!p.contains("CartesianProduct"), "cartesian product in q124")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested loop in q124")
+    assert(!p.contains("WindowExec"), "unexpected window in q124")
+  }
+
   test("q115: sessionize windows all partition by user, no joins") {
     val df = SparkEntry.queries("q115_sessionize")(spark, dir)
     val p = planOf(df)

@@ -310,6 +310,34 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Double]("pct_en") == 0.5)
   }
 
+  test("removeRepeatedSpans: shared 3-gram coverage, untouched uniques, " +
+    "all-shared and short docs, guards") {
+    val docs = Seq(
+      (1L, "x y z p q r s t"),      // shares "x y z p" prefix with doc 2
+      (2L, "x y z p q2 u v w"),     // -> 3-grams (x y z), (y z p) heavy
+      (3L, "completely different words here"),
+      (4L, "x y z"),                // the whole doc is a heavy gram
+      (5L, "a b"))                  // shorter than n: no grams, untouched
+      .toDF("doc_id", "text")
+    val got = Curation.removeRepeatedSpans(docs, "doc_id", "text",
+        n = 3, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    // positions 0..3 covered by the two overlapping heavy grams
+    assert(got(1L) == (("q r s t", 4L)), got(1L).toString)
+    assert(got(2L) == (("q2 u v w", 4L)), got(2L).toString)
+    assert(got(3L) == (("completely different words here", 0L)))
+    // "x y z" occurs in docs 1, 2, and 4 (df 3): doc 4 is ALL shared mass
+    assert(got(4L) == (("", 3L)))
+    assert(got(5L) == (("a b", 0L)))
+    intercept[IllegalArgumentException] {
+      Curation.removeRepeatedSpans(docs, "doc_id", "text", 3, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.removeRepeatedSpans(docs, "doc_id", "text", 0, 2)
+    }
+  }
+
   test("weightedSample: exact A-ES selection vs an independent Scala " +
     "replication; zero/null weights excluded; guards") {
     val rows = (1L to 20L).map(i => (i, Some(i.toDouble))) ++
