@@ -1841,6 +1841,26 @@ object SparkEntry {
       Curation.removeRepeatedSpans(planted, "doc_id", "text",
           n = 5, minDocs = 2)
         .orderBy("id")
+    }),
+
+    "q125_filter_stack" -> ((s, d) => {
+      // composite quality gate (the FineWeb-style filter stack as ONE
+      // query): three incomparable signals — rule-based quality, char
+      // entropy, distinct-token ratio — each calibrated to a percentile
+      // (Ranking.percentileRanks, no global window), mean-composited,
+      // thresholded on the ROUNDED composite on both engines
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        quality_score(col("text")).as("q"),
+        round(char_entropy(col("text")), 6).as("h"),
+        distinct_token_ratio(col("text")).as("r"))
+      val ranked = Ranking.percentileRanks(
+        Ranking.percentileRanks(
+          Ranking.percentileRanks(scored, "q", "pq"), "h", "ph"), "r", "pr")
+      ranked
+        .withColumn("composite",
+          round((col("pq") + col("ph") + col("pr")) / 3.0, 6))
+        .where(col("composite") >= 0.5)
+        .select("doc_id", "composite").orderBy("doc_id")
     }))
 
   /** q82's mixing config, shared by the query and its oracle: the oracle
@@ -3135,6 +3155,53 @@ object SparkEntry {
            CAST(len(tk.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
          FROM tk LEFT JOIN rebuilt r USING (doc_id)
          ORDER BY tk.doc_id""",
+
+    "q125_filter_stack" ->
+      // the three signal oracles (q31 quality, q111 entropy, the q60
+      // distinct-token-ratio form) + three percent_rank windows + the
+      // same left-associated mean, thresholded on the ROUNDED composite
+      """WITH s AS (
+           SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+               AS n_toks,
+             list_filter(string_split(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g'), ' '), x -> length(x) > 0) AS toks,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             round(
+               (CASE WHEN n_toks > 0 AND n_chars * 1.0 / n_toks
+                     BETWEEN 3.0 AND 12.0 THEN 0.4 ELSE 0.0 END) +
+               (CASE WHEN n_chars > 0 AND n_punct * 1.0 / n_chars <= 0.1
+                     THEN 0.3 ELSE 0.0 END) +
+               (CASE WHEN len(toks) > 0 AND
+                     len(list_filter(toks, x -> x IN ('the','a','an','and',
+                       'or','of','to','in','is','it','that','for','on',
+                       'with','as','was','at','by')))
+                     * 1.0 / len(toks) >= 0.05 THEN 0.3 ELSE 0.0 END)
+               ::DOUBLE, 2) AS q,
+             round(CASE WHEN len(l) = 0 THEN 1.0
+               ELSE len(list_distinct(l)) * 1.0 / len(l) END, 4) AS r
+           FROM s),
+         ent AS (
+           SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS h
+           FROM documents d LEFT JOIN (
+             SELECT doc_id, entropy(c) AS ent FROM (
+               SELECT doc_id, unnest(string_split(text, '')) AS c
+               FROM documents) GROUP BY 1) e USING (doc_id)),
+         p AS (
+           SELECT sig.doc_id,
+             round(percent_rank() OVER (ORDER BY q), 6) AS pq,
+             round(percent_rank() OVER (ORDER BY h), 6) AS ph,
+             round(percent_rank() OVER (ORDER BY r), 6) AS pr
+           FROM sig JOIN ent USING (doc_id))
+         SELECT doc_id, round((pq + ph + pr) / 3.0, 6) AS composite
+         FROM p WHERE round((pq + ph + pr) / 3.0, 6) >= 0.5
+         ORDER BY doc_id""",
 
     "q16_simhash_dup_pairs" ->
       """SELECT doc_id AS a, doc_id + 100000 AS b FROM documents ORDER BY a""",

@@ -456,7 +456,8 @@ class PlanSpec extends SparkSpec {
 
   test("q119/q120: rank calibration and grouped quantiles use no " +
     "unpartitioned window, no cartesian") {
-    Seq("q119_percentile_ranks", "q120_quantiles_by_group").foreach { q =>
+    Seq("q119_percentile_ranks", "q120_quantiles_by_group",
+        "q125_filter_stack").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       val p = planOf(df)
       assert(!p.contains("CartesianProduct"), s"cartesian product in $q")
