@@ -3170,7 +3170,10 @@ object SparkEntry {
                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                  ' +', ' ', 'g'), ' '), x -> length(x) > 0) AS toks,
              list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
-           FROM documents),
+           -- engine parity: NULL-text rows get NULL signals -> NULL
+           -- composite -> filtered; excluding them up front keeps every
+           -- window's n-1 denominator identical (the q111 edge, pinned)
+           FROM documents WHERE text IS NOT NULL),
          sig AS (
            SELECT doc_id,
              round(
@@ -3192,7 +3195,8 @@ object SparkEntry {
            FROM documents d LEFT JOIN (
              SELECT doc_id, entropy(c) AS ent FROM (
                SELECT doc_id, unnest(string_split(text, '')) AS c
-               FROM documents) GROUP BY 1) e USING (doc_id)),
+               FROM documents) GROUP BY 1) e USING (doc_id)
+           WHERE d.text IS NOT NULL),
          p AS (
            SELECT sig.doc_id,
              round(percent_rank() OVER (ORDER BY q), 6) AS pq,

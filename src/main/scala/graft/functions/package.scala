@@ -177,8 +177,10 @@ package object functions {
     F.regexp_count(c, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"))
 
   /** Raw-string whitespace tokens with null degrading to the empty doc —
-    * the [[graft.operators.TextScores.repetitionSignals]] tokenization. */
-  private def rawTokens(c: Column): Column =
+    * the [[graft.operators.TextScores.repetitionSignals]] tokenization.
+    * private[graft]: [[graft.operators.Curation.removeRepeatedSpans]]
+    * rebuilds documents from exactly this stream. */
+  private[graft] def rawTokens(c: Column): Column =
     F.array_remove(F.split(F.coalesce(c, F.lit("")), " "), "")
 
   /** Distinct-token ratio (Gopher/FineWeb repetition family, Rae et al.

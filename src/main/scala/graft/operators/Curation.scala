@@ -474,18 +474,31 @@ object Curation {
    * `minDocs` gate); the heavy set joins back by gram hash; coverage
    * positions explode only for heavy grams (boilerplate-sized, not
    * corpus-sized); the rebuild is one per-doc aggregation. No windows.
+   * The token frame feeds three plan branches — `persistFeatures`
+   * caches it (same knob and cache-outlives-plan caveat as the
+   * [[graft.operators.Dedup]] family).
+   *
+   * Tokenization is the RAW whitespace split: surviving text keeps its
+   * original casing/punctuation (removal must not rewrite what it keeps —
+   * the [[removeBoilerplateLines]] contract). Docs with fewer than `n`
+   * tokens contain no n-gram and pass through untouched.
    *
    * @return every input doc: (id, clean_text, n_removed) — clean_text ''
    *         when everything was shared, n_removed counts tokens dropped
    */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int): DataFrame = {
+      n: Int, minDocs: Int, persistFeatures: Boolean = true): DataFrame = {
     require(n >= 1, s"n($n) must be >= 1")
     require(minDocs >= 2, s"minDocs($minDocs) must be >= 2 — a span is " +
       "'repeated' only across documents")
-    import graft.functions.{tokens, shingle_hashes}
-    val withToks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
-    val grams = withToks
+    import graft.functions.{rawTokens, shingle_hashes}
+    val toks0 = docs.select(col(idCol).as("id"),
+      rawTokens(col(textCol)).as("tk"))
+    val withToks = if (persistFeatures) toks0.persist() else toks0
+    // guard short docs: shingle_hashes degrades k to the doc length below
+    // k, which would let >= minDocs identical SHORT docs mask each other
+    // without containing any n-gram
+    val grams = withToks.where(size(col("tk")) >= n)
       .select(col("id"), posexplode(shingle_hashes(col("tk"), n, 42L)))
       .select(col("id"), col("pos"), col("col").as("gram"))
     val heavy = grams.groupBy("gram")

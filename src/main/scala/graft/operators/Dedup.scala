@@ -99,20 +99,28 @@ object Dedup {
    * two equi-joins back for verify. `cfg.jaccardMin` thresholds the
    * WEIGHTED score here.
    */
-  def weightedMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      cfg: DedupConfig, persistFeatures: Boolean = true): DataFrame = {
-    val feat = maybePersist(
-      docs.select(
+  /** The ICWS family's per-doc features — ONE builder for the batch and
+    * incremental paths so weighted featurization cannot drift between them
+    * (the same no-divergence rationale as `signature_band_keys` for the
+    * classic kernels). Empty-shingle rows are dropped: they can never be
+    * candidates. */
+  private def weightedFeatures(docs: DataFrame, idCol: String,
+      textCol: String, cfg: DedupConfig): DataFrame =
+    docs.select(
         col(idCol).as("id"),
         shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed)
           .as("shingles"))
-        .withColumn("band_keys",
-          lsh_band_keys(
-            icws_signature(col("shingles"), cfg.numHashes, cfg.seed),
-            cfg.bands, cfg.rowsPerBand, cfg.seed)),
+      .where(size(col("shingles")) > 0)
+      .withColumn("band_keys",
+        lsh_band_keys(
+          icws_signature(col("shingles"), cfg.numHashes, cfg.seed),
+          cfg.bands, cfg.rowsPerBand, cfg.seed))
+
+  def weightedMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig, persistFeatures: Boolean = true): DataFrame = {
+    val feat = maybePersist(weightedFeatures(docs, idCol, textCol, cfg),
       persistFeatures)
-    val buckets = CandidateGen.explodeBands(
-      feat.where(size(col("shingles")) > 0), "id", "band_keys")
+    val buckets = CandidateGen.explodeBands(feat, "id", "band_keys")
     val pairs = CandidateGen.pairsFromBuckets(buckets, cfg.maxBucketSize,
       saltOversized = cfg.saltOversized)
     val fa = feat.select(col("id").as("a"), col("shingles").as("sh_a"))
@@ -830,18 +838,10 @@ object Dedup {
   def incrementalWeightedPairs(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, cfg: DedupConfig,
       persistFeatures: Boolean = true): DataFrame = {
-    def feats(df: DataFrame) = maybePersist(
-      df.select(col(idCol).as("id"),
-          shingle_hashes(tokens(col(textCol)), cfg.shingleK, cfg.seed)
-            .as("shingles"))
-        .where(size(col("shingles")) > 0)
-        .withColumn("band_keys",
-          lsh_band_keys(
-            icws_signature(col("shingles"), cfg.numHashes, cfg.seed),
-            cfg.bands, cfg.rowsPerBand, cfg.seed)),
+    val nf = maybePersist(weightedFeatures(newDocs, idCol, textCol, cfg),
       persistFeatures)
-    val nf = feats(newDocs)
-    val cf = feats(corpus)
+    val cf = maybePersist(weightedFeatures(corpus, idCol, textCol, cfg),
+      persistFeatures)
     val nb = CandidateGen.explodeBands(nf, "id", "band_keys")
       .select(col("id").as("a"), col("key"))
     val cb = CandidateGen.explodeBands(cf, "id", "band_keys")

@@ -336,6 +336,23 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.removeRepeatedSpans(docs, "doc_id", "text", 0, 2)
     }
+    // surviving text keeps its RAW form — removal must not rewrite
+    // casing/punctuation of what it keeps
+    val raw = Seq((1L, "Hello, World! This is unique prose."),
+      (2L, "Entirely different Raw, text? here!")).toDF("doc_id", "text")
+    val r = Curation.removeRepeatedSpans(raw, "doc_id", "text", 3, 2)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[String]("clean_text"))
+      .toMap
+    assert(r(1L) == "Hello, World! This is unique prose.")
+    // identical docs SHORTER than n contain no n-gram: untouched, never
+    // masked by the degraded whole-doc shingle
+    val short = Seq((1L, "happy new year"), (2L, "happy new year"))
+      .toDF("doc_id", "text")
+    val s5 = Curation.removeRepeatedSpans(short, "doc_id", "text", 5, 2)
+      .collect().map(x => x.getAs[Long]("id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_removed")))).toMap
+    assert(s5(1L) == (("happy new year", 0L)) &&
+      s5(2L) == (("happy new year", 0L)), s5.toString)
   }
 
   test("weightedSample: exact A-ES selection vs an independent Scala " +
