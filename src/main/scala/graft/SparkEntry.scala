@@ -25,6 +25,25 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.io.TableIO.resolve(spark, dir).read(name)
 
+  /** Scale-adaptive post-scan spread — the guide §2.5 input-skew fix for a
+    * table that arrives in fewer input splits than the session has cores
+    * (here: each sf table is ONE small parquet file, so every scan is a
+    * single task and the per-row kernels — tokenize/regex/shingle/vector
+    * math — run single-threaded; measured: q125's scan-side stages were all
+    * `tasks=1` at local[32]). Round-robin repartition to defaultParallelism,
+    * guarded so a production-scale scan (splits >= cores) is a NO-OP — the
+    * repartition is the degenerate-input escape hatch, not a tuned constant.
+    * Content-neutral: row placement changes, values never do (and Spark's
+    * default sort-before-repartition keeps the placement deterministic
+    * under retries), so every oracle hash is unchanged. Applied only where
+    * the downstream per-row work is expensive; narrow projection queries
+    * with exchange-free plan pins (q73/q76/q83/q87/q111...) keep the bare
+    * scan. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Shared (id, key) bucket frame for the skew family (q54/q55/q56):
     * documents keyed by lang AND source, hashed with distinct prefixes.
     * NULL keys are excluded up front — xxhash64 skips NULL inputs (all
@@ -32,7 +51,7 @@ object SparkEntry {
     * joins / GROUP BYs treat NULLs differently; the filter pins one
     * semantic for engine and oracle alike. */
   private def langSourceKeyed(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select("doc_id", "lang", "source")
+    spread(t(spark, dir, "documents")).select("doc_id", "lang", "source")
       .where(col("lang").isNotNull && col("source").isNotNull)
       .select(col("doc_id").as("id"),
         explode(array(xxhash64(lit("lang"), col("lang")),
@@ -41,18 +60,18 @@ object SparkEntry {
   /** Documents corpus + a near-duplicate variant per doc (one appended token,
     * shingle Jaccard ~0.99) — makes the LSH dedup output exactly enumerable. */
   private def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val d = spread(t(spark, dir, "documents")).select("doc_id", "text")
     d.union(d.select(col("doc_id") + 100000, concat(col("text"), lit(" zz"))))
   }
 
   /** Documents corpus + an identical copy per doc (SimHash Hamming = 0). */
   private def docsWithExactDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val d = spread(t(spark, dir, "documents")).select("doc_id", "text")
     d.union(d.select(col("doc_id") + 100000, col("text")))
   }
 
   private def embWithExactDups(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val e = spread(t(spark, dir, "embeddings")).select("vec_id", "embedding")
     e.union(e.select(col("vec_id") + 100000, col("embedding")))
   }
 
@@ -194,7 +213,7 @@ object SparkEntry {
       // Two selects stay two Projects — CollapseProject refuses to inline a
       // non-cheap producer referenced more than once. pred_lang thresholds
       // the UNROUNDED ratio (the lang_id contract and the oracle's CASE).
-      t(s, d, "documents")
+      spread(t(s, d, "documents"))
         .select(col("doc_id"), stopword_ratio(col("text")).as("__sr"))
         .select(col("doc_id"),
           round(col("__sr"), 4).as("stop_ratio"),
@@ -373,7 +392,7 @@ object SparkEntry {
       // and deterministic, so on THIS table it is a stable reproducible
       // bit, not a flaky assertion. Exact percentile values stay
       // spec-gated in MetricsSpec (determinism + hand-computed cases).
-      val ev = t(s, d, "events")
+      val ev = spread(t(s, d, "events"))
       val ci = Metrics.bootstrapCI(ev, "value", "event_id")
       val stats = ev.agg(count(lit(1)).as("n_rows"),
         round(avg("value"), 4).as("data_mean"),
@@ -408,7 +427,7 @@ object SparkEntry {
     "q35_fbeta_sweep" -> ((s, d) => {
       // F-beta threshold sweep via cumulative window sums (reference
       // metrics/wrappers/f_beta/helpers.py:86-117 iterative sweep)
-      val scored = t(s, d, "events")
+      val scored = spread(t(s, d, "events"))
         .select(col("value").as("score"), (col("event_type") === "click").as("is_new"))
       Metrics.fBetaSweep(scored, "score", "is_new", beta = 1.0)
         .select(round(col("threshold"), 2).as("threshold"),
@@ -424,7 +443,7 @@ object SparkEntry {
       // not-new prediction whose retrieval MISSED (is_hit false) as a false
       // negative. is_hit derives deterministically from event_id so the
       // DuckDB oracle re-derives it
-      val scored = t(s, d, "events")
+      val scored = spread(t(s, d, "events"))
         .select(col("value").as("score"),
           (col("event_type") === "click").as("is_new"),
           (col("event_id") % 3 === 0).as("is_hit"))
@@ -439,7 +458,7 @@ object SparkEntry {
     "q36_roc_auc" -> ((s, d) => {
       // ROC-AUC in Mann-Whitney rank form (reference
       // metrics/wrappers/attach_roc_auc.py:11-16)
-      val scored = t(s, d, "events")
+      val scored = spread(t(s, d, "events"))
         .select(col("value").as("score"), (col("event_type") === "click").as("is_new"))
       val auc = Metrics.rocAuc(scored, "score", "is_new")
       import s.implicits._
@@ -459,7 +478,7 @@ object SparkEntry {
     "q32_training_pairs" -> ((s, d) => {
       // positive-pair mining per cluster with a deterministic sample cap
       // (reference datasets/pair.py:22-57; user_id plays the issue id)
-      val asg = t(s, d, "events").select(col("event_id"), col("user_id"))
+      val asg = spread(t(s, d, "events")).select(col("event_id"), col("user_id"))
       TrainingData.pairs(asg, "event_id", "user_id", maxPerCluster = 3)
         .select(col("cluster_id"), col("a"), col("b"))
         .orderBy("cluster_id", "a", "b")
@@ -467,7 +486,7 @@ object SparkEntry {
 
     "q33_training_triplets" -> ((s, d) => {
       // pair + deterministic cross-cluster negative (datasets/triplet.py:23-62)
-      val asg = t(s, d, "events").select(col("event_id"), col("user_id"))
+      val asg = spread(t(s, d, "events")).select(col("event_id"), col("user_id"))
       TrainingData.triplets(asg, "event_id", "user_id", maxPerCluster = 2)
         .select(col("cluster_id"), col("a"), col("b"), col("neg"))
         .orderBy("cluster_id", "a", "b")
@@ -475,7 +494,7 @@ object SparkEntry {
 
     "q31_quality_score" -> ((s, d) => {
       // length/punct/stopword quality heuristic (training-data pipeline op)
-      t(s, d, "documents")
+      spread(t(s, d, "documents"))
         .select(col("doc_id"), quality_score(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
@@ -510,7 +529,7 @@ object SparkEntry {
       // query slice: every 10th error event — keeps the as-of fan-out
       // (queries x in-window candidates) bounded across sf levels while the
       // candidate side stays complete
-      EventRanking.replayRank(t(s, d, "events"),
+      EventRanking.replayRank(spread(t(s, d, "events")),
           queryFilter = col("event_type") === "error" &&
             col("event_id") % 10 === 0,
           score = -abs(col("q_val") - col("c_val")),
@@ -536,7 +555,7 @@ object SparkEntry {
       // signature equals its original's in EVERY table, so the (copy ->
       // original) collision is structural and rank 1 is the cosine-1.0
       // original — an enumerable oracle that exercises the full LSH path
-      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val emb = spread(t(s, d, "embeddings")).select("vec_id", "embedding")
       val corpus = emb.unionByName(
         emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       val queriesDf = corpus.where(col("vec_id") >= 100000)
@@ -554,7 +573,7 @@ object SparkEntry {
       // Corpus is a small slice — LCS is the expensive detector by design.
       val cfg = DedupConfig.default.copy(
         jaccardMin = 0.95, hammingMax = -1, lcsMin = 60)
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
         .where(col("doc_id") < 60 && col("n_chars") >= 80)
         .select("doc_id", "text")
       val variants = docs.select((col("doc_id") + 100000).as("doc_id"),
@@ -579,7 +598,7 @@ object SparkEntry {
       // cross-issue unique member listing, prefix semantics
       // (stack_state_model.py:25-47): per (issue=user, content=event_type),
       // only the chronologically-first event survives
-      EventReplay.uniqueMembers(t(s, d, "events"),
+      EventReplay.uniqueMembers(spread(t(s, d, "events")),
           issueCol = "user_id", hashCol = "event_type", orderCol = "event_id")
         .select("user_id", "event_type", "event_id")
         .orderBy("user_id", "event_type")
@@ -678,7 +697,7 @@ object SparkEntry {
       // second forget-days variant (LastUpdateIssueSelector,
       // issues_selector.py:17-29): clusters active within the window expose
       // ALL their pre-query members — per-query aggregate keeps output small
-      val ev = t(s, d, "events")
+      val ev = spread(t(s, d, "events"))
       val queriesDf = ev.where(col("event_type") === "error" &&
           col("event_id") % 20 === 0)
         .select(col("event_id").as("query_id"), col("ts"))
@@ -697,7 +716,7 @@ object SparkEntry {
       // to its original's cell (identical vector, deterministic tie-break)
       // and always probes that cell first, so rank 1 is the cosine-1.0
       // original — enumerable oracle exercising the full quantize/probe path
-      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val emb = spread(t(s, d, "embeddings")).select("vec_id", "embedding")
       val corpus = emb.unionByName(
         emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       val queriesDf = corpus.where(col("vec_id") >= 100000)
@@ -717,7 +736,7 @@ object SparkEntry {
       // the float sum. Emitting that check per query exercises codebook
       // training, encoding, LUT construction and ADC ranking end to end with
       // an enumerable oracle (every row hit = true).
-      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val emb = spread(t(s, d, "embeddings")).select("vec_id", "embedding")
       // query side capped at 500 so the flat cross-score stays proportionate
       // at larger sf (the corpus side still grows with sf)
       val queriesDf = emb.where(col("vec_id") < 500).select(
@@ -746,7 +765,7 @@ object SparkEntry {
       // coarse training, residual codebook training, cell assignment,
       // probe selection, residual encode and the per-(query, cell) LUT +
       // cross-cell adjustment end to end with an enumerable oracle.
-      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val emb = spread(t(s, d, "embeddings")).select("vec_id", "embedding")
       val queriesDf = emb.where(col("vec_id") < 500).select(
         (col("vec_id") + 100000).as("vec_id"), col("embedding"))
       val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding",
@@ -862,7 +881,7 @@ object SparkEntry {
       // faiss.py:40-51). Oracle = brute-force bipartite trigram Jaccard:
       // exact by the q15 argument (LSH recall 1.0 at this config for
       // near-identical pairs), bipartite edition
-      val corpus = t(s, d, "documents").select("doc_id", "text")
+      val corpus = spread(t(s, d, "documents")).select("doc_id", "text")
       val fresh = corpus.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text"))
       Dedup.incrementalNearDupPairs(fresh, corpus, "doc_id", "text",
@@ -898,7 +917,7 @@ object SparkEntry {
     "q60_repetition_quality" -> ((s, d) => {
       // Gopher/FineWeb-family repetition signals: distinct-token ratio +
       // duplicate-bigram fraction (TextScores.repetitionSignals)
-      TextScores.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
+      TextScores.repetitionSignals(spread(t(s, d, "documents")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -909,7 +928,7 @@ object SparkEntry {
       // global window (Ranking.topFractionGlobal). Tie-INCLUSIVE semantics:
       // the coarse quality score makes the boundary tie group large, which
       // is exactly the case an arbitrary intra-tie cut would get wrong
-      val scored = t(s, d, "documents")
+      val scored = spread(t(s, d, "documents"))
         .select(col("doc_id"), quality_score(col("text")).as("quality"))
       Ranking.topFractionGlobal(scored, "quality", frac = 0.25)
         .select("doc_id", "quality", "kept")
@@ -935,7 +954,7 @@ object SparkEntry {
       // ROUNDED score so tie-breaking (item_id asc) is oracle-deterministic
       // — raw double sums can differ in the last ulp across engines'
       // summation orders and silently swap a tie.
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
       val queries = docs.where(col("doc_id") % 25 === 0)
       val scored = TextScores.tfidfIndexScores(docs, queries, "doc_id", "text")
         .where(col("query_id") =!= col("item_id"))
@@ -955,7 +974,7 @@ object SparkEntry {
       // plan device, not a semantics change) and `degrade` must keep only
       // each left row x the hot key's 8 smallest-id right rows. The oracle
       // recomputes both sets in plain SQL.
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
       val key = when(col("doc_id") % 10 < 4, lit(0L))
         .otherwise(col("doc_id") % 97)
       val l = docs.where(col("doc_id") % 2 === 0)
@@ -1012,8 +1031,8 @@ object SparkEntry {
       // near-dup chains (incl. their +200000 variants) resolve exactly,
       // and canonical ids resolve through later tiers the way cascade()
       // documents (a near loser's members follow its semantic fate).
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val emb = t(s, d, "embeddings")
+      val docs = spread(t(s, d, "documents")).select("doc_id", "text")
+      val emb = spread(t(s, d, "embeddings"))
         .select(col("vec_id").as("doc_id"), col("embedding"))
       val base = docs.join(emb, "doc_id")
       val frame = base
@@ -1036,7 +1055,7 @@ object SparkEntry {
       // the full brute-force bipartite cosine join — identical vectors land
       // in the same cell, so the cell restriction loses nothing at this
       // threshold (natural cross pairs top out at cosine 0.51)
-      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val emb = spread(t(s, d, "embeddings")).select("vec_id", "embedding")
       val fresh = emb.select((col("vec_id") + 100000).as("vec_id"),
         col("embedding"))
       Dedup.incrementalSemanticPairs(fresh, emb, "vec_id", "embedding",
@@ -1085,7 +1104,7 @@ object SparkEntry {
       // near-quadratic at scale). Truth: the original. Scores rounded +
       // item-id tie-break exactly as q63; MRR is rank-truncated at k=5
       // (only top-5 retrieval results exist, the retrieval-model contract).
-      val docs = t(s, d, "documents").select("doc_id", "text")
+      val docs = spread(t(s, d, "documents")).select("doc_id", "text")
       val queries = docs.where(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" zz")).as("text"))
@@ -1128,7 +1147,7 @@ object SparkEntry {
       // <id>', two tokens -> a single whole-sequence shingle no corpus
       // trigram can match). Oracle recomputes the bipartite brute-force
       // jaccard evidence (the q57 device) and the same three aggregates.
-      val corpus = t(s, d, "documents").select("doc_id", "text")
+      val corpus = spread(t(s, d, "documents")).select("doc_id", "text")
       val leaked = corpus.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" zz")).as("text"))
@@ -1237,7 +1256,7 @@ object SparkEntry {
       // one appended token scores 1/(n-1) (one new tail trigram), 3-novel-
       // token probes score 1.0. The zero-shuffle bloom path is spec-gated
       // (lower bound only — fpp); this oracled query pins the exact one.
-      val corpus = t(s, d, "documents").select("doc_id", "text")
+      val corpus = spread(t(s, d, "documents")).select("doc_id", "text")
       val batch =
         corpus.where(col("doc_id") % 4 === 0)
           .select((col("doc_id") + 500000).as("doc_id"), col("text"))
@@ -1260,7 +1279,7 @@ object SparkEntry {
       // FineWeb per-language threshold. The window runs over distinct
       // (lang, quality) rows only (quality is rounded to 2 places), never
       // data-sized partitions.
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
         .where(col("lang").isNotNull)
         .select(col("doc_id"), col("lang"),
           quality_score(col("text")).as("quality"))
@@ -1350,7 +1369,7 @@ object SparkEntry {
       // trigram in >= 20 distinct docs comes back with its df and total
       // count. One explode + one aggregation (map-side partial combine);
       // the n-gram string shuffles because the report needs the text back.
-      val planted = t(s, d, "documents").select(col("doc_id"),
+      val planted = spread(t(s, d, "documents")).select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 3 === 0,
             lit(" accept all cookies to continue browsing this site"))
@@ -1438,7 +1457,7 @@ object SparkEntry {
       // oracle retrains the identical counts in SQL, so the check is exact
       // end to end (counts are integers, the only float step is the final
       // per-doc mean of logs, rounded like every float oracle in this map).
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
       TextScores.bigramLmScores(docs, docs, "doc_id", "text").orderBy("id")
     }),
 
@@ -1448,7 +1467,7 @@ object SparkEntry {
       // planted snippets (first 25 tokens of every doc with >= 30 tokens,
       // contained in its source at exactly 1.0); the prefix-filtered join
       // is exact, so DuckDB's brute-force posting join is a full oracle.
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
       val snippets = docs.select(col("doc_id"), tokens(col("text")).as("l"))
         .where(size(col("l")) >= 30)
         .select((col("doc_id") + 200000L).as("doc_id"),
@@ -1491,7 +1510,7 @@ object SparkEntry {
       // 7th user by event parity, merges the users at residues 1 and 2,
       // and relabels the rest 1:1 (structural stability — labels moved).
       // The oracle recomputes the same contingency logic in SQL.
-      val e = t(s, d, "events").select(col("event_id").as("id"),
+      val e = spread(t(s, d, "events")).select(col("event_id").as("id"),
         col("user_id").cast("long").as("u"))
       val before = e.select(col("id"), col("u").as("c"))
       val after = e.select(col("id"),
@@ -1544,7 +1563,7 @@ object SparkEntry {
       // posting-join shape with Okapi saturation + length normalization.
       // Same determinism device as q63: rank on the ROUNDED score so ties
       // break identically across engines.
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
       val queries = docs.where(col("doc_id") % 25 === 0)
       val scored = TextScores.bm25IndexScores(docs, queries, "doc_id", "text")
         .where(col("query_id") =!= col("item_id"))
@@ -1614,7 +1633,7 @@ object SparkEntry {
     "q104_data_card" -> ((s, d) =>
       // one-row dataset card (Curation.dataCard): volume, dup/empty counts,
       // exact median length, English share — oracle recomputes all of it
-      Curation.dataCard(t(s, d, "documents"), "doc_id", "text")),
+      Curation.dataCard(spread(t(s, d, "documents")), "doc_id", "text")),
 
     "q105_scale_dups" -> ((s, _) => {
       // scale-resilient image dedup (Dedup.scaleDups): 300 synthetic bases,
@@ -1758,7 +1777,7 @@ object SparkEntry {
       // two retrieval indexes the engine already evaluates — q63's TF-IDF
       // and q98's BM25 posting joins, same query set and determinism
       // devices; the oracle recomputes both lists and the fusion in SQL
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
       val queries = docs.where(col("doc_id") % 25 === 0)
       def list(scored: DataFrame) = Ranking.topKItems(
         scored.where(col("query_id") =!= col("item_id"))
@@ -1777,7 +1796,7 @@ object SparkEntry {
       // oracle IS percent_rank() (the oracle may window globally, the
       // engine must not — PlanSpec pins it)
       Ranking.percentileRanks(
-          t(s, d, "events").select("event_id", "value"), "value")
+          spread(t(s, d, "events")).select("event_id", "value"), "value")
         .select("event_id", "value", "pct").orderBy("event_id")),
 
     "q120_quantiles_by_group" -> ((s, d) =>
@@ -1803,7 +1822,7 @@ object SparkEntry {
       // g+1000 carry IDENTICAL member text (the mirrored-group planting
       // device) -> identical merged signatures, guaranteed band collision,
       // union jaccard 1; oracle recomputes group-union tri-shingle jaccard
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
       val corpus = docs.select((col("doc_id") % 97).as("grp"),
           col("doc_id"), col("text"))
         .unionByName(docs.select((col("doc_id") % 97 + 1000).as("grp"),
@@ -1818,7 +1837,7 @@ object SparkEntry {
       // .incrementalWeightedPairs): q57's planted new batch, q116's
       // weighted threshold; oracle = bipartite brute-force weighted
       // jaccard with tri-gram COUNTS
-      val corpus = t(s, d, "documents").select("doc_id", "text")
+      val corpus = spread(t(s, d, "documents")).select("doc_id", "text")
       val fresh = corpus.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text"))
       Dedup.incrementalWeightedPairs(fresh, corpus, "doc_id", "text",
@@ -1833,7 +1852,7 @@ object SparkEntry {
       // granularity): plant an 8-token shared prefix on every 5th doc
       // (the q81 device); its interior 5-grams hit df >= 2 and the whole
       // prefix is masked in every planted doc, boundary grams stay unique
-      val planted = t(s, d, "documents").select(col("doc_id"),
+      val planted = spread(t(s, d, "documents")).select(col("doc_id"),
         when(col("doc_id") % 5 === 0,
           concat(lit("shared span alert five tokens exactly seven words "),
             col("text")))
@@ -1849,13 +1868,16 @@ object SparkEntry {
       // entropy, distinct-token ratio — each calibrated to a percentile
       // (Ranking.percentileRanks, no global window), mean-composited,
       // thresholded on the ROUNDED composite on both engines
-      val scored = t(s, d, "documents").select(col("doc_id"),
+      val scored = spread(t(s, d, "documents")).select(col("doc_id"),
         quality_score(col("text")).as("q"),
         round(char_entropy(col("text")), 6).as("h"),
         distinct_token_ratio(col("text")).as("r"))
-      val ranked = Ranking.percentileRanks(
-        Ranking.percentileRanks(
-          Ranking.percentileRanks(scored, "q", "pq"), "h", "ph"), "r", "pr")
+      // one mapping per signal, each derived from `scored` itself — the
+      // nested percentileRanks chain re-evaluated the expensive projection
+      // once per aggregation branch per nesting level (exponential in the
+      // signal count; see Ranking.percentileRanksMulti)
+      val ranked = Ranking.percentileRanksMulti(scored,
+        Seq("q" -> "pq", "h" -> "ph", "r" -> "pr"))
       ranked
         .withColumn("composite",
           round((col("pq") + col("ph") + col("pr")) / 3.0, 6))

@@ -383,6 +383,16 @@ case class RollingFingerprint(child: Expression, seed: Long)
 case class IcwsSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression {
   require(numHashes >= 1, s"icws_signature: numHashes($numHashes) must be >= 1")
+  // analysis-time type check (the CharEntropy rationale): a non-array
+  // argument from the SQL surface must fail resolution, not per-row
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == ArrayType(LongType, containsNull = false) ||
+        child.dataType == ArrayType(LongType, containsNull = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"icws_signature requires array<bigint>, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "icws_signature"
@@ -400,6 +410,19 @@ case class IcwsSignature(child: Expression, numHashes: Int, seed: Long)
   * the ICWS candidate family. */
 case class WeightedJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
+  // analysis-time type check on BOTH sides (the CharEntropy rationale)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean =
+      t == ArrayType(LongType, containsNull = false) ||
+        t == ArrayType(LongType, containsNull = true)
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "weighted_jaccard requires two array<bigint> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "weighted_jaccard"

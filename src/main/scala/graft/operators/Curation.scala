@@ -473,15 +473,22 @@ object Curation {
    * Scale: grams shuffle as 8-byte hashes (one count aggregation,
    * `minDocs` gate); the heavy set joins back by gram hash; coverage
    * positions explode only for heavy grams (boilerplate-sized, not
-   * corpus-sized); the rebuild is one per-doc aggregation. No windows.
-   * The token frame feeds three plan branches — `persistFeatures`
-   * caches it (same knob and cache-outlives-plan caveat as the
-   * [[graft.operators.Dedup]] family).
+   * corpus-sized); the token-level anti-join + reassembly runs ONLY over
+   * docs with >= 1 covered position (a semi-join on `covered`'s distinct
+   * ids) — the untouched majority of a web corpus is emitted as the
+   * narrow projection `concat_ws(" ", tk)`, identical output (clean_text
+   * is token-rebuilt either way) without the two corpus-token-sized
+   * shuffles the all-docs rebuild paid. No windows. The token frame feeds
+   * several plan branches — `persistFeatures` caches it (same knob and
+   * cache-outlives-plan caveat as the [[graft.operators.Dedup]] family).
    *
    * Tokenization is the RAW whitespace split: surviving text keeps its
-   * original casing/punctuation (removal must not rewrite what it keeps —
-   * the [[removeBoilerplateLines]] contract). Docs with fewer than `n`
-   * tokens contain no n-gram and pass through untouched.
+   * original casing/punctuation, but documents are REASSEMBLED from their
+   * token stream — runs of whitespace collapse to single spaces and
+   * leading/trailing whitespace is trimmed, in affected and untouched
+   * docs alike (the one normalization this pass performs; per-token
+   * content is never rewritten). Docs with fewer than `n` tokens contain
+   * no n-gram and pass through (token-rebuilt) untouched.
    *
    * @return every input doc: (id, clean_text, n_removed) — clean_text ''
    *         when everything was shared, n_removed counts tokens dropped
@@ -509,7 +516,13 @@ object Curation {
       .select(col("id"), explode(sequence(col("pos"),
         col("pos") + (n - 1))).as("pos"))
       .distinct()
-    val tokPos = withToks.select(col("id"), posexplode(col("tk")))
+    // only docs with >= 1 covered position pay the token-level anti-join +
+    // reassembly; everything else passes through as a narrow projection
+    // (identical output — clean_text is token-rebuilt either way). At web
+    // scale the affected set is boilerplate-hit docs, not the corpus.
+    val affectedIds = covered.select("id").distinct()
+    val tokPos = withToks.join(affectedIds, Seq("id"), "left_semi")
+      .select(col("id"), posexplode(col("tk")))
       .select(col("id"), col("pos"), col("col").as("tok"))
     val kept = tokPos.join(covered, Seq("id", "pos"), "left_anti")
     val rebuilt = kept.groupBy("id")
@@ -517,11 +530,17 @@ object Curation {
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
             s => s("tok"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
-    withToks.select(col("id"), size(col("tk")).as("n_toks"))
+    val affectedOut = withToks.join(affectedIds, Seq("id"), "left_semi")
+      .select(col("id"), size(col("tk")).as("n_toks"))
+      // left join: a fully-covered doc has no kept rows and rebuilds to ''
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    val untouchedOut = withToks.join(affectedIds, Seq("id"), "left_anti")
+      .select(col("id"), concat_ws(" ", col("tk")).as("clean_text"),
+        lit(0L).as("n_removed"))
+    affectedOut.unionByName(untouchedOut)
   }
 
   /**
@@ -582,6 +601,13 @@ object Curation {
    */
   def dedupWeights(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // the output appends `weight` (and rides a `__k` temp): a caller column
+    // by either name would produce ambiguous/duplicate names downstream —
+    // fail fast like the other __-prefixed-temp operators
+    require(!docs.columns.contains("weight"),
+      "dedupWeights: input already has a 'weight' column (the output name)")
+    require(!docs.columns.contains("__k"),
+      "dedupWeights: input already has a '__k' column (the temp name)")
     val keyed = docs.withColumn("__k", xxhash64(col(textCol)))
     val groups = keyed.groupBy("__k").agg(
       min(col(idCol)).as(idCol),

@@ -59,19 +59,53 @@ object Ranking {
    */
   def percentileRanks(df: DataFrame, scoreCol: String,
       outCol: String = "pct"): DataFrame = {
+    val pct = pctTable(df, scoreCol, outCol)
+    df.join(pct, df(scoreCol).cast("double") === pct("__s"), "left")
+      .drop("__s")
+  }
+
+  /** The (distinct score -> pct) mapping table behind [[percentileRanks]]:
+    * one row per distinct non-null score value, columns `__s` (double) +
+    * `outCol`. Factored out so [[percentileRanksMulti]] can derive every
+    * signal's mapping from the SAME base frame. */
+  private def pctTable(df: DataFrame, scoreCol: String,
+      outCol: String): DataFrame = {
     val counts = df.where(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).cast("double").as("__s"))
       .agg(count(lit(1)).cast("double").as("__c"))
     val cum = OrderedScan.cumSums(counts, "__s", Seq("__c" -> "__cum"))
     val total = counts.agg(sum(col("__c")).as("__n"))
-    val pct = cum.crossJoin(broadcast(total)) // 1-row broadcast
+    cum.crossJoin(broadcast(total)) // 1-row broadcast
       .select(col("__s"),
         when(col("__n") <= 1.0, lit(0.0))
           .otherwise(round((col("__cum") - col("__c")) / (col("__n") - 1.0),
             6)).as(outCol))
-    df.join(pct, df(scoreCol).cast("double") === pct("__s"), "left")
-      .drop("__s")
   }
+
+  /**
+   * Calibrate SEVERAL incomparable signals of ONE frame in a single
+   * composition — each (scoreCol -> outCol) mapping is computed from `df`
+   * ITSELF, then all of them join back onto the accumulating frame.
+   *
+   * Chaining [[percentileRanks]] calls is semantically identical (each
+   * join matches one mapping row per distinct score, so row multiplicity
+   * and every other column are preserved — signal k's count table over the
+   * (k-1)-times-joined frame equals the one over the base frame), but each
+   * nesting level embeds the whole prior join tree inside every aggregation
+   * branch of the next mapping, roughly doubling the expensive base-
+   * projection evaluations per signal (measured on q125: the three-deep
+   * nest stacked ~8 evaluations of the regex/entropy projection, 2.4-3.8 s
+   * each at one task). Deriving every mapping from the base keeps the
+   * evaluation count LINEAR in the signal count; the output is
+   * column-for-column identical.
+   */
+  def percentileRanksMulti(df: DataFrame,
+      specs: Seq[(String, String)]): DataFrame =
+    specs.foldLeft(df) { case (acc, (scoreCol, outCol)) =>
+      val pct = pctTable(df, scoreCol, outCol)
+      acc.join(pct, acc(scoreCol).cast("double") === pct("__s"), "left")
+        .drop("__s")
+    }
 
   /**
    * Reciprocal-rank fusion of N ranked retrieval lists (Cormack et al.,

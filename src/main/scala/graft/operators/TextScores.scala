@@ -144,9 +144,14 @@ object TextScores {
    *
    * Scale shape: identical to [[tfidfIndexScores]] — postings and query
    * tokens shuffle on the token, one agg per (query, item); the df/idf
-   * table is vocabulary-sized and joins distributed. The ONLY driver-side
-   * values are two scalars (N, total dl) — computed exactly over longs so
-   * an independent engine reproduces avgdl bit-for-bit.
+   * table is vocabulary-sized and joins distributed. The corpus stats
+   * (N, total dl) ride in as a ONE-ROW broadcast combine instead of an
+   * eager driver collect: the corpus is tokenized once less per run (the
+   * stats pass previously re-scanned it at DAG-construction time), the
+   * arithmetic is unchanged bit-for-bit (same long counts, same double
+   * division), and an empty corpus now degrades to an empty result frame
+   * (no posting rows exist, so the stats row is never consumed) instead
+   * of an NPE on the null sum.
    *
    * @return (query_id, item_id, score) — raw double; round before ranking
    *         (the q63 tie-determinism contract)
@@ -157,16 +162,22 @@ object TextScores {
     val withDl = corpus.select(col(idCol).as("item_id"),
         tokens(col(textCol)).as("l"))
       .withColumn("dl", size(col("l"))).where(col("dl") > 0)
-    val r = withDl.agg(count(lit(1)), sum(col("dl").cast("long"))).head()
-    val n = r.getLong(0)
-    val avgdl = r.getLong(1).toDouble / n
+    // 1-row stats frame (the clusterAgreement/topFraction combine device):
+    // __n = N (long), __avgdl = sum(dl).toDouble / N — the identical IEEE
+    // ops the eager head() version performed on the driver
+    val stats = withDl
+      .agg(count(lit(1)).as("__n"), sum(col("dl").cast("long")).as("__sdl"))
+      .select(col("__n"),
+        (col("__sdl").cast("double") / col("__n")).as("__avgdl"))
     val tf = withDl.select(col("item_id"), col("dl"),
         explode(col("l")).as("token"))
       .groupBy("item_id", "token", "dl").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
       .withColumn("idf",
-        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .select("token", "idf")
+        log((col("__n").cast("double") - col("df") + 0.5) /
+          (col("df") + 0.5) + 1.0))
+      .select("token", "idf", "__avgdl")
     val postings = tf.join(idf, "token")
     val qtoks = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(tokens(col(textCol)))).as("token"))
@@ -174,7 +185,7 @@ object TextScores {
       .groupBy("query_id", "item_id")
       .agg(sum(col("idf") * (col("tf") * (k1 + 1)) /
         (col("tf") + lit(k1) *
-          (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))).as("score"))
+          (lit(1 - b) + lit(b) * col("dl") / col("__avgdl")))).as("score"))
   }
 
   /** [[bm25IndexScores]] + per-query top-k, ties on item_id (the

@@ -355,6 +355,33 @@ class CurationSpec extends SparkSpec {
       s5(2L) == (("happy new year", 0L)), s5.toString)
   }
 
+  test("removeRepeatedSpans: untouched docs take the narrow passthrough " +
+    "(no token-level rebuild), same token-rebuilt output") {
+    // the round-6 passthrough: docs with zero covered positions skip the
+    // posexplode/anti-join/collect_list reassembly entirely and are emitted
+    // as concat_ws over the token array — output identical (clean_text is
+    // token-rebuilt on both paths: whitespace runs collapse, ends trim)
+    val docs = Seq(
+      (1L, "x y z p q r"), (2L, "x y z p u v"),      // heavy "x y z"/"y z p"
+      (3L, " spaced   out\ttokens  "),               // untouched, messy ws
+      (4L, "plain unique words entirely"))           // untouched, clean
+      .toDF("doc_id", "text")
+    val out = Curation.removeRepeatedSpans(docs, "doc_id", "text",
+      n = 3, minDocs = 2)
+    val got = out.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), got.toString)
+    // both paths rebuild from the raw-token stream: single spaces, trimmed
+    assert(got(3L) == (("spaced out\ttokens", 0L)), got(3L).toString)
+    assert(got(4L) == (("plain unique words entirely", 0L)))
+    assert(got(1L)._2 == 4L && got(2L)._2 == 4L, got.toString)
+    // plan shape: the rebuild side is gated by a semi-join on affected ids
+    // and the passthrough side by the complementary anti-join
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
+
   test("weightedSample: exact A-ES selection vs an independent Scala " +
     "replication; zero/null weights excluded; guards") {
     val rows = (1L to 20L).map(i => (i, Some(i.toDouble))) ++
