@@ -1773,19 +1773,39 @@ object SparkEntry {
         lo = 0.0, hi = 600.0, nBins = 12)),
 
     "q118_rrf_fusion" -> ((s, d) => {
-      // reciprocal-rank fusion (Ranking.rrfFuse, Cormack SIGIR'09) of the
-      // two retrieval indexes the engine already evaluates — q63's TF-IDF
-      // and q98's BM25 posting joins, same query set and determinism
-      // devices; the oracle recomputes both lists and the fusion in SQL
+      // reciprocal-rank fusion (Cormack SIGIR'09) of the two retrieval
+      // indexes the engine already evaluates — q63's TF-IDF and q98's BM25,
+      // same query set and determinism devices; the oracle recomputes both
+      // lists and the fusion in SQL. Both scores come off ONE posting join
+      // (TextScores.tfidfBm25IndexScores — the candidate sets are identical
+      // by construction) and both per-list ranks plus the fused re-rank run
+      // as three windows over ONE query_id exchange, replacing the previous
+      // two independent index builds + list union (bit-identical output:
+      // each leg ranks the same rounded scores with the same item_id
+      // tie-break, and the fused score 1/(60+rt) + 1/(60+rb) is the same
+      // two-term IEEE sum rrfFuse aggregates; items outside a leg's top-10
+      // contribute nothing there, items outside both are absent here as in
+      // the union).
       val docs = spread(t(s, d, "documents"))
       val queries = docs.where(col("doc_id") % 25 === 0)
-      def list(scored: DataFrame) = Ranking.topKItems(
-        scored.where(col("query_id") =!= col("item_id"))
-          .withColumn("score", round(col("score"), 4)), 10)
-        .select("query_id", "item_id", "rank")
-      val tf = list(TextScores.tfidfIndexScores(docs, queries, "doc_id", "text"))
-      val bm = list(TextScores.bm25IndexScores(docs, queries, "doc_id", "text"))
-      Ranking.rrfFuse(Seq(tf, bm), topK = 10)
+      val k = 10
+      val both = TextScores.tfidfBm25IndexScores(docs, queries, "doc_id", "text")
+        .where(col("query_id") =!= col("item_id"))
+        .withColumn("ts", round(col("tfidf_score"), 4))
+        .withColumn("bs", round(col("bm25_score"), 4))
+      val wq = Window.partitionBy("query_id")
+      val ranked = both
+        .withColumn("rt",
+          row_number().over(wq.orderBy(col("ts").desc, col("item_id"))))
+        .withColumn("rb",
+          row_number().over(wq.orderBy(col("bs").desc, col("item_id"))))
+        .where(col("rt") <= k || col("rb") <= k)
+        .withColumn("score", round(
+          when(col("rt") <= k, lit(1.0) / (lit(60.0) + col("rt")))
+            .otherwise(lit(0.0)) +
+          when(col("rb") <= k, lit(1.0) / (lit(60.0) + col("rb")))
+            .otherwise(lit(0.0)), 6))
+      Ranking.topKItems(ranked.select("query_id", "item_id", "score"), k)
         .select("query_id", "item_id", "rank", "score")
         .orderBy("query_id", "rank")
     }),

@@ -377,7 +377,9 @@ object Metrics {
     // distributed too (value-bucketed windows + boundary offsets), never
     // a single-partition global window
     // coalesce: sum() over zero rows is null — an empty frame must yield an
-    // empty sweep, not a driver NPE
+    // empty sweep, not a driver NPE. The total stays an EAGER head(): the
+    // in-plan 1-row cross-join combine inflates plan size estimates (the
+    // idfTable lesson) and the pass it saves is one column-pruned scan.
     val totals = scored.agg(
       coalesce(sum(when(col(isNewCol), 1L).otherwise(0L)), lit(0L)).as("pos")).head()
     val pos = totals.getLong(0).toDouble
@@ -421,7 +423,8 @@ object Metrics {
    */
   def fBetaSweepV2(scored: DataFrame, scoreCol: String, isNewCol: String,
       isHitCol: String, beta: Double): DataFrame = {
-    // coalesce: see fBetaSweep — empty input must not NPE on a null sum
+    // coalesce: see fBetaSweep — empty input must not NPE on a null sum;
+    // the totals stay an EAGER head() (the fBetaSweep/idfTable lesson)
     val totalsRow = scored.agg(
       count(lit(1)).as("n"),
       coalesce(sum(when(!col(isNewCol) && col(isHitCol), 1L).otherwise(0L)),

@@ -90,33 +90,53 @@ object OrderedScan {
    * last-ulp order drift, here and in any Spark `sum`.
    */
   def cumSums(df: DataFrame, orderCol: String,
+      sums: Seq[(String, String)]): DataFrame =
+    cumSumsBy(df, Nil, orderCol, sums)
+
+  /**
+   * [[cumSums]] PER GROUP: the cumulative sums reset for each distinct value
+   * combination of `partCols` — the device that lets SEVERAL stacked signals
+   * (e.g. [[Ranking.percentileRanksMulti]]'s (signal, value) frame) share
+   * ONE pass over the expensive base frame instead of one cumSums call (and
+   * its own eager quantile sketch + exchange) per signal. Value buckets are
+   * computed over the whole frame's `orderCol` domain and simply intersect
+   * each group; the window runs per (group, bucket), the boundary offsets
+   * stitch within the group. Empty `partCols` is exactly [[cumSums]].
+   */
+  def cumSumsBy(df: DataFrame, partCols: Seq[String], orderCol: String,
       sums: Seq[(String, String)]): DataFrame = {
     val bounds = rangeBounds(df, orderCol, shufflePartitions(df))
     val bucketed = df.withColumn("__bk", bucketCol(orderCol, bounds))
+    val keyCols = partCols :+ "__bk"
 
-    // per-bucket running sums — the window shuffles on the bucket key and
-    // sorts each bucket in parallel
-    val w = Window.partitionBy("__bk").orderBy(col(orderCol))
+    // per-(group, bucket) running sums — the window shuffles on the group +
+    // bucket key and sorts each bucket in parallel
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = sums.foldLeft(bucketed) { case (d, (v, out)) =>
       d.withColumn(out, sum(col(v)).over(w))
     }
 
-    // per-bucket totals (<= buckets rows) -> earlier-bucket offsets via a
-    // triangular self-join over that TINY frame — no driver action, no cache
+    // per-(group, bucket) totals (<= groups x buckets rows) -> same-group
+    // earlier-bucket offsets via a triangular self-join over that TINY
+    // frame — no driver action, no cache
     val totalAggs = sums.map { case (v, _) =>
       sum(col(v)).cast("double").as(s"__t_$v")
     }
-    val totals = bucketed.groupBy(col("__bk")).agg(totalAggs.head, totalAggs.tail: _*)
+    val totals = bucketed.groupBy(keyCols.map(col): _*)
+      .agg(totalAggs.head, totalAggs.tail: _*)
     val offAggs = sums.map { case (v, _) =>
       coalesce(sum(col(s"b.__t_$v")), lit(0.0)).as(s"__off_$v")
     }
+    val joinCond = partCols
+      .map(c => col(s"b.$c") === col(s"a.$c"))
+      .foldLeft(col("b.__bk") < col("a.__bk"))(_ && _)
     val offsets = totals.as("a")
-      .join(totals.as("b"), col("b.__bk") < col("a.__bk"), "left")
-      .groupBy(col("a.__bk"))
+      .join(totals.as("b"), joinCond, "left")
+      .groupBy(partCols.map(c => col(s"a.$c")) :+ col("a.__bk"): _*)
       .agg(offAggs.head, offAggs.tail: _*)
 
-    val stitched = withLocal.join(broadcast(offsets), "__bk")
+    val stitched = withLocal.join(broadcast(offsets), keyCols)
     sums.foldLeft(stitched) { case (d, (v, out)) =>
       d.withColumn(out, col(out) + col(s"__off_$v"))
     }.drop("__bk" +: sums.map { case (v, _) => s"__off_$v" }: _*)

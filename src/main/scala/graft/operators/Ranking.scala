@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,54 +58,65 @@ object Ranking {
    * @return `df` plus `outCol` (double, rounded to 6)
    */
   def percentileRanks(df: DataFrame, scoreCol: String,
-      outCol: String = "pct"): DataFrame = {
-    val pct = pctTable(df, scoreCol, outCol)
-    df.join(pct, df(scoreCol).cast("double") === pct("__s"), "left")
-      .drop("__s")
-  }
-
-  /** The (distinct score -> pct) mapping table behind [[percentileRanks]]:
-    * one row per distinct non-null score value, columns `__s` (double) +
-    * `outCol`. Factored out so [[percentileRanksMulti]] can derive every
-    * signal's mapping from the SAME base frame. */
-  private def pctTable(df: DataFrame, scoreCol: String,
-      outCol: String): DataFrame = {
-    val counts = df.where(col(scoreCol).isNotNull)
-      .groupBy(col(scoreCol).cast("double").as("__s"))
-      .agg(count(lit(1)).cast("double").as("__c"))
-    val cum = OrderedScan.cumSums(counts, "__s", Seq("__c" -> "__cum"))
-    val total = counts.agg(sum(col("__c")).as("__n"))
-    cum.crossJoin(broadcast(total)) // 1-row broadcast
-      .select(col("__s"),
-        when(col("__n") <= 1.0, lit(0.0))
-          .otherwise(round((col("__cum") - col("__c")) / (col("__n") - 1.0),
-            6)).as(outCol))
-  }
+      outCol: String = "pct"): DataFrame =
+    percentileRanksMulti(df, Seq(scoreCol -> outCol))
 
   /**
    * Calibrate SEVERAL incomparable signals of ONE frame in a single
-   * composition — each (scoreCol -> outCol) mapping is computed from `df`
+   * composition — every (scoreCol -> outCol) mapping is computed from `df`
    * ITSELF, then all of them join back onto the accumulating frame.
    *
-   * Chaining [[percentileRanks]] calls is semantically identical (each
-   * join matches one mapping row per distinct score, so row multiplicity
-   * and every other column are preserved — signal k's count table over the
-   * (k-1)-times-joined frame equals the one over the base frame), but each
-   * nesting level embeds the whole prior join tree inside every aggregation
-   * branch of the next mapping, roughly doubling the expensive base-
-   * projection evaluations per signal (measured on q125: the three-deep
-   * nest stacked ~8 evaluations of the regex/entropy projection, 2.4-3.8 s
-   * each at one task). Deriving every mapping from the base keeps the
-   * evaluation count LINEAR in the signal count; the output is
-   * column-for-column identical.
+   * Distributed shape: ALL signals' (signal, value) pairs are STACKED into
+   * one frame by a single pass over `df` (one explode — the expensive base
+   * projection is evaluated once for every signal together, where the
+   * previous per-signal [[OrderedScan.cumSums]] calls each paid their own
+   * quantile sketch and count exchange over the base: measured on q125 the
+   * initial plan carried 80 parquet scans, one full regex/entropy
+   * projection per branch). Per-signal cumulative counts ride ONE
+   * [[OrderedScan.cumSumsBy]] call partitioned by the signal id; the
+   * resulting (signal, value -> pct) table — bounded by the distinct-score
+   * cardinality, never data-sized — is locally checkpointed, which cuts
+   * the lineage so the per-signal join build sides read the tiny
+   * materialized table instead of re-deriving the whole stack (and keeps
+   * Catalyst from pushing the per-signal filter below the shared exchange,
+   * which would re-evaluate the base once per signal again). The
+   * checkpoint is an in-run artifact of THIS DataFrame's lineage — a fresh
+   * call rebuilds it from the parquet inputs, nothing persists across
+   * invocations. Output is column-for-column identical to chained
+   * [[percentileRanks]] calls (each join matches one mapping row per
+   * distinct score, so row multiplicity and every other column are
+   * preserved).
    */
   def percentileRanksMulti(df: DataFrame,
-      specs: Seq[(String, String)]): DataFrame =
-    specs.foldLeft(df) { case (acc, (scoreCol, outCol)) =>
-      val pct = pctTable(df, scoreCol, outCol)
-      acc.join(pct, acc(scoreCol).cast("double") === pct("__s"), "left")
+      specs: Seq[(String, String)]): DataFrame = {
+    require(specs.nonEmpty, "percentileRanksMulti: at least one signal")
+    val stacked = df.select(explode(array(specs.zipWithIndex.map {
+        case ((scoreCol, _), i) =>
+          struct(lit(i).as("__sig"), col(scoreCol).cast("double").as("__s"))
+      }: _*)).as("g"))
+      .select(col("g.__sig").as("__sig"), col("g.__s").as("__s"))
+      .where(col("__s").isNotNull)
+    val counts = stacked.groupBy("__sig", "__s")
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val cum = OrderedScan.cumSumsBy(counts, Seq("__sig"), "__s",
+      Seq("__c" -> "__cum"))
+    // per-signal totals: a <= |signals|-row frame, reuses the counts
+    // exchange at runtime
+    val totals = counts.groupBy("__sig").agg(sum(col("__c")).as("__n"))
+    val pct = cum.join(broadcast(totals), "__sig")
+      .select(col("__sig"), col("__s"),
+        when(col("__n") <= 1.0, lit(0.0))
+          .otherwise(round((col("__cum") - col("__c")) / (col("__n") - 1.0),
+            6)).as("__p"))
+      // lazy: materialized by the first consuming job, not at plan build
+      .localCheckpoint(false)
+    specs.zipWithIndex.foldLeft(df) { case (acc, ((scoreCol, outCol), i)) =>
+      val slice = pct.where(col("__sig") === i)
+        .select(col("__s"), col("__p").as(outCol))
+      acc.join(slice, acc(scoreCol).cast("double") === slice("__s"), "left")
         .drop("__s")
     }
+  }
 
   /**
    * Reciprocal-rank fusion of N ranked retrieval lists (Cormack et al.,
@@ -156,6 +167,10 @@ object Ranking {
   def topFractionGlobal(df: DataFrame, scoreCol: String,
       frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac($frac) must be in (0, 1]")
+    // n stays an EAGER count: the in-plan 1-row-combine variant was tried in
+    // round 6 and reverted — the cross join's product-of-children size
+    // estimate inflated the kept-bits branch so the join back onto `df`
+    // stopped broadcasting (the idfTable lesson, measured on q62)
     val n = df.count()
     val k = math.max(1L, math.floor(frac * n).toLong)
     val byScore = df.groupBy(col(scoreCol))

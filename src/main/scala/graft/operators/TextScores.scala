@@ -13,11 +13,23 @@ object TextScores {
 
   /** Per-token document frequency + IDF = 1 + ln(N/(df+1))
     * (reference: ea/sim/main/methods/classic/fast.py:17-36,
-    * cross_encoders/lerch.py:22-33). */
+    * cross_encoders/lerch.py:22-33). N stays an EAGER driver count — the
+    * in-plan 1-row-combine variant was tried in round 6 and reverted with
+    * measurements: a cross join's size estimate is the PRODUCT of its
+    * children's, which inflated the idf branch enough to flip downstream
+    * join sides (q63's plan broadcast the corpus-sized posting explode and
+    * streamed the vocabulary through one AQE-coalesced task: 6.0 s warm vs
+    * 2.9 s with the small idf branch as the build side; constant-key
+    * equi-join attachment constant-folds back to the same nested loop).
+    * The count itself is one column-pruned pass, far cheaper than the
+    * mis-planned join it avoids. */
   def idfTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.count()
-    docs.select(col(idCol).as("id"),
-        explode(array_distinct(tokens(col(textCol)))).as("token"))
+    // Spread.byKeys: the df reduce is vocabulary-cardinality — partial agg
+    // compresses little and AQE otherwise folds the final agg into one task
+    Spread.byKeys(docs.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token")),
+        col("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("idf", lit(1.0) + log(lit(n.toDouble) / (col("df") + 1)))
   }
@@ -115,6 +127,10 @@ object TextScores {
       .join(idf, "token")
     val qtoks = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(tokens(col(textCol)))).as("token"))
+    // NO explicit repartition before this agg: the posting fan-out is many
+    // times the (query, item) pair count (pairs share many tokens), so
+    // map-side partial aggregation is the big compression here — measured
+    // on q63, repartitioning the raw fan-out tripled task cpu (17 -> 60 s)
     qtoks.join(postings, "token")
       .groupBy("query_id", "item_id")
       .agg(sum(col("idf") * col("idf")).as("score"))
@@ -145,13 +161,14 @@ object TextScores {
    * Scale shape: identical to [[tfidfIndexScores]] — postings and query
    * tokens shuffle on the token, one agg per (query, item); the df/idf
    * table is vocabulary-sized and joins distributed. The corpus stats
-   * (N, total dl) ride in as a ONE-ROW broadcast combine instead of an
-   * eager driver collect: the corpus is tokenized once less per run (the
-   * stats pass previously re-scanned it at DAG-construction time), the
-   * arithmetic is unchanged bit-for-bit (same long counts, same double
-   * division), and an empty corpus now degrades to an empty result frame
-   * (no posting rows exist, so the stats row is never consumed) instead
-   * of an NPE on the null sum.
+   * (N, total dl) are an EAGER driver aggregate (two scalars — the bounded
+   * Ann-collect contract): the in-plan 1-row cross-join combine was tried
+   * in round 6 and reverted with measurements — its product-of-children
+   * size estimate inflated the idf branch so Catalyst broadcast the
+   * corpus-sized tf table and streamed the vocabulary through one
+   * AQE-coalesced task (a 5.0 s single-task stage inside q98). An empty
+   * corpus returns an empty frame (no NPE on the null sum — the round-5
+   * ADVICE fix, kept).
    *
    * @return (query_id, item_id, score) — raw double; round before ranking
    *         (the q63 tie-determinism contract)
@@ -162,30 +179,44 @@ object TextScores {
     val withDl = corpus.select(col(idCol).as("item_id"),
         tokens(col(textCol)).as("l"))
       .withColumn("dl", size(col("l"))).where(col("dl") > 0)
-    // 1-row stats frame (the clusterAgreement/topFraction combine device):
-    // __n = N (long), __avgdl = sum(dl).toDouble / N — the identical IEEE
-    // ops the eager head() version performed on the driver
-    val stats = withDl
+    val statsRow = withDl
       .agg(count(lit(1)).as("__n"), sum(col("dl").cast("long")).as("__sdl"))
-      .select(col("__n"),
-        (col("__sdl").cast("double") / col("__n")).as("__avgdl"))
-    val tf = withDl.select(col("item_id"), col("dl"),
-        explode(col("l")).as("token"))
+      .head()
+    val n = statsRow.getLong(0)
+    if (n == 0L) {
+      // no non-empty corpus doc: no posting can exist — empty result with
+      // the contract schema (id types follow the inputs), not a
+      // divide-by-zero avgdl
+      return queries.select(col(idCol).as("query_id"))
+        .crossJoin(corpus.select(col(idCol).as("item_id")))
+        .withColumn("score", lit(0.0))
+        .where(lit(false))
+    }
+    val avgdl = statsRow.getLong(1).toDouble / n
+    // Spread.byKeys on both index aggregations: (item, token) term
+    // frequencies are mostly 1 and the df reduce is vocabulary-sized —
+    // partial aggregation compresses little, and the explicit keyed
+    // exchanges keep both reduces parallel under AQE
+    val tf = Spread.byKeys(withDl.select(col("item_id"), col("dl"),
+        explode(col("l")).as("token")),
+        col("item_id"), col("token"), col("dl"))
       .groupBy("item_id", "token", "dl").agg(count(lit(1)).as("tf"))
-    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
+    val idf = Spread.byKeys(tf, col("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("idf",
-        log((col("__n").cast("double") - col("df") + 0.5) /
+        log((lit(n.toDouble) - col("df") + 0.5) /
           (col("df") + 0.5) + 1.0))
-      .select("token", "idf", "__avgdl")
+      .select("token", "idf")
     val postings = tf.join(idf, "token")
     val qtoks = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(tokens(col(textCol)))).as("token"))
+    // no repartition before the scoring agg — the tfidfIndexScores
+    // fan-out-compression rationale
     qtoks.join(postings, "token")
       .groupBy("query_id", "item_id")
       .agg(sum(col("idf") * (col("tf") * (k1 + 1)) /
         (col("tf") + lit(k1) *
-          (lit(1 - b) + lit(b) * col("dl") / col("__avgdl")))).as("score"))
+          (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))).as("score"))
   }
 
   /** [[bm25IndexScores]] + per-query top-k, ties on item_id (the
@@ -193,6 +224,79 @@ object TextScores {
   def bm25IndexTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     Ranking.topKItems(bm25IndexScores(corpus, queries, idCol, textCol, k1, b), k)
+
+  /**
+   * BOTH index scorers off ONE posting join — for consumers that score the
+   * same (corpus, queries) against TF-IDF and BM25 together (rank fusion,
+   * q118): the candidate sets are identical by construction (every corpus
+   * doc sharing >= 1 distinct token with the query), so running
+   * [[tfidfIndexScores]] and [[bm25IndexScores]] separately tokenizes the
+   * corpus, aggregates the df table and shuffles the posting join TWICE for
+   * the same pairs. Here one tf aggregation feeds both idf formulas and one
+   * (query, item) aggregation emits both sums.
+   *
+   * Score parity is bit-for-bit with the single-index operators: the
+   * TF-IDF leg's N counts ALL corpus rows (the [[idfTable]] contract) while
+   * the BM25 leg's N/avgdl count only dl > 0 docs (the [[bm25IndexScores]]
+   * contract), df is the shared distinct-doc count per token, and each
+   * leg's per-token arithmetic is the same expression as its home operator.
+   *
+   * @return (query_id, item_id, tfidf_score, bm25_score) — raw doubles;
+   *         round before ranking (the q63 tie-determinism contract)
+   */
+  def tfidfBm25IndexScores(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val withDl = corpus.select(col(idCol).as("item_id"),
+        tokens(col(textCol)).as("l"))
+      .withColumn("dl", size(col("l")))
+    // one EAGER stats pass (three scalars — the bm25IndexScores rationale:
+    // the in-plan cross-join combine flips downstream join sides):
+    // nAll = ALL corpus rows (TF-IDF's N), n / avgdl over dl > 0 docs
+    // (BM25's N, avgdl) — same IEEE ops as the home operators' stats
+    val statsRow = withDl
+      .agg(count(lit(1)).as("__nall"),
+        count(when(col("dl") > 0, lit(1))).as("__n"),
+        sum(when(col("dl") > 0, col("dl")).cast("long")).as("__sdl"))
+      .head()
+    val nAll = statsRow.getLong(0)
+    val n = statsRow.getLong(1)
+    if (n == 0L) {
+      return queries.select(col(idCol).as("query_id"))
+        .crossJoin(corpus.select(col(idCol).as("item_id")))
+        .withColumn("tfidf_score", lit(0.0))
+        .withColumn("bm25_score", lit(0.0))
+        .where(lit(false))
+    }
+    val avgdl = statsRow.getLong(2).toDouble / n
+    // Spread.byKeys on all three aggregations — the bm25IndexScores
+    // rationale (parallel reduces under AQE at high key cardinality)
+    val tf = Spread.byKeys(withDl.where(col("dl") > 0)
+        .select(col("item_id"), col("dl"), explode(col("l")).as("token")),
+        col("item_id"), col("token"), col("dl"))
+      .groupBy("item_id", "token", "dl").agg(count(lit(1)).as("tf"))
+    val idf = Spread.byKeys(tf, col("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf_tf",
+        lit(1.0) + log(lit(nAll.toDouble) / (col("df") + 1)))
+      .withColumn("idf_bm",
+        log((lit(n.toDouble) - col("df") + 0.5) /
+          (col("df") + 0.5) + 1.0))
+      .select("token", "idf_tf", "idf_bm")
+    val postings = tf.join(idf, "token")
+    val qtoks = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    // no repartition before the scoring agg — the tfidfIndexScores
+    // fan-out-compression rationale
+    qtoks.join(postings, "token")
+      .groupBy("query_id", "item_id")
+      .agg(sum(col("idf_tf") * col("idf_tf")).as("tfidf_score"),
+        sum(col("idf_bm") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+          .as("bm25_score"))
+  }
 
   /** Shared novelty projection: (id, sh = DISTINCT shingle hashes). */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
@@ -525,7 +629,10 @@ object TextScores {
     val trainGrams = bigrams(corpus)
     val c2 = trainGrams.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
     val c1 = trainGrams.groupBy("prev").agg(count(lit(1)).as("c1"))
-    // V is ONE scalar (bounded driver artifact, the Ann collect contract)
+    // V is ONE scalar (bounded driver artifact, the Ann collect contract);
+    // kept EAGER — the in-plan cross-join combine inflates the scored
+    // side's size estimate and un-broadcasts the c2/c1 joins (the idfTable
+    // lesson, measured on q90)
     val v = trainGrams.agg(countDistinct(col("cur"))).first().getLong(0)
     bigrams(docs)
       .join(c2, Seq("prev", "cur"), "left")

@@ -447,11 +447,10 @@ class PlanSpec extends SparkSpec {
 
   test("q117/q118: histogram and RRF fusion plan equi-joins, " +
     "never a data-sized nested loop") {
-    // q118's BM25 leg carries the corpus stats (N, avgdl) as a ONE-ROW
-    // broadcast combine (the q69/q86 device) — one BNLJ with a 1-row build
-    // side is the intended plan; anything beyond that budget would be a
-    // data-sized nested loop
-    Seq("q117_numeric_histogram" -> 0, "q118_rrf_fusion" -> 1).foreach {
+    // round 6: q118's corpus stats went back to eager driver scalars (the
+    // in-plan cross-join combine inflated size estimates and flipped join
+    // sides — the idfTable lesson), so its budget is 0 nested loops again
+    Seq("q117_numeric_histogram" -> 0, "q118_rrf_fusion" -> 0).foreach {
       case (q, maxOneRowCombines) =>
         val p = planOf(SparkEntry.queries(q)(spark, dir))
         assert(!p.contains("CartesianProduct"), s"cartesian product in $q")

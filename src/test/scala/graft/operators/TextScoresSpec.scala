@@ -214,6 +214,40 @@ class TextScoresSpec extends SparkSpec {
     assert(term(idfX, 4, 3) < 2 * term(idfX, 2, 3))
   }
 
+  test("bm25IndexScores: empty / all-empty-text corpus yields an empty " +
+      "frame with the contract schema") {
+    val corpus = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "x y")).toDF("doc_id", "text")
+    val got = TextScores.bm25IndexScores(corpus, queries, "doc_id", "text")
+    assert(got.columns.toSeq == Seq("query_id", "item_id", "score"))
+    assert(got.count() == 0)
+  }
+
+  test("tfidfBm25IndexScores: both fused scores match the single-index " +
+      "operators pair-for-pair") {
+    // candidate sets are identical by construction; scores must agree to
+    // summation-order tolerance (the operators' rounding contract is 4
+    // decimals downstream)
+    val corpus = Seq((1L, "x x y"), (2L, "x z"), (3L, "q r s t"),
+      (4L, ""), (5L, "y y z w")).toDF("doc_id", "text")
+    val queries = Seq((10L, "x y"), (20L, "z q")).toDF("doc_id", "text")
+    val fused = TextScores
+      .tfidfBm25IndexScores(corpus, queries, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val tf = TextScores.tfidfIndexScores(corpus, queries, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val bm = TextScores.bm25IndexScores(corpus, queries, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(fused.keySet == tf.keySet && fused.keySet == bm.keySet,
+      s"candidate sets diverge: ${fused.keySet} vs ${tf.keySet} vs ${bm.keySet}")
+    fused.foreach { case (k, (ft, fb)) =>
+      assert(math.abs(ft - tf(k)) < 1e-12, s"tfidf mismatch at $k")
+      assert(math.abs(fb - bm(k)) < 1e-12, s"bm25 mismatch at $k")
+    }
+  }
+
   test("bigramLmScores: hand-computed add-alpha probabilities (self-score)") {
     // corpus: c2 = {(<s>,a):3, (a,b):2, (a,c):1}; c1 = {<s>:3, a:3}; V = 3
     val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
