@@ -465,6 +465,79 @@ case class CharEntropy(child: Expression)
     copy(child = newChild)
 }
 
+/** Single-pass stopword-density ratio (see [[HashKernels.stopwordRatio]]) —
+  * value-identical to the normalize/regexp_count chain it replaced in
+  * `graft.functions.stopword_ratio`, without the two document rewrites and
+  * two Pattern scans (ExpressionsSpec pins the equivalence on the edge
+  * cases: empty, null, punctuation-only, stopword substrings, unicode). */
+case class StopwordRatio(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"stopword_ratio requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "stopword_ratio"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.stopwordRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.stopwordRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): StopwordRatio =
+    copy(child = newChild)
+}
+
+/** Single-pass quality score (see [[HashKernels.qualityScore]]) —
+  * value-identical to the length/punct/stopword expression chain
+  * (ExpressionsSpec pins the equivalence). */
+case class QualityScore(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"quality_score requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quality_score"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.qualityScore(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.qualityScore($c)")
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
+/** Single-pass distinct-token ratio (see
+  * [[HashKernels.distinctTokenRatio]]); callers coalesce NULL to "" so the
+  * NULL-text contract (ratio 1.0) is preserved at the column level. */
+case class DistinctTokenRatio(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"distinct_token_ratio requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "distinct_token_ratio"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.distinctTokenRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.distinctTokenRatio($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctTokenRatio =
+    copy(child = newChild)
+}
+
 /** array<long> hashes -> int count of elements the inlined Bloom sketch
   * might contain. The sketch rides in the expression (serialized with the
   * plan) and deserializes ONCE per task via the lazy field; the per-row

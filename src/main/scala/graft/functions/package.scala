@@ -160,9 +160,12 @@ package object functions {
   /** Token count of the raw string split on SINGLE SPACES (SQL-parity
     * friendly: matches len(string_split(text, ' ')) semantics) — tabs and
     * newlines are NOT separators here; use [[tokens]] (which normalizes all
-    * whitespace first) when they must be. */
+    * whitespace first) when they must be. Counted as matches of the
+    * non-space-run class — the same value as size(array_remove(split))
+    * (maximal non-space runs) without materializing the token array
+    * (round-6 kernel trim). */
   def token_count(c: Column): Column =
-    F.size(F.array_remove(F.split(c, " "), ""))
+    F.regexp_count(c, F.lit("[^ ]+"))
 
   /** BPE-ish subword token count: one codegen'd regexp_count of the GPT-2
     * pre-tokenizer's class structure — letter runs, digit runs, and single
@@ -188,7 +191,12 @@ package object functions {
     * counterpart of [[graft.operators.TextScores.repetitionSignals]] (which
     * computes both signals off one shared token array — use it for whole-
     * corpus scans; these exist so the SQL surface stays total). */
-  def distinct_token_ratio(c: Column): Column = {
+  def distinct_token_ratio(c: Column): Column =
+    column(DistinctTokenRatio(expression(F.coalesce(c, F.lit("")))))
+
+  /** Regex/array spelling of [[distinct_token_ratio]] — the equivalence
+    * oracle for the single-pass kernel (ExpressionsSpec). */
+  private[graft] def distinct_token_ratio_arrays(c: Column): Column = {
     val toks = rawTokens(c)
     val n = F.size(toks)
     F.round(F.when(n === 0, 1.0)
@@ -215,9 +223,16 @@ package object functions {
     * Counted with one codegen'd regexp_count over the normalized text —
     * \b-bounded alternation on [a-z0-9 ] text matches exactly the tokens
     * that equal a stopword (no interpreted filter() lambda in the hot path). */
-  def stopword_ratio(c: Column): Column = {
+  def stopword_ratio(c: Column): Column =
+    column(StopwordRatio(expression(c)))
+
+  /** The regex spelling of [[stopword_ratio]] — kept as the equivalence
+    * oracle for the single-pass kernel (ExpressionsSpec pins kernel ==
+    * regex on generated and edge-case inputs; the kernel is ~12x cheaper
+    * on the bench corpus). */
+  private[graft] def stopword_ratio_regex(c: Column): Column = {
     val n = normalize_text(c)
-    val nToks = F.size(F.array_remove(F.split(n, " "), ""))
+    val nToks = F.regexp_count(n, F.lit("[^ ]+"))
     val nStop = F.regexp_count(n, F.lit(StopWords.mkString("\\b(", "|", ")\\b")))
     F.when(nToks === 0, F.lit(0.0)).otherwise(nStop.cast("double") / nToks)
   }
@@ -234,16 +249,23 @@ package object functions {
     F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other"))
 
   /** Quality score in [0,1]: mean-word-length band + punctuation sparsity +
-    * stopword presence (length/punct/stopword ratios per the brief). */
-  def quality_score(c: Column): Column = {
+    * stopword presence (length/punct/stopword ratios per the brief) —
+    * the single-pass kernel ([[HashKernels.qualityScore]]); the expression
+    * spelling below is the spec's equivalence oracle. */
+  def quality_score(c: Column): Column =
+    column(QualityScore(expression(c)))
+
+  /** Expression-chain spelling of [[quality_score]] — the equivalence
+    * oracle for the single-pass kernel (ExpressionsSpec). */
+  private[graft] def quality_score_exprs(c: Column): Column = {
     val nChars = F.length(c).cast("double")
-    val nPunct = F.length(F.regexp_replace(c, "[^.!?,;:]", "")).cast("double")
+    val nPunct = F.regexp_count(c, F.lit("[.!?,;:]")).cast("double")
     val nToks = token_count(c).cast("double")
     val meanWord = F.when(nToks === 0, F.lit(0.0)).otherwise(nChars / nToks)
     val punctRatio = F.when(nChars === 0, F.lit(1.0)).otherwise(nPunct / nChars)
     val wordScore = F.when(meanWord.between(3.0, 12.0), F.lit(0.4)).otherwise(F.lit(0.0))
     val punctScore = F.when(punctRatio <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
-    val stopScore = F.when(stopword_ratio(c) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    val stopScore = F.when(stopword_ratio_regex(c) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
     F.round(wordScore + punctScore + stopScore, 2)
   }
 }

@@ -167,6 +167,63 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("stopword_ratio kernel == regex chain on edge and generated inputs") {
+    val cases = Seq(
+      "the quick brown fox", // 1 stopword / 4 tokens
+      "the and of to in",    // all stopwords
+      "theory andover offset", // stopword PREFIXES must not count
+      "xthe thex a4 4a a",   // embedded/joined; exactly "a" counts
+      "THE The tHe",         // case folding
+      "!!! ,,, ;;;",         // punctuation-only -> 0 tokens -> 0.0
+      "", " ", "\t\n the \n at\t", // whitespace shapes
+      "a-b the,fox (and) [of]", // punctuation separators
+      "café the naïve İstanbul", // multi-byte + dotted I
+      "9to5 at7 7at at 2in", // digit-adjacent runs
+      "a", "at", "zz")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select($"id", stopword_ratio($"text").as("k"),
+        stopword_ratio_regex($"text").as("r"))
+      .as[(Long, Double, Double)].collect()
+    got.foreach { case (i, k, r) =>
+      assert(k == r, s"case $i '${cases(i.toInt)}': kernel $k != regex $r")
+    }
+    // null propagates as null on both spellings
+    val nr = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(stopword_ratio($"text").as("k"),
+        stopword_ratio_regex($"text").as("r")).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
+  test("quality_score / distinct_token_ratio kernels == expression chains") {
+    val cases = Seq(
+      "the quick brown fox jumped over it", // stopwords + mid-length words
+      "a b c d e f",                        // short words (mean < 3)
+      "superlongwordswithoutanystopswords everywhere here", // mean > 12
+      "Stop. Right! Now, please; really: yes?", // punctuation-dense
+      "dup dup dup dup", "one", "", "   ",
+      "x" * 30 + " yy", "café über naïve",
+      "a,b.c!d", "the the the")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select($"id",
+        quality_score($"text").as("qk"), quality_score_exprs($"text").as("qe"),
+        distinct_token_ratio($"text").as("rk"),
+        distinct_token_ratio_arrays($"text").as("re"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+    got.foreach { case (i, qk, qe, rk, re) =>
+      assert(qk == qe, s"quality case $i '${cases(i.toInt)}': $qk != $qe")
+      assert(rk == re, s"dtr case $i '${cases(i.toInt)}': $rk != $re")
+    }
+    // nulls: quality stays null (length(null) chain), dtr coalesces to 1.0
+    val nr = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(quality_score($"text").as("q"),
+        distinct_token_ratio($"text").as("r"),
+        distinct_token_ratio_arrays($"text").as("re")).head()
+    assert(nr.isNullAt(0))
+    assert(nr.getDouble(1) == 1.0 && nr.getDouble(2) == 1.0)
+  }
+
   test("subword_count: BPE-ish class split vs whitespace count") {
     // "don't stop!!" -> don | ' | t | stop | ! | ! = 6 pieces, 2 ws tokens;
     // "x2=y_3;" -> x | 2 | = | y | _ | 3 | ; = 7 pieces, 1 ws token
