@@ -56,7 +56,9 @@ object BenchExtra {
       try materialize(graft.SparkEntry.queries(n)(spark, smallDir))
       catch { case _: Throwable => () }
     }
+    val clearCache = sys.env.get("BENCH_EXTRA_CLEAR_CACHE").contains("1")
     val times = names.map { n =>
+      if (clearCache) spark.catalog.clearCache()
       spark.sparkContext.setJobDescription(n)
       val ts = (1 to passes).flatMap { _ =>
         try Some(timed(materialize(graft.SparkEntry.queries(n)(spark, sfDir))))
