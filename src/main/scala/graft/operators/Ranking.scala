@@ -58,8 +58,26 @@ object Ranking {
    * @return `df` plus `outCol` (double, rounded to 6)
    */
   def percentileRanks(df: DataFrame, scoreCol: String,
-      outCol: String = "pct"): DataFrame =
-    percentileRanksMulti(df, Seq(scoreCol -> outCol))
+      outCol: String = "pct"): DataFrame = {
+    // single-signal path: the direct mapping join (no signal stacking, no
+    // local checkpoint — those pay off only when SEVERAL signals would
+    // each re-evaluate an expensive base projection; for one signal the
+    // checkpoint materialization barrier and the unknown-size RDD join
+    // cost more than they save — measured q119 2.2 s via the stacked path
+    // vs 0.7 s direct)
+    val counts = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val cum = OrderedScan.cumSums(counts, "__s", Seq("__c" -> "__cum"))
+    val total = counts.agg(sum(col("__c")).as("__n"))
+    val pct = cum.crossJoin(broadcast(total)) // 1-row broadcast
+      .select(col("__s"),
+        when(col("__n") <= 1.0, lit(0.0))
+          .otherwise(round((col("__cum") - col("__c")) / (col("__n") - 1.0),
+            6)).as(outCol))
+    df.join(pct, df(scoreCol).cast("double") === pct("__s"), "left")
+      .drop("__s")
+  }
 
   /**
    * Calibrate SEVERAL incomparable signals of ONE frame in a single
@@ -90,6 +108,8 @@ object Ranking {
   def percentileRanksMulti(df: DataFrame,
       specs: Seq[(String, String)]): DataFrame = {
     require(specs.nonEmpty, "percentileRanksMulti: at least one signal")
+    if (specs.size == 1)
+      return percentileRanks(df, specs.head._1, specs.head._2)
     val stacked = df.select(explode(array(specs.zipWithIndex.map {
         case ((scoreCol, _), i) =>
           struct(lit(i).as("__sig"), col(scoreCol).cast("double").as("__s"))
