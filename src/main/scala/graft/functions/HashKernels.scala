@@ -945,16 +945,18 @@ object HashKernels {
     val n = b.length
     var i = 0
     var nToks = 0
-    var distinct: java.util.HashSet[String] = null
+    // UTF8String keys: exact BYTE equality, matching array_distinct's
+    // semantics even for ill-formed UTF-8 (a java.lang.String decode would
+    // collapse distinct invalid sequences onto U+FFFD)
+    var distinct: java.util.HashSet[UTF8String] = null
     while (i < n) {
       if (b(i) == ' ') i += 1
       else {
         val start = i
         while (i < n && b(i) != ' ') i += 1
         nToks += 1
-        if (distinct == null) distinct = new java.util.HashSet[String]()
-        distinct.add(new String(b, start, i - start,
-          java.nio.charset.StandardCharsets.UTF_8))
+        if (distinct == null) distinct = new java.util.HashSet[UTF8String]()
+        distinct.add(UTF8String.fromBytes(b, start, i - start))
       }
     }
     if (nToks == 0) 1.0

@@ -251,9 +251,12 @@ package object functions {
   /** Quality score in [0,1]: mean-word-length band + punctuation sparsity +
     * stopword presence (length/punct/stopword ratios per the brief) —
     * the single-pass kernel ([[HashKernels.qualityScore]]); the expression
-    * spelling below is the spec's equivalence oracle. */
+    * spelling below is the spec's equivalence oracle. NULL text scores 0.0:
+    * the original chain's `when(...).otherwise(0.0)` arms swallow the null
+    * at every branch (and the SQL oracles' CASE ELSE arms do the same), so
+    * the null-intolerant kernel is coalesced to match. */
   def quality_score(c: Column): Column =
-    column(QualityScore(expression(c)))
+    F.coalesce(column(QualityScore(expression(c))), F.lit(0.0))
 
   /** Expression-chain spelling of [[quality_score]] — the equivalence
     * oracle for the single-pass kernel (ExpressionsSpec). */

@@ -25,7 +25,10 @@ object FinalPlan {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.write.mode("overwrite").format("noop").save()
+    // execute df's OWN QueryExecution (a noop write would spawn a separate
+    // one and leave this plan un-adapted — isFinalPlan=false), then print:
+    // the AdaptiveSparkPlan is now the re-optimized final plan
+    df.queryExecution.toRdd.count()
     println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
     spark.stop()
   }

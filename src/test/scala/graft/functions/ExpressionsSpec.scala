@@ -215,13 +215,16 @@ class ExpressionsSpec extends SparkSpec {
       assert(qk == qe, s"quality case $i '${cases(i.toInt)}': $qk != $qe")
       assert(rk == re, s"dtr case $i '${cases(i.toInt)}': $rk != $re")
     }
-    // nulls: quality stays null (length(null) chain), dtr coalesces to 1.0
+    // nulls: the original chain's when/otherwise arms swallow the null at
+    // every branch, so quality_score(NULL) is 0.0 on BOTH spellings (the
+    // SQL oracles' CASE ELSE arms agree); dtr coalesces to 1.0 on both
     val nr = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
       .select(quality_score($"text").as("q"),
+        quality_score_exprs($"text").as("qe"),
         distinct_token_ratio($"text").as("r"),
         distinct_token_ratio_arrays($"text").as("re")).head()
-    assert(nr.isNullAt(0))
-    assert(nr.getDouble(1) == 1.0 && nr.getDouble(2) == 1.0)
+    assert(nr.getDouble(0) == 0.0 && nr.getDouble(1) == 0.0)
+    assert(nr.getDouble(2) == 1.0 && nr.getDouble(3) == 1.0)
   }
 
   test("subword_count: BPE-ish class split vs whitespace count") {
